@@ -1,0 +1,215 @@
+"""DELTA_BINARY_PACKED, DELTA_LENGTH_BYTE_ARRAY, DELTA_BYTE_ARRAY,
+BYTE_STREAM_SPLIT.
+
+Wire parity with the reference:
+- DELTA_BINARY_PACKED encoder (src/encoding.cc:862-996): blocks of 256
+  values, 8 miniblocks x 32; header = ULEB128(block_size=256),
+  ULEB128(miniblocks=8), ULEB128(total_count), zigzag-ULEB128(first value);
+  per block zigzag min_delta, then ALL 8 miniblock bit-width bytes, then
+  bit-packed (delta - min_delta) for the miniblocks that contain values.
+  Delta arithmetic is wrapping (the reference leans on unsigned wraparound,
+  encoding.cc:909-918) so INT_MIN/INT_MAX adjacency round-trips.
+  The reference leaves pad deltas of the final miniblock uninitialized; we
+  write zeros (same size, deterministic, spec-compatible).
+- DELTA_BINARY_PACKED decoder (encoding.cc:141-250): consumes whole
+  miniblocks including final padding (eat_final_padding), which fixes the
+  end offset DELTA_LENGTH_BYTE_ARRAY relies on.
+- DELTA_LENGTH_BYTE_ARRAY (encoding.cc:252-294): DBP-encoded int32 lengths
+  followed by concatenated value bytes.  Decode-only in the reference; we
+  implement the encoder too (trivially, from Arrow offsets).
+- DELTA_BYTE_ARRAY (encoding.cc:296-362): DBP prefix lengths + DLBA
+  suffixes, incremental front-coding.  Decode-only, matching the reference.
+- BYTE_STREAM_SPLIT (encoding.cc:364-394): K de-interleaved byte streams.
+  Decode-only in the reference; encoder provided for round-trip tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .bitpack import (
+    pack_bits,
+    uleb128_decode,
+    uleb128_encode,
+    unpack_bits,
+    zigzag64_decode,
+    zigzag64_encode,
+)
+
+__all__ = [
+    "dbp_encode",
+    "dbp_decode",
+    "dlba_encode",
+    "dlba_decode",
+    "delta_byte_array_decode",
+    "byte_stream_split_encode",
+    "byte_stream_split_decode",
+]
+
+_BLOCK = 256
+_MINIBLOCKS = 8
+_VPMB = _BLOCK // _MINIBLOCKS  # 32
+
+_POWERS = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+
+
+def _bit_widths(maxima: np.ndarray) -> np.ndarray:
+    """Vectorized bit_width over uint64 maxima."""
+    return np.searchsorted(_POWERS, maxima, side="right").astype(np.uint8)
+
+
+def dbp_encode(values: np.ndarray, nbytes: int) -> bytes:
+    """Encode int32 (nbytes=4) or int64 (nbytes=8) values."""
+    sdtype = np.int32 if nbytes == 4 else np.int64
+    udtype = np.uint32 if nbytes == 4 else np.uint64
+    v = np.ascontiguousarray(values, dtype=sdtype)
+    n = len(v)
+    first = int(v[0]) if n else 0
+    header = (
+        uleb128_encode(_BLOCK)
+        + uleb128_encode(_MINIBLOCKS)
+        + uleb128_encode(n)
+        + uleb128_encode(zigzag64_encode(first))
+    )
+    if n <= 1:
+        return header
+    u = v.view(udtype)
+    du = (u[1:] - u[:-1]).astype(np.uint64)  # wrapping deltas, widened
+    mask = np.uint64((1 << (nbytes * 8)) - 1)
+    du &= mask
+    n_deltas = len(du)
+    out = [header]
+    for start in range(0, n_deltas, _BLOCK):
+        block = du[start : start + _BLOCK]
+        # signed min over wrapped deltas (reference: cast unsigned -> signed)
+        if nbytes == 4:
+            as_signed = block.astype(np.uint32).view(np.int32)
+        else:
+            as_signed = block.view(np.int64)
+        min_delta = int(as_signed.min())
+        rel = (block - np.uint64(min_delta & int(mask))) & mask
+        used_mbs = (len(block) + _VPMB - 1) // _VPMB
+        padded = np.zeros(used_mbs * _VPMB, dtype=np.uint64)
+        padded[: len(block)] = rel
+        maxima = np.maximum.reduceat(padded, np.arange(0, len(padded), _VPMB))
+        # maxima of pad-only region are 0; widths for unused miniblocks are 0
+        widths = np.zeros(_MINIBLOCKS, dtype=np.uint8)
+        widths[:used_mbs] = _bit_widths(maxima)
+        out.append(uleb128_encode(zigzag64_encode(min_delta)))
+        out.append(widths.tobytes())
+        for mb in range(used_mbs):
+            w = int(widths[mb])
+            if w == 0:
+                continue
+            out.append(pack_bits(padded[mb * _VPMB : (mb + 1) * _VPMB], w))
+    return b"".join(out)
+
+
+def dbp_decode(buf, nbytes: int, pos: int = 0) -> tuple[np.ndarray, int]:
+    """Decode a DBP stream; returns (values, end_pos).
+
+    ``end_pos`` is past the final consumed miniblock (the reference's
+    eat_final_padding semantics, encoding.cc:246-255), i.e. where a
+    DELTA_LENGTH_BYTE_ARRAY payload would begin.
+    """
+    sdtype = np.int32 if nbytes == 4 else np.int64
+    udtype = np.uint32 if nbytes == 4 else np.uint64
+    block_size, pos = uleb128_decode(buf, pos, max_bytes=10)
+    num_mb, pos = uleb128_decode(buf, pos, max_bytes=10)
+    if num_mb == 0:
+        raise ValueError("DELTA_BINARY_PACKED: zero miniblocks per block")
+    total, pos = uleb128_decode(buf, pos, max_bytes=10)
+    zz, pos = uleb128_decode(buf, pos, max_bytes=10)
+    first = zigzag64_decode(zz)
+    if total == 0:
+        return np.zeros(0, dtype=sdtype), pos
+    vpmb = block_size // num_mb
+    if vpmb == 0 or vpmb % 8 != 0:
+        raise ValueError("DELTA_BINARY_PACKED: miniblock size must be a positive multiple of 8")
+    mask = (1 << (nbytes * 8)) - 1
+    remaining = total - 1
+    deltas: list[np.ndarray] = []
+    raw = np.frombuffer(buf, dtype=np.uint8) if isinstance(buf, (bytes, bytearray)) else buf
+    while remaining > 0:
+        zz, pos = uleb128_decode(buf, pos, max_bytes=10)
+        min_delta = zigzag64_decode(zz)
+        if pos + num_mb > len(buf):
+            raise ValueError("DELTA_BINARY_PACKED: truncated miniblock widths")
+        widths = bytes(buf[pos : pos + num_mb])
+        pos += num_mb
+        in_block = min(remaining, block_size)
+        used_mbs = (in_block + vpmb - 1) // vpmb
+        md_u = np.uint64(min_delta & mask)
+        for mb in range(used_mbs):
+            w = widths[mb]
+            nb = vpmb * w // 8
+            if pos + nb > len(buf):
+                raise ValueError("DELTA_BINARY_PACKED: unexpected end of data")
+            vals = unpack_bits(raw[pos : pos + nb], w, vpmb)
+            pos += nb
+            take = min(remaining, vpmb)
+            deltas.append(((vals[:take] + md_u) & np.uint64(mask)).astype(np.uint64))
+            remaining -= take
+    all_deltas = np.concatenate(deltas) if deltas else np.zeros(0, dtype=np.uint64)
+    # cumsum with wraparound in the target unsigned dtype
+    acc = np.empty(total, dtype=udtype)
+    acc[0] = udtype(first & mask)
+    acc[1:] = np.cumsum(all_deltas.astype(udtype), dtype=udtype)
+    acc[1:] += acc[0]
+    return acc.view(sdtype), pos
+
+
+def dlba_encode(lengths: np.ndarray, payload: bytes) -> bytes:
+    """DELTA_LENGTH_BYTE_ARRAY = DBP(int32 lengths) + concatenated bytes."""
+    return dbp_encode(np.ascontiguousarray(lengths, dtype=np.int32), 4) + bytes(payload)
+
+
+def dlba_decode(buf, n: int | None = None) -> tuple[np.ndarray, bytes]:
+    """Returns (lengths int32[n], payload bytes)."""
+    lengths, pos = dbp_decode(buf, 4)
+    if n is not None and len(lengths) != n:
+        raise ValueError(f"DELTA_LENGTH_BYTE_ARRAY: expected {n} lengths, got {len(lengths)}")
+    if (lengths < 0).any():
+        raise ValueError("DELTA_LENGTH_BYTE_ARRAY: negative length")
+    total = int(lengths.astype(np.int64).sum())
+    if pos + total > len(buf):
+        raise ValueError("DELTA_LENGTH_BYTE_ARRAY: payload truncated")
+    return lengths, bytes(buf[pos : pos + total])
+
+
+def delta_byte_array_decode(buf, n: int | None = None) -> list[bytes]:
+    """DELTA_BYTE_ARRAY: DBP prefix lengths, then DLBA suffixes; incremental
+    front-coding reconstruction (decode-only, as in the reference)."""
+    prefix_lens, pos = dbp_decode(buf, 4)
+    suffix_lens, payload = dlba_decode(memoryview(buf)[pos:])
+    if len(prefix_lens) != len(suffix_lens):
+        raise ValueError("DELTA_BYTE_ARRAY: prefix/suffix count mismatch")
+    out: list[bytes] = []
+    offset = 0
+    prev = b""
+    for plen, slen in zip(prefix_lens.tolist(), suffix_lens.tolist()):
+        if plen > len(prev):
+            raise ValueError("DELTA_BYTE_ARRAY: prefix longer than previous value")
+        value = prev[:plen] + payload[offset : offset + slen]
+        offset += slen
+        out.append(value)
+        prev = value
+    if n is not None and len(out) != n:
+        raise ValueError("DELTA_BYTE_ARRAY: wrong value count")
+    return out
+
+
+def byte_stream_split_encode(values: np.ndarray) -> bytes:
+    """Interleave: stream k holds byte k of every value."""
+    v = np.ascontiguousarray(values)
+    k = v.dtype.itemsize
+    return v.view(np.uint8).reshape(-1, k).T.copy().tobytes()
+
+
+def byte_stream_split_decode(buf: bytes, dtype: np.dtype, n: int) -> np.ndarray:
+    dtype = np.dtype(dtype)
+    k = dtype.itemsize
+    if len(buf) < n * k:
+        raise ValueError("BYTE_STREAM_SPLIT buffer too short")
+    raw = np.frombuffer(buf, dtype=np.uint8, count=n * k)
+    return raw.reshape(k, n).T.copy().view(dtype).reshape(n)

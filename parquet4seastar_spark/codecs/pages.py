@@ -1,0 +1,677 @@
+"""Column-chunk encode/decode: pages, dictionary fallback, codec selection.
+
+This is the Spark-facing equivalent of the reference's
+``column_chunk_writer``/``column_chunk_reader`` pair re-architected for
+columnar batches:
+
+- A *chunk* is the slice of one column held by one Spark partition (or a
+  bounded sub-slice of it).  Pages are produced per ~page_target_bytes of
+  value data (caller-driven page sizing, like the reference's manual
+  ``flush_page`` -- column_chunk_writer.hh:91-96, examples/example.cc:188-210).
+- V1 page layout: [u32-LE def-level length][RLE def levels][value bytes]
+  (column_chunk_writer.hh:98-139; max_rep = 0 for our flat table so no rep
+  section).  Values are encoded only for def == max_def rows (nulls skipped,
+  column_chunk_writer.hh:75-89).
+- Dictionary fallback: pages are dictionary-encoded until, at a page flush,
+  the accumulated dictionary exceeds 16 KiB; subsequent pages are PLAIN and
+  the dictionary page (entries first seen up to the overflow page) is still
+  written (dict_or_plain_encoder, src/encoding.cc:801-845, threshold :814,
+  check :833).
+- Codec auto-selection (our generalization of that fallback heuristic):
+  candidate codecs are *actually encoded* (cheap ones) or sample-estimated
+  (FSST) and the smallest wins; the reference's static policy is always a
+  candidate, so the selected total never exceeds the reference-policy size.
+
+Whole-page compression: UNCOMPRESSED or GZIP (zlib).  The reference also
+supports SNAPPY (src/compression.cc:29-158); no snappy binding is available
+in this environment, so SNAPPY raises -- the primary metric is encoded
+bytes, compression is an orthogonal layer.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+from . import delta, dictionary, fsst, plain
+from .levels import decode_levels_v1, encode_levels_v1
+from .rle import rle_decode, rle_encode
+
+__all__ = ["encode_chunk", "decode_chunk", "ba_components", "EncodedChunk", "Page"]
+
+DICT_FALLBACK_THRESHOLD = 16 * 1024  # dict_or_plain_encoder::fallback_threshold
+
+_FIXED_DTYPES = {
+    "INT32": np.dtype("<i4"),
+    "INT64": np.dtype("<i8"),
+    "FLOAT": np.dtype("<f4"),
+    "DOUBLE": np.dtype("<f8"),
+}
+
+_PA_TO_PTYPE = {
+    pa.int32(): "INT32",
+    pa.int64(): "INT64",
+    pa.float32(): "FLOAT",
+    pa.float64(): "DOUBLE",
+    pa.bool_(): "BOOLEAN",
+    pa.string(): "BYTE_ARRAY",
+    pa.binary(): "BYTE_ARRAY",
+    pa.large_string(): "BYTE_ARRAY",
+    pa.large_binary(): "BYTE_ARRAY",
+}
+
+
+@dataclass
+class Page:
+    kind: str  # 'dict' | 'data'
+    encoding: str  # PLAIN | RLE_DICTIONARY | DELTA_BINARY_PACKED | DELTA_LENGTH_BYTE_ARRAY | FSST | RLE
+    num_values: int  # level count (rows) for data pages; entries for dict page
+    num_non_null: int
+    uncompressed_size: int
+    compressed_size: int
+    data: bytes
+
+
+@dataclass
+class EncodedChunk:
+    ptype: str
+    logical: str  # 'string' | 'binary' | 'int32' | 'int64' | 'float' | 'double' | 'bool'
+    nullable: bool
+    num_rows: int
+    num_nulls: int
+    cardinality: int
+    encodings: list[str]
+    compression: str
+    pages: list[Page] = field(default_factory=list)
+    input_bytes: int = 0  # uncompressed logical bytes (PLAIN-equivalent size)
+    encoded_bytes: int = 0  # sum of page uncompressed sizes (post-encoding)
+    compressed_bytes: int = 0
+    sha256: str = ""
+
+    @property
+    def total_size(self) -> int:
+        return self.compressed_bytes
+
+
+def pa_ptype(arr: pa.Array) -> tuple[str, str]:
+    t = arr.type
+    if t in _PA_TO_PTYPE:
+        ptype = _PA_TO_PTYPE[t]
+        logical = {
+            "INT32": "int32",
+            "INT64": "int64",
+            "FLOAT": "float",
+            "DOUBLE": "double",
+            "BOOLEAN": "bool",
+        }.get(ptype)
+        if logical is None:
+            logical = "string" if pa.types.is_string(t) or pa.types.is_large_string(t) else "binary"
+        return ptype, logical
+    raise TypeError(f"unsupported arrow type for chunk encoding: {t}")
+
+
+def ba_components(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(lengths int64[n], payload uint8[]) for a null-free binary/string array."""
+    if len(arr) == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.uint8)
+    if pa.types.is_string(arr.type) or pa.types.is_binary(arr.type):
+        arr = arr.cast(pa.large_binary())
+    elif pa.types.is_large_string(arr.type):
+        arr = arr.cast(pa.large_binary())
+    buffers = arr.buffers()
+    offsets = np.frombuffer(buffers[1], dtype=np.int64, count=len(arr) + 1, offset=arr.offset * 8)
+    data = np.frombuffer(buffers[2], dtype=np.uint8) if buffers[2] is not None else np.zeros(0, dtype=np.uint8)
+    lengths = np.diff(offsets)
+    payload = data[offsets[0] : offsets[-1]]
+    return lengths.astype(np.int64), payload
+
+
+def _compress(data: bytes, compression: str) -> bytes:
+    if compression == "uncompressed":
+        return data
+    if compression == "gzip":
+        return zlib.compress(data, 6)
+    raise ValueError(f"unsupported compression: {compression} (reference also has SNAPPY; no binding here)")
+
+
+def _decompress(data: bytes, compression: str) -> bytes:
+    if compression == "uncompressed":
+        return data
+    if compression == "gzip":
+        return zlib.decompress(data)
+    raise ValueError(f"unsupported compression: {compression}")
+
+
+# ---------------------------------------------------------------------------
+# value payload encode/decode per codec
+
+
+def _encode_values(encoding: str, ptype: str, values, lengths=None, payload=None) -> bytes:
+    """Encode the non-null values of one page."""
+    if encoding == "PLAIN":
+        if ptype == "BOOLEAN":
+            return plain.plain_encode_bool(values)
+        if ptype == "BYTE_ARRAY":
+            return plain.plain_encode_byte_array(lengths, payload.tobytes())
+        return plain.plain_encode_fixed(values)
+    if encoding == "DELTA_BINARY_PACKED":
+        nbytes = 4 if ptype == "INT32" else 8
+        return delta.dbp_encode(values, nbytes)
+    if encoding == "DELTA_LENGTH_BYTE_ARRAY":
+        return delta.dlba_encode(lengths.astype(np.int32), payload.tobytes())
+    if encoding == "FSST":
+        table = fsst.train_symbol_table(payload[: 1 << 16])
+        blob = fsst.fsst_encode(payload, table)
+        return delta.dbp_encode(lengths.astype(np.int32), 4) + blob
+    if encoding == "RLE":  # boolean RLE
+        return rle_encode(np.asarray(values, dtype=np.uint64), 1)
+    if encoding == "BYTE_STREAM_SPLIT":
+        return delta.byte_stream_split_encode(values)
+    raise ValueError(f"unknown value encoding {encoding}")
+
+
+def _decode_values(encoding: str, ptype: str, buf, n: int, dict_ctx=None):
+    """Decode n non-null values; returns np array or (lengths, payload)."""
+    if encoding == "PLAIN":
+        if ptype == "BOOLEAN":
+            return plain.plain_decode_bool(buf, n)
+        if ptype == "BYTE_ARRAY":
+            lengths, payload = plain.plain_decode_byte_array(buf, n)
+            return lengths.astype(np.int64), np.frombuffer(payload, dtype=np.uint8)
+        return plain.plain_decode_fixed(bytes(buf), _FIXED_DTYPES[ptype], n)
+    if encoding == "DELTA_BINARY_PACKED":
+        nbytes = 4 if ptype == "INT32" else 8
+        vals, _ = delta.dbp_decode(buf, nbytes)
+        if len(vals) != n:
+            raise ValueError("DELTA_BINARY_PACKED count mismatch")
+        return vals
+    if encoding == "DELTA_LENGTH_BYTE_ARRAY":
+        lengths, payload = delta.dlba_decode(buf, n)
+        return lengths.astype(np.int64), np.frombuffer(payload, dtype=np.uint8)
+    if encoding == "FSST":
+        lengths, pos = delta.dbp_decode(buf, 4)
+        if len(lengths) != n:
+            raise ValueError("FSST count mismatch")
+        payload = fsst.fsst_decode(memoryview(buf)[pos:])
+        if len(payload) != int(lengths.astype(np.int64).sum()):
+            raise ValueError("FSST payload length mismatch")
+        return lengths.astype(np.int64), np.frombuffer(payload, dtype=np.uint8)
+    if encoding == "RLE":
+        vals = rle_decode(bytes(buf), 1, n)
+        if len(vals) != n:
+            raise ValueError("RLE boolean truncated")
+        return vals.astype(bool)
+    if encoding == "BYTE_STREAM_SPLIT":
+        return delta.byte_stream_split_decode(bytes(buf), _FIXED_DTYPES[ptype], n)
+    if encoding == "RLE_DICTIONARY":
+        codes = dictionary.decode_dict_indices(bytes(buf), n, dict_ctx)
+        return codes
+    raise ValueError(f"unknown value encoding {encoding}")
+
+
+# ---------------------------------------------------------------------------
+
+
+def _page_boundaries(row_bytes: np.ndarray, target: int) -> np.ndarray:
+    """Row indices where pages end (always ends with n)."""
+    n = len(row_bytes)
+    if n == 0:
+        return np.array([0], dtype=np.int64)
+    cum = np.cumsum(row_bytes, dtype=np.int64)
+    ends = []
+    start = 0
+    base = 0
+    while start < n:
+        # first row where page exceeds target
+        end = int(np.searchsorted(cum, base + target, side="left")) + 1
+        end = max(end, start + 1)
+        end = min(end, n)
+        ends.append(end)
+        base = int(cum[end - 1])
+        start = end
+    return np.array(ends, dtype=np.int64)
+
+
+def _plain_size(ptype: str, n: int, lengths=None) -> int:
+    if ptype == "BYTE_ARRAY":
+        return int(lengths.sum()) + 4 * n
+    if ptype == "BOOLEAN":
+        return (n + 7) // 8
+    return _FIXED_DTYPES[ptype].itemsize * n
+
+
+def encode_chunk(
+    arr: pa.Array,
+    *,
+    policy: str = "auto",
+    page_target_bytes: int = 1 << 20,
+    compression: str = "uncompressed",
+    nullable: bool | None = None,
+) -> EncodedChunk:
+    """Encode one column chunk into pages.
+
+    policy: 'auto' (codec auto-selection, never worse than 'reference'),
+            'reference' (the reference's static policy: RLE_DICTIONARY with
+            16 KiB fallback for all types except INT32/INT64 -> PLAIN is the
+            baseline; see BASELINE.md), 'plain', or an explicit codec name.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    ptype, logical = pa_ptype(arr)
+    n = len(arr)
+    num_nulls = arr.null_count
+    if nullable is None:
+        nullable = num_nulls > 0
+    max_def = 1 if nullable else 0
+    valid = (
+        np.ones(n, dtype=bool)
+        if num_nulls == 0
+        else np.asarray(arr.is_valid())
+    )
+    nn_arr = arr.drop_null() if num_nulls else arr
+
+    # non-null values in flat form
+    lengths = payload = values = None
+    if ptype == "BYTE_ARRAY":
+        lengths, payload = ba_components(nn_arr)
+        nn_row_bytes = lengths + 4
+    elif ptype == "BOOLEAN":
+        values = nn_arr.to_numpy(zero_copy_only=False).astype(bool)
+        nn_row_bytes = np.full(len(values), 1, dtype=np.int64)
+    else:
+        values = np.ascontiguousarray(nn_arr.to_numpy(zero_copy_only=False), dtype=_FIXED_DTYPES[ptype])
+        nn_row_bytes = np.full(len(values), _FIXED_DTYPES[ptype].itemsize, dtype=np.int64)
+
+    # map to row domain (nulls occupy a row with 0 value bytes)
+    row_bytes = np.zeros(n, dtype=np.int64)
+    row_bytes[valid] = nn_row_bytes
+    page_ends = _page_boundaries(row_bytes, page_target_bytes)
+    nn_before = np.cumsum(valid, dtype=np.int64)  # non-null count up to row (inclusive)
+    nn_page_ends = nn_before[page_ends - 1] if n else np.array([0], dtype=np.int64)
+
+    input_bytes = _plain_size(ptype, int(valid.sum()), lengths)
+    chunk = EncodedChunk(
+        ptype=ptype,
+        logical=logical,
+        nullable=nullable,
+        num_rows=n,
+        num_nulls=num_nulls,
+        cardinality=0,
+        encodings=[],
+        compression=compression,
+        input_bytes=input_bytes,
+    )
+    chunk.sha256 = chunk_sha256(ptype, valid, values, lengths, payload)
+
+    plan = _plan_codecs(
+        policy, ptype, n, valid, values, lengths, payload, page_ends, nn_page_ends
+    )
+    # plan: (per_page_encodings, dict_page_bytes|None, dict_codes|None,
+    #        dict_cardinality, per-page cardinality-at-flush)
+    per_page_enc, dict_page_bytes, codes, cardinality, card_by_page = plan
+    chunk.cardinality = cardinality
+
+    if dict_page_bytes is not None:
+        comp = _compress(dict_page_bytes, compression)
+        chunk.pages.append(
+            Page("dict", "PLAIN", cardinality, cardinality, len(dict_page_bytes), len(comp), comp)
+        )
+
+    nn_start = 0
+    row_start = 0
+    len_start = 0
+    for pi, row_end in enumerate(page_ends.tolist()):
+        if n == 0:
+            break
+        enc = per_page_enc[pi]
+        nn_end = int(nn_page_ends[pi])
+        page_valid = valid[row_start:row_end]
+        if enc == "RLE_DICTIONARY":
+            # index bit width = bit_width(cardinality at this page's flush)
+            # (dict_encoder::index_bit_width, encoding.cc:769-771)
+            body = dictionary.encode_dict_indices(codes[nn_start:nn_end], int(card_by_page[pi]))
+        elif ptype == "BYTE_ARRAY":
+            pl = lengths[nn_start:nn_end]
+            seg = payload[len_start : len_start + int(pl.sum())]
+            body = _encode_values(enc, ptype, None, pl, seg)
+        else:
+            body = _encode_values(enc, ptype, values[nn_start:nn_end])
+        head = encode_levels_v1(page_valid.astype(np.uint64), max_def)
+        page_raw = head + body
+        comp = _compress(page_raw, compression)
+        chunk.pages.append(
+            Page("data", enc, row_end - row_start, nn_end - nn_start, len(page_raw), len(comp), comp)
+        )
+        if ptype == "BYTE_ARRAY":
+            len_start += int(lengths[nn_start:nn_end].sum())
+        nn_start = nn_end
+        row_start = row_end
+
+    chunk.encodings = sorted({p.encoding for p in chunk.pages if p.kind == "data"})
+    chunk.encoded_bytes = sum(p.uncompressed_size for p in chunk.pages)
+    chunk.compressed_bytes = sum(p.compressed_size for p in chunk.pages)
+    return chunk
+
+
+def chunk_sha256(ptype, valid, values, lengths, payload) -> str:
+    h = hashlib.sha256()
+    h.update(np.packbits(valid, bitorder="little").tobytes())
+    if ptype == "BYTE_ARRAY":
+        h.update(np.ascontiguousarray(lengths, dtype=np.int64).tobytes())
+        h.update(np.ascontiguousarray(payload).tobytes())
+    elif ptype == "BOOLEAN":
+        h.update(np.packbits(values, bitorder="little").tobytes())
+    else:
+        h.update(np.ascontiguousarray(values).tobytes())
+    return h.hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# codec planning
+
+
+def _dict_plan(ptype, values, lengths, payload, page_ends, nn_page_ends, *, fallback: bool):
+    """Build dictionary state and (optionally) the 16 KiB fallback split.
+
+    Returns (per_page_encodings, dict_page_bytes, codes, cardinality,
+    total_size_estimate_exact).
+    """
+    if ptype == "BYTE_ARRAY":
+        offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offsets[1:])
+        nn_arr = pa.Array.from_buffers(
+            pa.large_binary(),
+            len(lengths),
+            [
+                None,
+                pa.py_buffer(offsets.tobytes()),
+                pa.py_buffer(np.ascontiguousarray(payload).tobytes()),
+            ],
+        )
+    elif ptype == "BOOLEAN":
+        nn_arr = pa.array(values, type=pa.bool_())
+    else:
+        nn_arr = pa.array(values)
+    codes, dict_arr = dictionary.build_dict(nn_arr)
+    card = len(dict_arr)
+    n_pages = len(page_ends)
+    if card == 0:
+        return ["PLAIN"] * n_pages, None, codes, 0, np.zeros(n_pages, dtype=np.int64)
+
+    # per-entry plain size and first-occurrence position
+    if ptype == "BYTE_ARRAY":
+        d_lengths, _ = ba_components(dict_arr)
+        entry_sizes = d_lengths + 4
+    elif ptype == "BOOLEAN":
+        entry_sizes = np.full(card, 1, dtype=np.int64)
+    else:
+        entry_sizes = np.full(card, _FIXED_DTYPES[ptype].itemsize, dtype=np.int64)
+
+    # first-occurrence position of each entry; entries sorted by code ARE
+    # sorted by first_pos (insertion order), so searchsorted gives the number
+    # of entries seen by each page flush.
+    first_pos = np.full(card, len(codes), dtype=np.int64)
+    np.minimum.at(first_pos, codes, np.arange(len(codes), dtype=np.int64))
+    entries_by_page = np.searchsorted(first_pos, nn_page_ends, side="left")
+
+    if not fallback:
+        dict_bytes = _encode_dict_page(ptype, dict_arr)
+        return ["RLE_DICTIONARY"] * n_pages, dict_bytes, codes, card, entries_by_page
+
+    cum_entry_sizes = np.cumsum(entry_sizes, dtype=np.int64)
+    # dict size after each page flush = bytes of entries first seen by then
+    dict_size_at_page = np.where(entries_by_page > 0, cum_entry_sizes[entries_by_page - 1], 0)
+    over = np.flatnonzero(dict_size_at_page > DICT_FALLBACK_THRESHOLD)
+    if len(over) == 0:
+        dict_bytes = _encode_dict_page(ptype, dict_arr)
+        return ["RLE_DICTIONARY"] * n_pages, dict_bytes, codes, card, entries_by_page
+    fb = int(over[0])  # page at whose flush the overflow is detected
+    per_page = ["RLE_DICTIONARY" if i <= fb else "PLAIN" for i in range(n_pages)]
+    kept_entries = int(entries_by_page[fb])
+    dict_bytes = _encode_dict_page(ptype, dict_arr.slice(0, kept_entries))
+    return per_page, dict_bytes, codes, kept_entries, entries_by_page
+
+
+def _encode_dict_page(ptype: str, dict_arr: pa.Array) -> bytes:
+    if ptype == "BYTE_ARRAY":
+        d_lengths, d_payload = ba_components(dict_arr)
+        return plain.plain_encode_byte_array(d_lengths, d_payload.tobytes())
+    if ptype == "BOOLEAN":
+        return plain.plain_encode_bool(dict_arr.to_numpy(zero_copy_only=False).astype(bool))
+    vals = np.ascontiguousarray(dict_arr.to_numpy(zero_copy_only=False), dtype=_FIXED_DTYPES[ptype])
+    return plain.plain_encode_fixed(vals)
+
+
+def _plan_codecs(policy, ptype, n, valid, values, lengths, payload, page_ends, nn_page_ends):
+    """Resolve the policy into per-page encodings (+ dict state)."""
+    n_pages = len(page_ends) if n else 0
+    no_dict = (None, None, 0, np.zeros(n_pages, dtype=np.int64))
+
+    if policy == "plain":
+        return (["PLAIN"] * n_pages, *no_dict)
+
+    if policy in ("PLAIN", "DELTA_BINARY_PACKED", "DELTA_LENGTH_BYTE_ARRAY", "FSST", "RLE", "BYTE_STREAM_SPLIT"):
+        return ([policy] * n_pages, *no_dict)
+
+    if policy in ("dict", "RLE_DICTIONARY"):
+        return _dict_plan(ptype, values, lengths, payload, page_ends, nn_page_ends, fallback=False)
+
+    if policy == "reference":
+        # static schema policy: RLE_DICTIONARY with fallback for strings &
+        # low-card columns; DELTA_BINARY_PACKED for ints; PLAIN baseline.
+        if ptype in ("INT32", "INT64"):
+            return (["DELTA_BINARY_PACKED"] * n_pages, *no_dict)
+        return _dict_plan(ptype, values, lengths, payload, page_ends, nn_page_ends, fallback=True)
+
+    if policy != "auto":
+        raise ValueError(f"unknown policy {policy}")
+
+    return _auto_plan(ptype, n, values, lengths, payload, page_ends, nn_page_ends)
+
+
+def _candidate_size(enc, ptype, values, lengths, payload, page_ends_nn) -> int:
+    """Actual encoded size of a whole-chunk single-codec candidate (value
+    payload only; level bytes are identical across candidates)."""
+    total = 0
+    start = 0
+    off = 0
+    for end in page_ends_nn:
+        end = int(end)
+        if ptype == "BYTE_ARRAY":
+            pl = lengths[start:end]
+            seg = payload[off : off + int(pl.sum())]
+            total += len(_encode_values(enc, ptype, None, pl, seg))
+            off += int(pl.sum())
+        else:
+            total += len(_encode_values(enc, ptype, values[start:end]))
+        start = end
+    return total
+
+
+def _auto_plan(ptype, n, values, lengths, payload, page_ends, nn_page_ends):
+    """Pick the cheapest codec per chunk from actual/estimated sizes.
+
+    The reference static policy is always a candidate, so the auto-selected
+    total never exceeds it (BASELINE.md compression target).
+    """
+    n_pages = len(page_ends) if n else 0
+    no_dict = (None, None, 0, np.zeros(n_pages, dtype=np.int64))
+    if n_pages == 0:
+        return ([], *no_dict)
+
+    nn = int(nn_page_ends[-1])
+    candidates: dict[str, int] = {}
+    plans: dict[str, tuple] = {}
+
+    plain_size = _plain_size(ptype, nn, lengths)
+    candidates["PLAIN"] = plain_size
+    plans["PLAIN"] = (["PLAIN"] * n_pages, *no_dict)
+
+    # dictionary candidate (with fallback = reference policy for this column)
+    sample_card_ratio = 1.0
+    if nn:
+        if ptype == "BYTE_ARRAY":
+            k = min(nn, 512)
+            offs = np.zeros(k + 1, dtype=np.int64)
+            np.cumsum(lengths[:k], out=offs[1:])
+            sample_arr = pa.Array.from_buffers(
+                pa.large_binary(),
+                k,
+                [
+                    None,
+                    pa.py_buffer(offs.tobytes()),
+                    pa.py_buffer(np.ascontiguousarray(payload[: int(offs[-1])]).tobytes()),
+                ],
+            )
+            sample_card_ratio = len(sample_arr.unique()) / max(k, 1)
+        else:
+            k = min(nn, 4096)
+            sample_card_ratio = len(np.unique(values[:k])) / k
+    if nn and sample_card_ratio < 0.98:
+        per_page, dict_bytes, codes, card, card_by_page = _dict_plan(
+            ptype, values, lengths, payload, page_ends, nn_page_ends, fallback=True
+        )
+        size = len(dict_bytes) if dict_bytes else 0
+        start = 0
+        off = 0
+        for pi, end in enumerate(nn_page_ends.tolist()):
+            end = int(end)
+            if per_page[pi] == "RLE_DICTIONARY":
+                size += len(dictionary.encode_dict_indices(codes[start:end], int(card_by_page[pi])))
+            elif ptype == "BYTE_ARRAY":
+                pl = lengths[start:end]
+                seg = payload[off : off + int(pl.sum())]
+                size += len(_encode_values(per_page[pi], ptype, None, pl, seg))
+            else:
+                size += len(_encode_values(per_page[pi], ptype, values[start:end]))
+            if ptype == "BYTE_ARRAY":
+                off += int(lengths[start:end].sum())
+            start = end
+        candidates["DICT"] = size
+        plans["DICT"] = (per_page, dict_bytes, codes, card, card_by_page)
+
+    if ptype in ("INT32", "INT64"):
+        size = _candidate_size("DELTA_BINARY_PACKED", ptype, values, lengths, payload, nn_page_ends)
+        candidates["DELTA_BINARY_PACKED"] = size
+        plans["DELTA_BINARY_PACKED"] = (["DELTA_BINARY_PACKED"] * n_pages, *no_dict)
+
+    if ptype == "BOOLEAN":
+        size = _candidate_size("RLE", ptype, values, lengths, payload, nn_page_ends)
+        candidates["RLE"] = size
+        plans["RLE"] = (["RLE"] * n_pages, *no_dict)
+
+    if ptype == "BYTE_ARRAY" and nn:
+        size = _candidate_size("DELTA_LENGTH_BYTE_ARRAY", ptype, values, lengths, payload, nn_page_ends)
+        candidates["DELTA_LENGTH_BYTE_ARRAY"] = size
+        plans["DELTA_LENGTH_BYTE_ARRAY"] = (["DELTA_LENGTH_BYTE_ARRAY"] * n_pages, *no_dict)
+        # FSST: estimate from a sample; only fully encode if promising
+        sample = payload[: 1 << 15]
+        if len(sample) >= 1024:
+            table = fsst.train_symbol_table(sample)
+            est_ratio = len(fsst.fsst_encode(sample, table)) / len(sample)
+            if est_ratio < 0.95:
+                size = _candidate_size("FSST", ptype, values, lengths, payload, nn_page_ends)
+                candidates["FSST"] = size
+                plans["FSST"] = (["FSST"] * n_pages, *no_dict)
+
+    best = min(candidates, key=lambda k: candidates[k])
+    return plans[best]
+
+
+# ---------------------------------------------------------------------------
+# decode
+
+
+def decode_chunk(chunk: EncodedChunk) -> pa.Array:
+    """Decode pages back into a (nullable) arrow array.
+
+    Mirrors column_chunk_reader::read_batch (column_chunk_reader.hh:101-157):
+    a DICTIONARY page loads the dictionary, DATA pages decode def levels then
+    values; values exist only where def == max_def.
+    """
+    ptype = chunk.ptype
+    max_def = 1 if chunk.nullable else 0
+    dict_entries = None  # decoded dictionary in flat form
+    dict_size = 0
+
+    masks: list[np.ndarray] = []
+    fixed_parts: list[np.ndarray] = []
+    len_parts: list[np.ndarray] = []
+    payload_parts: list[np.ndarray] = []
+
+    for page in chunk.pages:
+        raw = _decompress(page.data, chunk.compression)
+        if page.kind == "dict":
+            if ptype == "BYTE_ARRAY":
+                lengths, payload = plain.plain_decode_byte_array(raw, page.num_values)
+                dict_entries = (lengths.astype(np.int64), np.frombuffer(payload, dtype=np.uint8))
+            elif ptype == "BOOLEAN":
+                dict_entries = plain.plain_decode_bool(raw, page.num_values)
+            else:
+                dict_entries = plain.plain_decode_fixed(raw, _FIXED_DTYPES[ptype], page.num_values)
+            dict_size = page.num_values
+            continue
+        levels, consumed = decode_levels_v1(raw, max_def, page.num_values)
+        mask = levels == max_def if max_def else np.ones(page.num_values, dtype=bool)
+        nn = int(mask.sum())
+        body = memoryview(raw)[consumed:]
+        if page.encoding == "RLE_DICTIONARY":
+            codes = _decode_values("RLE_DICTIONARY", ptype, bytes(body), nn, dict_size)
+            if ptype == "BYTE_ARRAY":
+                d_lengths, d_payload = dict_entries
+                d_offsets = np.zeros(len(d_lengths) + 1, dtype=np.int64)
+                np.cumsum(d_lengths, out=d_offsets[1:])
+                lens = d_lengths[codes]
+                total = int(lens.sum())
+                idx = np.repeat(d_offsets[codes], lens) + (
+                    np.arange(total, dtype=np.int64)
+                    - np.repeat(np.cumsum(lens) - lens, lens)
+                )
+                len_parts.append(lens)
+                payload_parts.append(d_payload[idx])
+            else:
+                fixed_parts.append(np.asarray(dict_entries)[codes])
+        else:
+            out = _decode_values(page.encoding, ptype, bytes(body), nn)
+            if ptype == "BYTE_ARRAY":
+                lens, pl = out
+                len_parts.append(lens)
+                payload_parts.append(pl)
+            else:
+                fixed_parts.append(out)
+        masks.append(mask)
+
+    valid = np.concatenate(masks) if masks else np.zeros(0, dtype=bool)
+    n = len(valid)
+    if n != chunk.num_rows:
+        raise ValueError(f"decoded row count mismatch: {n} != {chunk.num_rows}")
+
+    if ptype == "BYTE_ARRAY":
+        lens = np.concatenate(len_parts) if len_parts else np.zeros(0, dtype=np.int64)
+        payload = np.concatenate(payload_parts) if payload_parts else np.zeros(0, dtype=np.uint8)
+        full_lens = np.zeros(n, dtype=np.int64)
+        full_lens[valid] = lens
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(full_lens, out=offsets[1:])
+        validity = pa.py_buffer(np.packbits(valid, bitorder="little").tobytes()) if chunk.num_nulls else None
+        arr = pa.Array.from_buffers(
+            pa.large_binary(),
+            n,
+            [validity, pa.py_buffer(offsets.tobytes()), pa.py_buffer(payload.tobytes())],
+        )
+        if chunk.logical == "string":
+            return arr.cast(pa.large_string()).cast(pa.string())
+        return arr.cast(pa.binary())
+    if ptype == "BOOLEAN":
+        vals = np.concatenate([np.asarray(p, dtype=bool) for p in fixed_parts]) if fixed_parts else np.zeros(0, dtype=bool)
+        full = np.zeros(n, dtype=bool)
+        full[valid] = vals
+        return pa.array(full, type=pa.bool_(), mask=~valid if chunk.num_nulls else None)
+    vals = np.concatenate(fixed_parts) if fixed_parts else np.zeros(0, dtype=_FIXED_DTYPES[ptype])
+    full = np.zeros(n, dtype=_FIXED_DTYPES[ptype])
+    full[valid] = vals
+    return pa.array(full, mask=~valid if chunk.num_nulls else None)

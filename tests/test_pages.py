@@ -1,0 +1,198 @@
+"""Column-chunk encode/decode: dictionary golden vectors
+(tests/dictionary_encoder_test.cc:29-153), flat-nullable level fixture
+(tests/column_chunk_writer_test.cc:41-108), fallback semantics
+(src/encoding.cc:801-845), selector adversarial inputs (FIXTURES.md §4)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from parquet4seastar_spark.codecs.dictionary import build_dict, decode_dict_indices, encode_dict_indices
+from parquet4seastar_spark.codecs.levels import decode_levels_v1, encode_levels_v1
+from parquet4seastar_spark.codecs.pages import (
+    DICT_FALLBACK_THRESHOLD,
+    decode_chunk,
+    encode_chunk,
+)
+from parquet4seastar_spark.codecs.rle import rle_decode
+
+
+def test_dict_golden_int32():
+    # dictionary_encoder_test.cc:29-88: {2,1,2,3} -> indices {0,1,0,2} at
+    # width 2, dict page 02 01 03 (u32-LE); after {1,4,5}: width 3, 5 entries
+    arr = pa.array([2, 1, 2, 3, 1, 4, 5], type=pa.int32())
+    codes, dict_arr = build_dict(arr)
+    assert codes.tolist() == [0, 1, 0, 2, 1, 3, 4]
+    assert dict_arr.to_pylist() == [2, 1, 3, 4, 5]
+
+    page1 = encode_dict_indices(codes[:4], 3)
+    assert page1[0] == 2  # bit_width(3)
+    assert decode_dict_indices(page1, 4, 5).tolist() == [0, 1, 0, 2]
+    page2 = encode_dict_indices(codes[4:], 5)
+    assert page2[0] == 3  # bit_width(5)
+    assert decode_dict_indices(page2, 3, 5).tolist() == [1, 3, 4]
+
+
+def test_dict_golden_byte_array_chunk():
+    # dictionary_encoder_test.cc:94-153 re-expressed at chunk level: two
+    # pages sharing one growing dictionary.
+    values = ["bb", "aa", "bb", "cc", "aa", "dd", "ee"]
+    arr = pa.array(values, type=pa.string())
+    # force 2 pages: first 4 values (2B each + 4B prefix = 24B budget)
+    chunk = encode_chunk(arr, policy="dict", page_target_bytes=24, nullable=False)
+    kinds = [(p.kind, p.encoding) for p in chunk.pages]
+    assert kinds[0] == ("dict", "PLAIN")
+    assert all(k == ("data", "RLE_DICTIONARY") for k in kinds[1:])
+    # dict page bytes: u32-LE length + chars, insertion order
+    expected_dict = b"".join(
+        len(s).to_bytes(4, "little") + s.encode() for s in ["bb", "aa", "cc", "dd", "ee"]
+    )
+    assert chunk.pages[0].data == expected_dict
+    assert chunk.cardinality == 5
+    out = decode_chunk(chunk)
+    assert out.to_pylist() == values
+
+
+def test_dict_index_width_grows_across_pages():
+    values = ["bb", "aa", "bb", "cc", "aa", "dd", "ee"]
+    arr = pa.array(values, type=pa.string())
+    chunk = encode_chunk(arr, policy="dict", page_target_bytes=24, nullable=False)
+    data_pages = [p for p in chunk.pages if p.kind == "data"]
+    assert len(data_pages) == 2
+    # width byte is the first value byte (no def levels -> nullable=False)
+    assert data_pages[0].data[0] == 2  # 3 entries seen -> width 2
+    assert data_pages[1].data[0] == 3  # 5 entries seen -> width 3
+
+
+def test_flat_nullable_fixture():
+    # column_chunk_writer_test.cc:41-108: values a,NULL,c,a,NULL,e with
+    # def={1,0,1,1,0,1}, page split after 3 rows, dict persists across pages
+    values = ["a", None, "c", "a", None, "e"]
+    arr = pa.array(values, type=pa.string())
+    chunk = encode_chunk(arr, policy="dict", page_target_bytes=7, nullable=True)
+    assert chunk.num_rows == 6
+    assert chunk.num_nulls == 2
+    out = decode_chunk(chunk)
+    assert out.to_pylist() == values
+    # def levels of first data page decode to 1,0,1
+    first_data = next(p for p in chunk.pages if p.kind == "data")
+    levels, _ = decode_levels_v1(first_data.data, 1, first_data.num_values)
+    assert levels.tolist()[:3] == [1, 0, 1]
+
+
+def test_level_widths():
+    # encoding.hh:35-51: max_def in {0,1,2,3} -> widths {0,1,2,2}
+    assert encode_levels_v1(np.zeros(5), 0) == b""
+    lv1 = encode_levels_v1(np.array([1, 0, 1]), 1)
+    out, consumed = decode_levels_v1(lv1, 1, 3)
+    assert out.tolist() == [1, 0, 1] and consumed == len(lv1)
+    lv3 = encode_levels_v1(np.array([0, 1, 2, 3, 3]), 3)
+    out, _ = decode_levels_v1(lv3, 3, 5)
+    assert out.tolist() == [0, 1, 2, 3, 3]
+    # width-0 streams decode as all-zero
+    out, consumed = decode_levels_v1(b"", 0, 4)
+    assert out.tolist() == [0, 0, 0, 0] and consumed == 0
+
+
+def test_dict_fallback_16kib():
+    # all-unique 40-hex strings: dict page overflows 16 KiB at some page
+    # flush; later pages are PLAIN; dict page still written (encoding.cc:833)
+    import hashlib
+
+    values = [hashlib.sha1(str(i).encode()).hexdigest() for i in range(1500)]
+    arr = pa.array(values, type=pa.string())
+    chunk = encode_chunk(arr, policy="reference", page_target_bytes=4096, nullable=False)
+    encs = [p.encoding for p in chunk.pages if p.kind == "data"]
+    assert "RLE_DICTIONARY" in encs and "PLAIN" in encs
+    # dictionary page exists and holds only entries seen up to the overflow
+    dict_page = next(p for p in chunk.pages if p.kind == "dict")
+    assert dict_page.uncompressed_size > DICT_FALLBACK_THRESHOLD  # detected at flush
+    assert decode_chunk(chunk).to_pylist() == values
+
+
+@pytest.mark.parametrize(
+    "arr,policy",
+    [
+        (pa.array([1, 2, 3, None, 5], type=pa.int32()), "auto"),
+        (pa.array([1, 2, 3, None, 5], type=pa.int64()), "auto"),
+        (pa.array(np.linspace(0, 1, 100), type=pa.float64()), "auto"),
+        (pa.array(np.linspace(0, 1, 100), type=pa.float32()), "plain"),
+        (pa.array([True, False, None, True] * 10), "auto"),
+        (pa.array(["x", None, "yy", "zzz", ""] * 7, type=pa.string()), "auto"),
+        (pa.array([b"\x00\xff", None, b""], type=pa.binary()), "auto"),
+        (pa.array([], type=pa.string()), "auto"),
+        (pa.array([None, None], type=pa.int64()), "auto"),
+    ],
+)
+def test_roundtrip_types(arr, policy):
+    chunk = encode_chunk(arr, policy=policy, page_target_bytes=16)
+    out = decode_chunk(chunk)
+    assert out.to_pylist() == arr.to_pylist()
+
+
+@pytest.mark.parametrize("codec", ["PLAIN", "DELTA_BINARY_PACKED"])
+def test_roundtrip_int_codecs(codec):
+    rng = np.random.default_rng(3)
+    arr = pa.array(rng.integers(-(2**30), 2**30, 5000), type=pa.int64())
+    chunk = encode_chunk(arr, policy=codec, page_target_bytes=8192)
+    assert [p.encoding for p in chunk.pages] == [codec] * len(chunk.pages)
+    assert decode_chunk(chunk).to_pylist() == arr.to_pylist()
+
+
+@pytest.mark.parametrize("codec", ["PLAIN", "DELTA_LENGTH_BYTE_ARRAY", "FSST"])
+def test_roundtrip_string_codecs(codec):
+    values = [f"path/to/file_{i}.py" for i in range(2000)]
+    arr = pa.array(values, type=pa.string())
+    chunk = encode_chunk(arr, policy=codec, page_target_bytes=8192)
+    assert decode_chunk(chunk).to_pylist() == values
+
+
+class TestSelectorAdversarial:
+    """FIXTURES.md §4: auto-selection never exceeds the reference policy."""
+
+    def _sizes(self, arr, page_target=1 << 16):
+        auto = encode_chunk(arr, policy="auto", page_target_bytes=page_target)
+        ref = encode_chunk(arr, policy="reference", page_target_bytes=page_target)
+        assert decode_chunk(auto).to_pylist() == arr.to_pylist()
+        return auto, ref
+
+    def test_all_equal(self):
+        arr = pa.array(["same"] * 100_000, type=pa.string())
+        auto, ref = self._sizes(arr)
+        assert auto.compressed_bytes <= ref.compressed_bytes
+        # RLE-dominated dict: tiny output
+        assert auto.compressed_bytes < 200
+
+    def test_all_unique_hex(self):
+        import hashlib
+
+        arr = pa.array([hashlib.sha1(str(i).encode()).hexdigest() for i in range(5000)])
+        auto, ref = self._sizes(arr)
+        assert auto.compressed_bytes <= ref.compressed_bytes
+
+    def test_sorted_int64(self):
+        arr = pa.array(np.arange(100_000, dtype=np.int64) * 3 + 7)
+        auto, ref = self._sizes(arr)
+        assert auto.compressed_bytes <= ref.compressed_bytes
+        assert "DELTA_BINARY_PACKED" in auto.encodings
+
+    def test_text_fsst_wins(self):
+        base = "for i in range(n):\n    total += values[i] * weights[i]\n"
+        arr = pa.array([base + str(i % 7) for i in range(5000)])
+        auto, ref = self._sizes(arr)
+        assert auto.compressed_bytes <= ref.compressed_bytes
+        # FSST should beat plain on source text
+        assert auto.compressed_bytes < auto.input_bytes * 0.7
+
+    def test_random_ints(self):
+        rng = np.random.default_rng(9)
+        arr = pa.array(rng.integers(INT64_MIN := -(2**62), 2**62, 20_000))
+        auto, ref = self._sizes(arr)
+        assert auto.compressed_bytes <= ref.compressed_bytes
+
+    @pytest.mark.parametrize("n", [1, 7, 8, 9])
+    def test_tiny_chunks(self, n):
+        arr = pa.array([f"v{i}" for i in range(n)])
+        auto, ref = self._sizes(arr)
+        assert decode_chunk(ref).to_pylist() == arr.to_pylist()
+        assert auto.compressed_bytes <= ref.compressed_bytes
