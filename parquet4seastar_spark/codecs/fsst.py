@@ -8,10 +8,12 @@ published algorithm only:
 - symbol table: up to 254 symbols of 1..8 bytes, greedy gain-based selection
   (gain = frequency x length) over a few training iterations on a sample;
   code 255 is the escape marker, escape emits the next byte verbatim.
-- encoding: longest-match tokenization.  The per-position longest match is
-  found vectorized (8 searchsorted passes over sliding byte windows); the
-  greedy left-to-right token chain is enumerated with pointer doubling
-  (codecs/chain.py) instead of a per-byte python loop.
+- encoding: longest-match tokenization via small lookup tables, the
+  paper's vectorizable design: a 64K-entry table keyed on the 2-byte prefix
+  holds (at most) one multi-byte symbol per prefix, a 256-entry table holds
+  1-byte symbols.  Per position: two cache-resident gathers + one compare,
+  all numpy-vectorized.  The greedy left-to-right token chain is enumerated
+  with pointer doubling (codecs/chain.py) instead of a per-byte python loop.
 - decoding: fully vectorized gather from the padded symbol matrix.
 
 Serialized layout (ours):
@@ -22,54 +24,54 @@ from __future__ import annotations
 
 import numpy as np
 
-from .chain import chain_visit
+from .chain import chain_visit_bounded
 
 __all__ = ["train_symbol_table", "fsst_encode", "fsst_decode", "SymbolTable"]
 
 _ESCAPE = 255
 _MAX_SYMBOLS = 254
 _MAX_LEN = 8
-_WEIGHTS = (np.uint64(1) << (np.uint64(8) * np.arange(8, dtype=np.uint64)))
 _MASKS = np.array([(1 << (8 * L)) - 1 for L in range(9)], dtype=np.uint64)
 
 
 class SymbolTable:
-    """Symbols as (value little-endian uint64, length) with assigned codes."""
+    """Symbols as (value little-endian uint64, length); code = array index."""
 
     def __init__(self, values: np.ndarray, lengths: np.ndarray):
-        order = np.argsort(lengths, kind="stable")  # group by length for lookup
-        self.values = values[order].astype(np.uint64)
-        self.lengths = lengths[order].astype(np.int64)
-        self.codes = order.astype(np.uint8)  # original code of sorted entry
-        # per-length sorted lookup tables
-        self._by_len: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-        for length in range(1, _MAX_LEN + 1):
-            mask = self.lengths == length
-            if mask.any():
-                vals = self.values[mask]
-                codes = self.codes[mask]
-                o = np.argsort(vals)
-                self._by_len[length] = (vals[o], codes[o])
-        self.n = len(values)
-        # decode support: matrix of symbol bytes in CODE order
-        mat = np.zeros((max(self.n, 1), _MAX_LEN), dtype=np.uint8)
-        lens_by_code = np.zeros(max(self.n, 1), dtype=np.int64)
-        for v, ln, c in zip(self.values, self.lengths, self.codes):
-            mat[c] = np.frombuffer(int(v).to_bytes(8, "little"), dtype=np.uint8)
-            lens_by_code[c] = ln
+        self.values = np.asarray(values, dtype=np.uint64)
+        self.lengths = np.asarray(lengths, dtype=np.int64)
+        self.n = len(self.values)
+        # code-indexed tables padded to 256 for guard-free gathers
+        self.vals_by_code = np.zeros(256, dtype=np.uint64)
+        self.lens_by_code = np.zeros(256, dtype=np.int8)
+        self.vals_by_code[: self.n] = self.values
+        self.lens_by_code[: self.n] = self.lengths
+        self.mask_by_code = _MASKS[self.lens_by_code.astype(np.int64)]  # (256,) uint64
+        # encoder lookup tables
+        self.lut1 = np.full(256, -1, dtype=np.int16)
+        self.lut2 = np.full(65536, -1, dtype=np.int16)
+        for code in range(self.n):
+            ln = int(self.lengths[code])
+            v = int(self.values[code])
+            if ln == 1:
+                self.lut1[v & 0xFF] = code
+            else:
+                prefix = v & 0xFFFF
+                # keep the longest symbol per prefix (ties: first=highest gain)
+                cur = self.lut2[prefix]
+                if cur < 0 or int(self.lens_by_code[cur]) < ln:
+                    self.lut2[prefix] = code
+        # decode support: matrix of symbol bytes in code order
+        mat = np.zeros((256, _MAX_LEN), dtype=np.uint8)
+        for code in range(self.n):
+            mat[code] = np.frombuffer(int(self.values[code]).to_bytes(8, "little"), dtype=np.uint8)
         self.matrix = mat
-        self.lens_by_code = lens_by_code
-
-    def lookup(self, length: int) -> tuple[np.ndarray, np.ndarray] | None:
-        return self._by_len.get(length)
 
     def serialize(self) -> bytes:
-        lens = np.zeros(self.n, dtype=np.uint8)
-        lens[self.codes] = self.lengths.astype(np.uint8)
         sym_bytes = bytearray()
         for c in range(self.n):
             sym_bytes += self.matrix[c, : self.lens_by_code[c]].tobytes()
-        return bytes([self.n]) + lens.tobytes() + bytes(sym_bytes)
+        return bytes([self.n]) + self.lengths.astype(np.uint8).tobytes() + bytes(sym_bytes)
 
     @staticmethod
     def deserialize(buf) -> tuple["SymbolTable", int]:
@@ -81,50 +83,55 @@ class SymbolTable:
             ln = int(lens[i])
             values[i] = int.from_bytes(bytes(buf[pos : pos + ln]), "little")
             pos += ln
-        # reconstruct with identity code order
-        table = SymbolTable(values, lens)
-        return table, pos
+        return SymbolTable(values, lens), pos
 
 
 def _windows(data: np.ndarray) -> np.ndarray:
-    """uint64 little-endian 8-byte window at every position."""
-    n = len(data)
-    padded = np.zeros(n + 7, dtype=np.uint8)
-    padded[:n] = data
-    win = np.lib.stride_tricks.sliding_window_view(padded, 8)[:n]
-    return (win.astype(np.uint64) * _WEIGHTS).sum(axis=1, dtype=np.uint64)
+    """uint64 little-endian 8-byte window at every position.
 
-
-def _match(data: np.ndarray, table: SymbolTable) -> tuple[np.ndarray, np.ndarray]:
-    """Longest-match per position: returns (match_len[n], code[n]).
-
-    Unmatched positions get match_len=1, code=_ESCAPE.
+    Eight strided phases over aligned uint64 words -- scalar shifts only, no
+    gathers, no (n, 8) byte matrix.
     """
     n = len(data)
-    win = _windows(data)
-    match_len = np.ones(n, dtype=np.int64)
-    code = np.full(n, _ESCAPE, dtype=np.int64)
-    unset = np.ones(n, dtype=bool)
-    for length in range(_MAX_LEN, 0, -1):
-        tab = table.lookup(length)
-        if tab is None:
-            continue
-        vals, codes = tab
-        limit = n - length + 1
-        if limit <= 0:
-            continue
-        cand = np.flatnonzero(unset[:limit])
-        if len(cand) == 0:
-            continue
-        w = win[cand] & _MASKS[length]
-        idx = np.searchsorted(vals, w)
-        idx_c = np.minimum(idx, len(vals) - 1)
-        hit = vals[idx_c] == w
-        hits = cand[hit]
-        match_len[hits] = length
-        code[hits] = codes[idx_c[hit]]
-        unset[hits] = False
-    return match_len, code
+    m = (n + 7) // 8
+    padded = np.zeros((m + 1) * 8, dtype=np.uint8)
+    padded[:n] = data
+    words = padded.view(np.uint64)
+    # build per-phase rows contiguously, then one cache-blocked transpose copy
+    rows = np.empty((8, m), dtype=np.uint64)
+    rows[0] = words[:m]
+    for k in range(1, 8):
+        np.right_shift(words[:m], np.uint64(8 * k), out=rows[k])
+        rows[k] |= words[1 : m + 1] << np.uint64(64 - 8 * k)
+    return np.ascontiguousarray(rows.T).reshape(-1)[:n]
+
+
+def _match(data: np.ndarray, win: np.ndarray, table: SymbolTable) -> tuple[np.ndarray, np.ndarray]:
+    """Longest-match per position via the prefix LUTs.
+
+    Returns (match_len[n], code[n]); unmatched positions get (1, _ESCAPE).
+    """
+    n = len(data)
+    # 2-byte prefix straight from the byte stream (cheaper than win & 0xFFFF)
+    pre = data.astype(np.uint16)
+    nxt_byte = np.empty(n, dtype=np.uint16)
+    nxt_byte[: n - 1] = data[1:]
+    nxt_byte[n - 1] = 0
+    pre |= nxt_byte << 8
+    c2 = table.lut2[pre]  # int16, -1 for miss
+    c2c = np.maximum(c2, np.int16(0))
+    ln2 = table.lens_by_code[c2c]  # int8
+    ok2 = (c2 >= 0) & ((win & table.mask_by_code[c2c]) == table.vals_by_code[c2c])
+    # a match may not run past the end of the buffer (windows are 0-padded);
+    # only the final 8 positions can overrun -- patch just the tail.
+    tail = min(8, n)
+    ok2[n - tail :] &= (np.arange(n - tail, n) + ln2[n - tail :]) <= n
+    c1 = table.lut1[data]  # int16, -1 for miss
+    code = np.where(c1 >= 0, c1, np.int16(_ESCAPE))
+    code[ok2] = c2[ok2]
+    mlen = np.ones(n, dtype=np.int8)
+    mlen[ok2] = ln2[ok2]
+    return mlen, code
 
 
 def _tokenize(data: np.ndarray, table: SymbolTable) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -133,12 +140,10 @@ def _tokenize(data: np.ndarray, table: SymbolTable) -> tuple[np.ndarray, np.ndar
     if n == 0:
         empty = np.zeros(0, dtype=np.int64)
         return empty, empty, empty
-    match_len, code = _match(data, table)
-    nxt = np.empty(n + 1, dtype=np.int64)
-    nxt[:n] = np.arange(n, dtype=np.int64) + match_len
-    nxt[n] = n
-    pos = chain_visit(nxt, 0)
-    return pos, match_len[pos], code[pos]
+    win = _windows(data)
+    match_len, code = _match(data, win, table)
+    pos = chain_visit_bounded(match_len, max_jump=_MAX_LEN)
+    return pos, match_len[pos].astype(np.int64), code[pos].astype(np.int64)
 
 
 def fsst_encode(data: bytes | np.ndarray, table: SymbolTable) -> bytes:
@@ -170,12 +175,11 @@ def fsst_decode(buf) -> bytes:
     escape = is_255 & (run_offset % 2 == 0)
     literal = np.zeros(n, dtype=bool)
     literal[1:] = escape[:-1]
-    escape &= ~literal  # a 255 right after an escape is the literal itself
     code_pos = np.flatnonzero(~literal & ~escape)
     token_pos = np.sort(np.concatenate([code_pos, np.flatnonzero(escape)]))
     is_esc_token = escape[token_pos]
     token_codes = payload[token_pos]
-    out_lens = np.where(is_esc_token, 1, table.lens_by_code[np.where(is_esc_token, 0, token_codes)]).astype(np.int64)
+    out_lens = np.where(is_esc_token, 1, table.lens_by_code[token_codes]).astype(np.int64)
     offsets = np.zeros(len(token_pos) + 1, dtype=np.int64)
     np.cumsum(out_lens, out=offsets[1:])
     out = np.empty(int(offsets[-1]), dtype=np.uint8)
@@ -211,7 +215,9 @@ def _unique_counts(vals: np.ndarray, lens: np.ndarray) -> tuple[np.ndarray, np.n
 
 
 def train_symbol_table(sample: bytes | np.ndarray, iterations: int = 4) -> SymbolTable:
-    """Greedy gain-based symbol selection on a sample (FSST paper, §3)."""
+    """Greedy gain-based symbol selection on a sample (FSST paper §3), with
+    the paper's prefix constraint: at most one multi-byte symbol per 2-byte
+    prefix (what makes the LUT encoder exact)."""
     arr = np.frombuffer(sample, dtype=np.uint8) if isinstance(sample, (bytes, bytearray, memoryview)) else sample
     table = SymbolTable(np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64))
     if len(arr) == 0:
@@ -228,9 +234,20 @@ def train_symbol_table(sample: bytes | np.ndarray, iterations: int = 4) -> Symbo
         cand_lens = np.concatenate([lens, pair_lens[ok]])
         uv, ul, counts = _unique_counts(cand_vals, cand_lens)
         gain = counts * ul
+        # rank by gain desc (ties: shorter, then value, for determinism)
+        order = np.lexsort((uv, ul, -gain))
+        uv, ul, gain = uv[order], ul[order], gain[order]
+        # prefix constraint: keep only the best multi-byte symbol per prefix
+        multi = ul >= 2
+        prefixes = (uv & np.uint64(0xFFFF)).astype(np.int64)
+        keep = np.ones(len(uv), dtype=bool)
+        if multi.any():
+            m_idx = np.flatnonzero(multi)
+            _, first = np.unique(prefixes[m_idx], return_index=True)
+            drop = np.ones(len(m_idx), dtype=bool)
+            drop[first] = False
+            keep[m_idx[drop]] = False
+        uv, ul = uv[keep], ul[keep]
         take = min(_MAX_SYMBOLS, len(uv))
-        top = np.argpartition(-gain, take - 1)[:take] if len(uv) > take else np.arange(len(uv))
-        # stable order: highest gain first (ties: shorter first for determinism)
-        top = top[np.lexsort((uv[top], ul[top], -gain[top]))]
-        table = SymbolTable(uv[top], ul[top])
+        table = SymbolTable(uv[:take], ul[:take])
     return table

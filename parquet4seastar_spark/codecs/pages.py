@@ -312,7 +312,7 @@ def encode_chunk(
     )
     # plan: (per_page_encodings, dict_page_bytes|None, dict_codes|None,
     #        dict_cardinality, per-page cardinality-at-flush)
-    per_page_enc, dict_page_bytes, codes, cardinality, card_by_page = plan
+    per_page_enc, dict_page_bytes, codes, cardinality, card_by_page, cached_bodies = plan
     chunk.cardinality = cardinality
 
     if dict_page_bytes is not None:
@@ -330,7 +330,9 @@ def encode_chunk(
         enc = per_page_enc[pi]
         nn_end = int(nn_page_ends[pi])
         page_valid = valid[row_start:row_end]
-        if enc == "RLE_DICTIONARY":
+        if cached_bodies is not None:
+            body = cached_bodies[pi]
+        elif enc == "RLE_DICTIONARY":
             # index bit width = bit_width(cardinality at this page's flush)
             # (dict_encoder::index_bit_width, encoding.cc:769-771)
             body = dictionary.encode_dict_indices(codes[nn_start:nn_end], int(card_by_page[pi]))
@@ -449,7 +451,7 @@ def _encode_dict_page(ptype: str, dict_arr: pa.Array) -> bytes:
 def _plan_codecs(policy, ptype, n, valid, values, lengths, payload, page_ends, nn_page_ends):
     """Resolve the policy into per-page encodings (+ dict state)."""
     n_pages = len(page_ends) if n else 0
-    no_dict = (None, None, 0, np.zeros(n_pages, dtype=np.int64))
+    no_dict = (None, None, 0, np.zeros(n_pages, dtype=np.int64), None)
 
     if policy == "plain":
         return (["PLAIN"] * n_pages, *no_dict)
@@ -458,25 +460,30 @@ def _plan_codecs(policy, ptype, n, valid, values, lengths, payload, page_ends, n
         return ([policy] * n_pages, *no_dict)
 
     if policy in ("dict", "RLE_DICTIONARY"):
-        return _dict_plan(ptype, values, lengths, payload, page_ends, nn_page_ends, fallback=False)
+        return (*_dict_plan(ptype, values, lengths, payload, page_ends, nn_page_ends, fallback=False), None)
 
     if policy == "reference":
         # static schema policy: RLE_DICTIONARY with fallback for strings &
         # low-card columns; DELTA_BINARY_PACKED for ints; PLAIN baseline.
         if ptype in ("INT32", "INT64"):
             return (["DELTA_BINARY_PACKED"] * n_pages, *no_dict)
-        return _dict_plan(ptype, values, lengths, payload, page_ends, nn_page_ends, fallback=True)
+        return (*_dict_plan(ptype, values, lengths, payload, page_ends, nn_page_ends, fallback=True), None)
 
-    if policy != "auto":
+    if policy not in ("auto", "auto_fast"):
         raise ValueError(f"unknown policy {policy}")
 
-    return _auto_plan(ptype, n, values, lengths, payload, page_ends, nn_page_ends)
+    return _auto_plan(
+        ptype, n, values, lengths, payload, page_ends, nn_page_ends,
+        allow_fsst=policy == "auto",
+    )
 
 
-def _candidate_size(enc, ptype, values, lengths, payload, page_ends_nn) -> int:
-    """Actual encoded size of a whole-chunk single-codec candidate (value
-    payload only; level bytes are identical across candidates)."""
-    total = 0
+def _candidate_bodies(enc, ptype, values, lengths, payload, page_ends_nn) -> list[bytes]:
+    """Actually encode a whole-chunk single-codec candidate; returns the
+    per-page value bodies (level bytes are identical across candidates, so
+    sizes compare on bodies alone).  The winner's bodies are reused by
+    encode_chunk -- candidates are never encoded twice."""
+    bodies = []
     start = 0
     off = 0
     for end in page_ends_nn:
@@ -484,22 +491,24 @@ def _candidate_size(enc, ptype, values, lengths, payload, page_ends_nn) -> int:
         if ptype == "BYTE_ARRAY":
             pl = lengths[start:end]
             seg = payload[off : off + int(pl.sum())]
-            total += len(_encode_values(enc, ptype, None, pl, seg))
+            bodies.append(_encode_values(enc, ptype, None, pl, seg))
             off += int(pl.sum())
         else:
-            total += len(_encode_values(enc, ptype, values[start:end]))
+            bodies.append(_encode_values(enc, ptype, values[start:end]))
         start = end
-    return total
+    return bodies
 
 
-def _auto_plan(ptype, n, values, lengths, payload, page_ends, nn_page_ends):
+def _auto_plan(ptype, n, values, lengths, payload, page_ends, nn_page_ends, allow_fsst=True):
     """Pick the cheapest codec per chunk from actual/estimated sizes.
 
     The reference static policy is always a candidate, so the auto-selected
     total never exceeds it (BASELINE.md compression target).
+    ``allow_fsst=False`` is the 'auto_fast' profile: dict/DLBA/DBP/plain only
+    (~10-20x higher encode throughput, weaker ratio on natural text).
     """
     n_pages = len(page_ends) if n else 0
-    no_dict = (None, None, 0, np.zeros(n_pages, dtype=np.int64))
+    no_dict = (None, None, 0, np.zeros(n_pages, dtype=np.int64), None)
     if n_pages == 0:
         return ([], *no_dict)
 
@@ -509,7 +518,7 @@ def _auto_plan(ptype, n, values, lengths, payload, page_ends, nn_page_ends):
 
     plain_size = _plain_size(ptype, nn, lengths)
     candidates["PLAIN"] = plain_size
-    plans["PLAIN"] = (["PLAIN"] * n_pages, *no_dict)
+    plans["PLAIN"] = (["PLAIN"] * n_pages, *no_dict[:-1], None)
 
     # dictionary candidate (with fallback = reference policy for this column)
     sample_card_ratio = 1.0
@@ -536,47 +545,58 @@ def _auto_plan(ptype, n, values, lengths, payload, page_ends, nn_page_ends):
             ptype, values, lengths, payload, page_ends, nn_page_ends, fallback=True
         )
         size = len(dict_bytes) if dict_bytes else 0
+        bodies = []
         start = 0
         off = 0
         for pi, end in enumerate(nn_page_ends.tolist()):
             end = int(end)
             if per_page[pi] == "RLE_DICTIONARY":
-                size += len(dictionary.encode_dict_indices(codes[start:end], int(card_by_page[pi])))
+                body = dictionary.encode_dict_indices(codes[start:end], int(card_by_page[pi]))
             elif ptype == "BYTE_ARRAY":
                 pl = lengths[start:end]
                 seg = payload[off : off + int(pl.sum())]
-                size += len(_encode_values(per_page[pi], ptype, None, pl, seg))
+                body = _encode_values(per_page[pi], ptype, None, pl, seg)
             else:
-                size += len(_encode_values(per_page[pi], ptype, values[start:end]))
+                body = _encode_values(per_page[pi], ptype, values[start:end])
+            size += len(body)
+            bodies.append(body)
             if ptype == "BYTE_ARRAY":
                 off += int(lengths[start:end].sum())
             start = end
         candidates["DICT"] = size
-        plans["DICT"] = (per_page, dict_bytes, codes, card, card_by_page)
+        plans["DICT"] = (per_page, dict_bytes, codes, card, card_by_page, bodies)
 
     if ptype in ("INT32", "INT64"):
-        size = _candidate_size("DELTA_BINARY_PACKED", ptype, values, lengths, payload, nn_page_ends)
-        candidates["DELTA_BINARY_PACKED"] = size
-        plans["DELTA_BINARY_PACKED"] = (["DELTA_BINARY_PACKED"] * n_pages, *no_dict)
+        bodies = _candidate_bodies("DELTA_BINARY_PACKED", ptype, values, lengths, payload, nn_page_ends)
+        candidates["DELTA_BINARY_PACKED"] = sum(map(len, bodies))
+        plans["DELTA_BINARY_PACKED"] = (["DELTA_BINARY_PACKED"] * n_pages, *no_dict[:-1], bodies)
 
     if ptype == "BOOLEAN":
-        size = _candidate_size("RLE", ptype, values, lengths, payload, nn_page_ends)
-        candidates["RLE"] = size
-        plans["RLE"] = (["RLE"] * n_pages, *no_dict)
+        bodies = _candidate_bodies("RLE", ptype, values, lengths, payload, nn_page_ends)
+        candidates["RLE"] = sum(map(len, bodies))
+        plans["RLE"] = (["RLE"] * n_pages, *no_dict[:-1], bodies)
 
     if ptype == "BYTE_ARRAY" and nn:
-        size = _candidate_size("DELTA_LENGTH_BYTE_ARRAY", ptype, values, lengths, payload, nn_page_ends)
+        # DLBA size is exact without encoding: DBP(lengths) + payload
+        size = 0
+        start = 0
+        for end in nn_page_ends.tolist():
+            end = int(end)
+            size += len(delta.dbp_encode(lengths[start:end].astype(np.int32), 4)) + int(
+                lengths[start:end].sum()
+            )
+            start = end
         candidates["DELTA_LENGTH_BYTE_ARRAY"] = size
-        plans["DELTA_LENGTH_BYTE_ARRAY"] = (["DELTA_LENGTH_BYTE_ARRAY"] * n_pages, *no_dict)
+        plans["DELTA_LENGTH_BYTE_ARRAY"] = (["DELTA_LENGTH_BYTE_ARRAY"] * n_pages, *no_dict[:-1], None)
         # FSST: estimate from a sample; only fully encode if promising
         sample = payload[: 1 << 15]
-        if len(sample) >= 1024:
+        if allow_fsst and len(sample) >= 1024:
             table = fsst.train_symbol_table(sample)
             est_ratio = len(fsst.fsst_encode(sample, table)) / len(sample)
             if est_ratio < 0.95:
-                size = _candidate_size("FSST", ptype, values, lengths, payload, nn_page_ends)
-                candidates["FSST"] = size
-                plans["FSST"] = (["FSST"] * n_pages, *no_dict)
+                bodies = _candidate_bodies("FSST", ptype, values, lengths, payload, nn_page_ends)
+                candidates["FSST"] = sum(map(len, bodies))
+                plans["FSST"] = (["FSST"] * n_pages, *no_dict[:-1], bodies)
 
     best = min(candidates, key=lambda k: candidates[k])
     return plans[best]
