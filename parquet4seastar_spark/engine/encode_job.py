@@ -1,0 +1,218 @@
+"""Distributed per-column chunk encoding.
+
+Spark-first architecture (SURVEY.md §3.1 re-architecture):
+
+    input DF (row_id, repo, path, commit, lang, content)
+      -> salted repartition on repo (skew-aware, computed distributively)
+      -> mapInPandas(encode_partition): each partition plays the role of a
+         parquet row group; per column, per ~chunk_target_bytes slice, the
+         codec layer (codecs/pages.py) builds stats, auto-selects the codec,
+         and emits page rows + one chunk summary row
+      -> one output DataFrame with kind in ('page', 'chunk')
+
+The chunk rows ARE the lineage/metrics table (chunk id, codec, bytes,
+sha256): written to parquet they give resumable re-runs via an anti-join on
+completed partition keys (north rule: per-partition checkpointed lineage).
+
+Scale notes:
+- the salt factor is computed with a groupBy(repo) aggregate joined back
+  (broadcast when small) -- no driver-side collect, works at 10^12 rows;
+- a jumbo repo is split into ceil(bytes / salt_target_bytes) salt buckets,
+  so no single task serializes the job (Zipf skew, FIXTURES.md §1);
+- every value-touching step is Arrow-batched numpy (no per-row Python).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql import DataFrame, functions as F
+
+from ..codecs.pages import encode_chunk
+
+ENCODED_SCHEMA = (
+    "kind string, part_key string, chunk_id string, column string, chunk_seq int, "
+    "page_idx int, page_kind string, encoding string, num_values long, num_non_null long, "
+    "uncompressed_size long, compressed_size long, data binary, "
+    "ptype string, logical string, nullable boolean, num_rows long, num_nulls long, "
+    "cardinality long, encodings string, compression string, input_bytes long, "
+    "encoded_bytes long, sha256 string, n_pages int"
+)
+
+DATA_COLUMNS = ["repo", "path", "commit", "lang", "content"]
+
+
+def salted_repartition(
+    df: DataFrame,
+    num_partitions: int,
+    salt_target_bytes: int = 64 << 20,
+    size_col: str = "content",
+) -> DataFrame:
+    """Repartition by (repo, salt) where jumbo repos get split into
+    ceil(repo_bytes / salt_target_bytes) buckets.
+
+    The per-repo sizes are a distributed aggregate joined back (broadcast:
+    the repo-size table has one row per repo, tiny relative to the data);
+    rows are routed with a deterministic hash of (path, commit) so a re-run
+    produces identical partitions.
+    """
+    sizes = df.groupBy("repo").agg(
+        F.sum(F.coalesce(F.octet_length(size_col), F.lit(0))).alias("_repo_bytes")
+    )
+    sizes = sizes.withColumn(
+        "_salt_buckets",
+        F.greatest(F.lit(1), F.ceil(F.col("_repo_bytes") / F.lit(salt_target_bytes))).cast("int"),
+    ).drop("_repo_bytes")
+    salted = (
+        df.join(F.broadcast(sizes), "repo")
+        .withColumn("_salt", F.pmod(F.xxhash64("path", "commit"), F.col("_salt_buckets")).cast("int"))
+        .withColumn("part_key", F.concat_ws("#", F.col("repo"), F.col("_salt")))
+        .drop("_salt", "_salt_buckets")
+    )
+    return salted.repartition(num_partitions, "part_key")
+
+
+def _encode_partition_factory(columns, policy, page_target_bytes, chunk_target_bytes, compression):
+    def encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from parquet4seastar_spark import _alloc
+
+        _alloc.tune_allocator()
+        pending: list[pa.Table] = []
+        pending_bytes = 0
+        chunk_seq_by_key: dict[str, int] = {}
+
+        def flush(tables: list[pa.Table]) -> Iterator[pd.DataFrame]:
+            tbl = pa.concat_tables(tables)
+            # one chunk per (part_key) slice; the partition may hold several
+            # part_keys after hash routing -- encode each separately so
+            # lineage stays per-(repo,salt)
+            keys = tbl.column("part_key").to_pylist()
+            # group contiguous runs by key (rows of one key arrive together
+            # only if sorted; group robustly via arrow group-split)
+            pdf_keys = pd.Series(keys)
+            for key, idx in pdf_keys.groupby(pdf_keys).groups.items():
+                sub = tbl.take(pa.array(np.asarray(idx, dtype=np.int64)))
+                seq = chunk_seq_by_key.get(key, 0)
+                chunk_seq_by_key[key] = seq + 1
+                yield _encode_chunk_rows(sub, key, seq)
+
+        def _encode_chunk_rows(tbl: pa.Table, part_key: str, seq: int) -> pd.DataFrame:
+            rows = []
+            for col in ["row_id", *columns]:
+                arr = tbl.column(col).combine_chunks()
+                cpolicy = "DELTA_BINARY_PACKED" if col == "row_id" else policy
+                chunk = encode_chunk(
+                    arr,
+                    policy=cpolicy,
+                    page_target_bytes=page_target_bytes,
+                    compression=compression,
+                    nullable=arr.null_count > 0,
+                )
+                chunk_id = hashlib.sha1(f"{part_key}|{col}|{seq}".encode()).hexdigest()[:20]
+                for pi, page in enumerate(chunk.pages):
+                    rows.append(
+                        {
+                            "kind": "page",
+                            "part_key": part_key,
+                            "chunk_id": chunk_id,
+                            "column": col,
+                            "chunk_seq": seq,
+                            "page_idx": pi,
+                            "page_kind": page.kind,
+                            "encoding": page.encoding,
+                            "num_values": page.num_values,
+                            "num_non_null": page.num_non_null,
+                            "uncompressed_size": page.uncompressed_size,
+                            "compressed_size": page.compressed_size,
+                            "data": page.data,
+                            "ptype": chunk.ptype,
+                            "logical": chunk.logical,
+                            "nullable": chunk.nullable,
+                            "num_rows": chunk.num_rows,
+                            "num_nulls": chunk.num_nulls,
+                            "cardinality": chunk.cardinality,
+                            "encodings": ",".join(chunk.encodings),
+                            "compression": chunk.compression,
+                            "input_bytes": None,
+                            "encoded_bytes": None,
+                            "sha256": None,
+                            "n_pages": len(chunk.pages),
+                        }
+                    )
+                rows.append(
+                    {
+                        "kind": "chunk",
+                        "part_key": part_key,
+                        "chunk_id": chunk_id,
+                        "column": col,
+                        "chunk_seq": seq,
+                        "page_idx": -1,
+                        "page_kind": None,
+                        "encoding": None,
+                        "num_values": chunk.num_rows,
+                        "num_non_null": chunk.num_rows - chunk.num_nulls,
+                        "uncompressed_size": chunk.encoded_bytes,
+                        "compressed_size": chunk.compressed_bytes,
+                        "data": None,
+                        "ptype": chunk.ptype,
+                        "logical": chunk.logical,
+                        "nullable": chunk.nullable,
+                        "num_rows": chunk.num_rows,
+                        "num_nulls": chunk.num_nulls,
+                        "cardinality": chunk.cardinality,
+                        "encodings": ",".join(chunk.encodings),
+                        "compression": chunk.compression,
+                        "input_bytes": chunk.input_bytes,
+                        "encoded_bytes": chunk.encoded_bytes,
+                        "sha256": chunk.sha256,
+                        "n_pages": len(chunk.pages),
+                    }
+                )
+            return pd.DataFrame(rows)
+
+        for pdf in batches:
+            t = pa.Table.from_pandas(pdf, preserve_index=False)
+            pending.append(t)
+            pending_bytes += t.nbytes
+            if pending_bytes >= chunk_target_bytes:
+                yield from flush(pending)
+                pending = []
+                pending_bytes = 0
+        if pending:
+            yield from flush(pending)
+
+    return encode_partition
+
+
+def encode_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    *,
+    policy: str = "auto",
+    num_partitions: int | None = None,
+    page_target_bytes: int = 1 << 20,
+    chunk_target_bytes: int = 32 << 20,
+    salt_target_bytes: int = 64 << 20,
+    compression: str = "uncompressed",
+    resume_lineage: DataFrame | None = None,
+) -> DataFrame:
+    """Encode ``df`` (must carry row_id + the data columns) into a pages+
+    lineage DataFrame (see ENCODED_SCHEMA).
+
+    ``resume_lineage``: a previously written lineage table (kind='chunk'
+    rows); partitions whose part_key is already fully present are skipped
+    via a broadcast anti-join (north rule: resumable re-runs).
+    """
+    columns = columns or [c for c in DATA_COLUMNS if c in df.columns]
+    spark = df.sparkSession
+    num_partitions = num_partitions or max(spark.sparkContext.defaultParallelism, 8)
+    salted = salted_repartition(df, num_partitions, salt_target_bytes)
+    if resume_lineage is not None:
+        done = resume_lineage.filter(F.col("kind") == "chunk").select("part_key").distinct()
+        salted = salted.join(F.broadcast(done), "part_key", "left_anti")
+    fn = _encode_partition_factory(columns, policy, page_target_bytes, chunk_target_bytes, compression)
+    return salted.select("part_key", "row_id", *columns).mapInPandas(fn, schema=ENCODED_SCHEMA)

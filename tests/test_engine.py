@@ -1,0 +1,98 @@
+"""Distributed engine tests: generator determinism, salted repartition,
+encode -> decode round trip on the source-repo table, lineage resume.
+
+These mirror the reference's end-to-end tier (SURVEY.md §5 tier 3) with the
+north-rule table shape (repo, path, commit, lang, content)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from parquet4seastar_spark.engine.encode_job import encode_table, salted_repartition
+from parquet4seastar_spark.engine.generator import generate_source_repos
+from parquet4seastar_spark.engine.verify import lineage_table, metrics_summary, roundtrip_verify
+
+N_ROWS = 600
+
+
+@pytest.fixture(scope="module")
+def source(spark):
+    df = generate_source_repos(spark, N_ROWS, n_repos=25, seed=42).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def encoded(spark, source):
+    enc = encode_table(
+        source, policy="auto", num_partitions=4, page_target_bytes=64 << 10, chunk_target_bytes=1 << 20
+    ).cache()
+    enc.count()
+    yield enc
+    enc.unpersist()
+
+
+def test_generator_deterministic(spark):
+    a = generate_source_repos(spark, 100, n_repos=10, seed=7, partitions=2).orderBy("row_id").collect()
+    b = generate_source_repos(spark, 100, n_repos=10, seed=7, partitions=5).orderBy("row_id").collect()
+    assert a == b  # identical at any parallelism
+
+
+def test_generator_shape(source):
+    assert source.columns == ["row_id", "repo", "path", "commit", "lang", "content"]
+    assert source.count() == N_ROWS
+    # nullable lang/content present
+    assert source.filter(F.col("lang").isNull()).count() > 0
+    # zipf skew: top repo much bigger than median
+    sizes = source.groupBy("repo").count().orderBy(F.desc("count")).collect()
+    assert sizes[0]["count"] >= 5 * sizes[len(sizes) // 2]["count"]
+
+
+def test_salted_repartition_splits_jumbo(spark, source):
+    salted = salted_repartition(source, 4, salt_target_bytes=64 << 10)
+    per_key = salted.groupBy("part_key").agg(F.sum(F.octet_length("content")).alias("b"))
+    rows = per_key.collect()
+    # jumbo repos are split: several part_keys for the biggest repo
+    keys = [r["part_key"] for r in rows]
+    repos = {k.rsplit("#", 1)[0] for k in keys}
+    assert len(keys) > len(repos)
+
+
+def test_roundtrip_all_columns(source, encoded):
+    res = roundtrip_verify(source, encoded, ["repo", "path", "commit", "lang", "content"]).collect()[0]
+    assert res["rows"] == N_ROWS
+    for c in ["repo", "path", "commit", "lang", "content"]:
+        assert res[f"{c}_mismatches"] == 0, c
+
+
+def test_metrics_and_compression(source, encoded):
+    m = {r["column"]: r for r in metrics_summary(encoded).collect()}
+    assert set(m) == {"row_id", "repo", "path", "commit", "lang", "content"}
+    # auto-selection must compress every column vs PLAIN on this table
+    assert m["repo"]["ratio"] < 0.3  # low cardinality -> dict
+    assert m["row_id"]["ratio"] < 0.5  # sequential ints -> DBP
+    assert m["content"]["ratio"] < 0.9
+    chunks = lineage_table(encoded)
+    assert chunks.filter(F.col("sha256").isNull()).count() == 0
+
+
+def test_resume_skips_completed(spark, source):
+    enc1 = encode_table(source, num_partitions=4, chunk_target_bytes=1 << 20)
+    lineage = enc1.filter(F.col("kind") == "chunk").cache()
+    all_keys = {r["part_key"] for r in lineage.select("part_key").distinct().collect()}
+    # simulate a partial run: lineage only for half the part_keys
+    done_keys = sorted(all_keys)[: len(all_keys) // 2]
+    partial = lineage.filter(F.col("part_key").isin(done_keys))
+    enc2 = encode_table(source, num_partitions=4, chunk_target_bytes=1 << 20, resume_lineage=partial)
+    remaining = {r["part_key"] for r in enc2.select("part_key").distinct().collect()}
+    assert remaining == all_keys - set(done_keys)
+    lineage.unpersist()
+
+
+def test_reference_policy_not_smaller_than_auto(spark, source):
+    enc_auto = encode_table(source, policy="auto", num_partitions=4)
+    enc_ref = encode_table(source, policy="reference", num_partitions=4)
+    a = {r["column"]: r["encoded_bytes"] for r in metrics_summary(enc_auto).collect()}
+    r = {r["column"]: r["encoded_bytes"] for r in metrics_summary(enc_ref).collect()}
+    for col in ["repo", "path", "commit", "lang", "content"]:
+        assert a[col] <= r[col], col
