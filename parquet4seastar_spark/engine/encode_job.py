@@ -51,6 +51,7 @@ def salted_repartition(
     num_partitions: int,
     salt_target_bytes: int = 64 << 20,
     size_col: str = "content",
+    salt_col: str = "repo",
 ) -> DataFrame:
     """Repartition by (repo, salt) where jumbo repos get split into
     ceil(repo_bytes / salt_target_bytes) buckets.
@@ -60,7 +61,7 @@ def salted_repartition(
     rows are routed with a deterministic hash of (path, commit) so a re-run
     produces identical partitions.
     """
-    sizes = df.groupBy("repo").agg(
+    sizes = df.groupBy(salt_col).agg(
         F.sum(F.coalesce(F.octet_length(size_col), F.lit(0))).alias("_repo_bytes")
     )
     sizes = sizes.withColumn(
@@ -68,9 +69,9 @@ def salted_repartition(
         F.greatest(F.lit(1), F.ceil(F.col("_repo_bytes") / F.lit(salt_target_bytes))).cast("int"),
     ).drop("_repo_bytes")
     salted = (
-        df.join(F.broadcast(sizes), "repo")
-        .withColumn("_salt", F.pmod(F.xxhash64("path", "commit"), F.col("_salt_buckets")).cast("int"))
-        .withColumn("part_key", F.concat_ws("#", F.col("repo"), F.col("_salt")))
+        df.join(F.broadcast(sizes), salt_col)
+        .withColumn("_salt", F.pmod(F.xxhash64("row_id"), F.col("_salt_buckets")).cast("int"))
+        .withColumn("part_key", F.concat_ws("#", F.col(salt_col), F.col("_salt")))
         .drop("_salt", "_salt_buckets")
     )
     return salted.repartition(num_partitions, "part_key")
@@ -199,6 +200,8 @@ def encode_table(
     salt_target_bytes: int = 64 << 20,
     compression: str = "uncompressed",
     resume_lineage: DataFrame | None = None,
+    salt_col: str = "repo",
+    size_col: str | None = None,
 ) -> DataFrame:
     """Encode ``df`` (must carry row_id + the data columns) into a pages+
     lineage DataFrame (see ENCODED_SCHEMA).
@@ -210,7 +213,9 @@ def encode_table(
     columns = columns or [c for c in DATA_COLUMNS if c in df.columns]
     spark = df.sparkSession
     num_partitions = num_partitions or max(spark.sparkContext.defaultParallelism, 8)
-    salted = salted_repartition(df, num_partitions, salt_target_bytes)
+    if size_col is None:
+        size_col = "content" if "content" in df.columns else columns[-1]
+    salted = salted_repartition(df, num_partitions, salt_target_bytes, size_col, salt_col)
     if resume_lineage is not None:
         done = resume_lineage.filter(F.col("kind") == "chunk").select("part_key").distinct()
         salted = salted.join(F.broadcast(done), "part_key", "left_anti")

@@ -1,0 +1,120 @@
+"""Similarity search over an embedding column (array<float>).
+
+- brute-force cosine top-k: the exact baseline.  The query set is small and
+  broadcast; the corpus side never shuffles -- each partition scores its
+  rows against all queries (crossJoin with broadcast hint) and a window
+  takes top-k.  At 100 TB the corpus scan is embarrassingly parallel; only
+  k rows per query per partition survive to the final top-k.
+- LSH-bucketed variant (random hyperplane signatures): map-side signature,
+  bucket equi-join, exact re-scoring inside buckets only -- the scale path
+  when the query set is large.
+- embedding-cosine near-duplicate detection reuses the LSH bucketing.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _cosine_expr(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(query_id, neighbor_id, rank): exact cosine top-k per query.
+
+    ``queries``: (query_id, query_vec).  Broadcast; corpus never shuffles
+    until the per-query top-k reduction.
+    """
+    emb = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("nv")
+    )
+    q = queries.select("query_id", F.col("query_vec").cast("array<double>").alias("qv"))
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        _cosine_expr(F.col("qv"), F.col("nv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def random_hyperplane_signatures(
+    embeddings: DataFrame, bits: int = 16, dim: int | None = None, seed: int = 11,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, bucket): sign-random-projection LSH bucket per vector."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes = None
+        for pdf in batches:
+            mat = np.stack(pdf[vec_col].to_numpy())
+            if planes is None:
+                rng = np.random.default_rng(seed)
+                planes = rng.standard_normal((mat.shape[1], bits))
+            proj = mat @ planes  # (n, bits)
+            bucket = ((proj > 0).astype(np.uint64) << np.arange(bits, dtype=np.uint64)).sum(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "bucket": bucket.astype(np.int64)})
+
+    return embeddings.select(id_col, vec_col).mapInPandas(compute, schema=f"{id_col} long, bucket long")
+
+
+def lsh_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 10, bits: int = 8, seed: int = 11,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact cosine only within matching LSH buckets.
+
+    Recall < 1 by construction; the scale path when queries are too many to
+    broadcast-score everywhere.
+    """
+    sig_e = random_hyperplane_signatures(embeddings, bits=bits, seed=seed, id_col=id_col, vec_col=vec_col)
+    emb = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("nv"))
+    sig_e = sig_e.withColumnRenamed(id_col, "neighbor_id")
+    q_emb = queries.select(F.col("query_id").alias(id_col), F.col("query_vec").alias(vec_col))
+    sig_q = random_hyperplane_signatures(q_emb, bits=bits, seed=seed, id_col=id_col, vec_col=vec_col)
+    q = queries.select("query_id", F.col("query_vec").cast("array<double>").alias("qv")).join(
+        sig_q.withColumnRenamed(id_col, "query_id"), "query_id"
+    )
+    cand = emb.join(sig_e, "neighbor_id").join(q, "bucket").select(
+        "query_id", "neighbor_id", _cosine_expr(F.col("qv"), F.col("nv")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def embedding_near_dups(
+    embeddings: DataFrame, threshold: float = 0.95, bits: int = 8, seed: int = 11,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b, cosine): near-duplicate vector pairs via LSH buckets +
+    exact cosine confirm."""
+    sig = random_hyperplane_signatures(embeddings, bits=bits, seed=seed, id_col=id_col, vec_col=vec_col)
+    emb = embeddings.select(id_col, F.col(vec_col).cast("array<double>").alias("v")).join(sig, id_col)
+    l, r = emb.alias("l"), emb.alias("r")
+    pairs = l.join(
+        r,
+        (F.col("l.bucket") == F.col("r.bucket")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    ).select(
+        F.col(f"l.{id_col}").alias("id_a"),
+        F.col(f"r.{id_col}").alias("id_b"),
+        _cosine_expr(F.col("l.v"), F.col("r.v")).alias("cosine"),
+    )
+    return pairs.filter(F.col("cosine") >= threshold)

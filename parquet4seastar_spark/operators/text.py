@@ -1,0 +1,88 @@
+"""Text analysis operators over a documents table -- all built-in
+pyspark.sql.functions (JVM-side, whole-stage codegen); no Python UDFs.
+
+Operators: token counting, quality scoring, language-ID heuristic,
+document fingerprinting.  Each returns a DataFrame keyed by doc_id with
+integer/string outputs chosen to be bit-reproducible in an ANSI-SQL oracle
+(DuckDB) for the driver's correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic;
+# deliberately small & deterministic (shared with the SQL oracle)
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "nicht", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "que", "de", "los"],
+}
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_chars_obs): whitespace tokenization."""
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+        F.length("text").alias("n_chars_obs"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Integer quality signals: alpha/digit/punct/space char counts plus a
+    simple length bucket.  Integer outputs keep the DuckDB oracle hash-exact
+    (no float formatting drift)."""
+    text = F.col("text")
+    alpha = F.length(F.regexp_replace(text, "[^a-zA-Z]", ""))
+    digit = F.length(F.regexp_replace(text, "[^0-9]", ""))
+    space = F.length(F.regexp_replace(text, r"[^ \t\n]", ""))
+    total = F.length(text)
+    return docs.select(
+        "doc_id",
+        total.alias("n_chars_q"),
+        alpha.alias("alpha_chars"),
+        digit.alias("digit_chars"),
+        space.alias("space_chars"),
+        (total - alpha - digit - space).alias("other_chars"),
+        F.when(total < 100, "short").when(total < 2000, "medium").otherwise("long").alias("len_bucket"),
+    )
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Stopword-count heuristic language ID.
+
+    Counts whole-word marker hits per language on the lowercased text and
+    returns the argmax ('und' = undetermined when all zero).  Expressed in
+    built-ins so the same logic is one SQL expression for the oracle.
+    """
+    low = F.lower(F.col("text"))
+    scores = []
+    for lang, words in LANG_MARKERS.items():
+        s = None
+        for w in words:
+            # count whole-word occurrences: size(split(x, '\\bw\\b')) - 1
+            c = F.size(F.split(low, rf"\b{w}\b")) - 1
+            s = c if s is None else s + c
+        scores.append(s.alias(f"score_{lang}"))
+    scored = docs.select("doc_id", *scores)
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    pick = F.when(best <= 0, "und")
+    for l in langs:  # first language reaching the max wins (stable order)
+        pick = pick.when(F.col(f"score_{l}") == best, l)
+    return scored.select("doc_id", *[f"score_{l}" for l in langs], pick.alias("lang_guess"))
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp_md5, fp_prefix64): content fingerprints.
+
+    md5 is the exact-dup key; the 16-hex-digit prefix stands in as a 64-bit
+    rolling-hash-style fingerprint, comparable in any SQL engine.
+    """
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("fp_md5"),
+        F.substring(F.md5("text"), 1, 16).alias("fp_prefix64"),
+    )
