@@ -1,0 +1,173 @@
+"""Benchmark driver: headline queries + encode throughput + scaling evidence.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "encode": {"input_mb": ..., "local8": {...}, "local32": {...},
+              "scaling_efficiency": ...},
+   ...}
+
+The north rule's two-cluster-size criterion is evidenced by running the
+identical encode job on the identical input at two parallelism levels
+(local[8] vs local[32]; no real cluster in this sandbox) and reporting
+throughput at both plus efficiency = (thr_hi / thr_lo) / (cpus_hi/cpus_lo).
+
+Environment:
+  SPARK_GRAFT_SF_DIR   testdata dir for the query timings (default sf0.1)
+  SPARK_GRAFT_CPUS     cores for the query-timing session (default 32)
+  P4S_BENCH_ROWS       synthetic source-repo rows for the encode bench
+  P4S_BENCH_POLICY     codec policy for the encode bench (default auto)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_DIR = os.environ.get("P4S_BENCH_DIR", "/tmp/p4s_bench")
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+ROWS = int(os.environ.get("P4S_BENCH_ROWS", "120000"))
+POLICY = os.environ.get("P4S_BENCH_POLICY", "auto")
+
+HEADLINE_QUERIES = [
+    "roundtrip_auto_all",
+    "roundtrip_fsst_text",
+    "roundtrip_dbp_ints",
+    "roundtrip_reference_policy",
+    "roundtrip_lineitem",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "token_counts",
+    "language_id",
+    "ann_bruteforce_topk",
+]
+
+
+def _new_spark(cpus: int):
+    from parquet4seastar_spark.engine.session import get_spark
+
+    spark = get_spark(app_name=f"p4s-bench-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def ensure_bench_data(spark) -> tuple[str, int, int]:
+    """Generate (once) and cache the synthetic source-repo table as parquet;
+    returns (path, rows, content_bytes)."""
+    import pyspark.sql.functions as F
+
+    path = f"{BENCH_DIR}/source_repos_{ROWS}"
+    meta_path = f"{path}/_p4s_meta.json"
+    if not os.path.exists(meta_path):
+        from parquet4seastar_spark.engine.generator import generate_source_repos
+
+        df = generate_source_repos(spark, ROWS, n_repos=max(50, ROWS // 2000), seed=42)
+        df.write.mode("overwrite").parquet(path)
+        stats = (
+            spark.read.parquet(path)
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum(F.coalesce(F.octet_length("content"), F.lit(0))).alias("bytes"),
+            )
+            .collect()[0]
+        )
+        with open(meta_path, "w") as f:
+            json.dump({"rows": stats["rows"], "content_bytes": stats["bytes"]}, f)
+    with open(meta_path) as f:
+        meta = json.load(f)
+    return path, meta["rows"], meta["content_bytes"]
+
+
+def encode_bench(cpus: int, data_path: str, content_bytes: int) -> dict:
+    """Run the full encode job at the given parallelism; returns metrics."""
+    import pyspark.sql.functions as F
+
+    from parquet4seastar_spark.engine.encode_job import encode_table
+
+    spark = _new_spark(cpus)
+    try:
+        df = spark.read.parquet(data_path)
+        # warm-up: spin up python workers and pull the input through the
+        # page cache so the timed run measures steady-state encode
+        # throughput (what a long-running cluster sees), not JVM/worker
+        # cold start
+        import pandas as pd
+
+        def _touch(batches):
+            for b in batches:
+                yield pd.DataFrame({"n": [len(b)]})
+
+        df.mapInPandas(_touch, schema="n long").agg(F.sum("n")).collect()
+        t0 = time.perf_counter()
+        enc = encode_table(
+            df,
+            policy=POLICY,
+            num_partitions=cpus * 2,
+            chunk_target_bytes=16 << 20,
+            salt_target_bytes=16 << 20,
+        )
+        agg = enc.filter(F.col("kind") == "chunk").agg(
+            F.sum("input_bytes").alias("in_b"), F.sum("compressed_size").alias("out_b")
+        ).collect()[0]
+        wall = time.perf_counter() - t0
+        return {
+            "cpus": cpus,
+            "wall_sec": round(wall, 2),
+            "throughput_mb_s": round(content_bytes / 1e6 / wall, 1),
+            "input_bytes_all_cols": int(agg["in_b"]),
+            "encoded_bytes": int(agg["out_b"]),
+            "ratio": round(agg["out_b"] / agg["in_b"], 4),
+        }
+    finally:
+        spark.stop()
+
+
+def main():
+    out: dict = {"sf": SF_DIR, "policy": POLICY}
+    queries: dict[str, float] = {}
+
+    # --- phase 1: encode throughput at two parallelism levels (scaling)
+    spark = _new_spark(min(CPUS, 8))
+    data_path, rows, content_bytes = ensure_bench_data(spark)
+    spark.stop()
+    lo = encode_bench(8, data_path, content_bytes)
+    hi = encode_bench(32, data_path, content_bytes)
+    eff = (hi["throughput_mb_s"] / lo["throughput_mb_s"]) / (32 / 8)
+    out["encode"] = {
+        "rows": rows,
+        "content_mb": round(content_bytes / 1e6, 1),
+        "local8": lo,
+        "local32": hi,
+        "scaling_efficiency": round(eff, 3),
+    }
+    queries["encode_local8"] = lo["wall_sec"]
+    queries["encode_local32"] = hi["wall_sec"]
+
+    # --- phase 2: headline operator queries at the sf dir
+    import __spark_entry__ as entrymod
+
+    spark = _new_spark(CPUS)
+    try:
+        qs = entrymod.queries()
+        for name in HEADLINE_QUERIES:
+            t0 = time.perf_counter()
+            df = qs[name](spark, SF_DIR)
+            n = df.count()
+            queries[name] = round(time.perf_counter() - t0, 2)
+    finally:
+        spark.stop()
+
+    out["metric"] = "p4s_spark_bench_total"
+    out["value"] = round(sum(queries.values()), 2)
+    out["unit"] = "sec"
+    out["queries"] = queries
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -86,6 +86,7 @@ class EncodedChunk:
     cardinality: int
     encodings: list[str]
     compression: str
+    type_length: int = 0
     pages: list[Page] = field(default_factory=list)
     input_bytes: int = 0  # uncompressed logical bytes (PLAIN-equivalent size)
     encoded_bytes: int = 0  # sum of page uncompressed sizes (post-encoding)
@@ -99,6 +100,8 @@ class EncodedChunk:
 
 def pa_ptype(arr: pa.Array) -> tuple[str, str]:
     t = arr.type
+    if pa.types.is_fixed_size_binary(t):
+        return "FIXED_LEN_BYTE_ARRAY", "flba"
     if t in _PA_TO_PTYPE:
         ptype = _PA_TO_PTYPE[t]
         logical = {
@@ -157,6 +160,8 @@ def _encode_values(encoding: str, ptype: str, values, lengths=None, payload=None
             return plain.plain_encode_bool(values)
         if ptype == "BYTE_ARRAY":
             return plain.plain_encode_byte_array(lengths, payload.tobytes())
+        if ptype == "FIXED_LEN_BYTE_ARRAY":
+            return plain.plain_encode_flba(values.tobytes())
         return plain.plain_encode_fixed(values)
     if encoding == "DELTA_BINARY_PACKED":
         nbytes = 4 if ptype == "INT32" else 8
@@ -174,7 +179,7 @@ def _encode_values(encoding: str, ptype: str, values, lengths=None, payload=None
     raise ValueError(f"unknown value encoding {encoding}")
 
 
-def _decode_values(encoding: str, ptype: str, buf, n: int, dict_ctx=None):
+def _decode_values(encoding: str, ptype: str, buf, n: int, dict_ctx=None, type_length: int = 0):
     """Decode n non-null values; returns np array or (lengths, payload)."""
     if encoding == "PLAIN":
         if ptype == "BOOLEAN":
@@ -182,6 +187,9 @@ def _decode_values(encoding: str, ptype: str, buf, n: int, dict_ctx=None):
         if ptype == "BYTE_ARRAY":
             lengths, payload = plain.plain_decode_byte_array(buf, n)
             return lengths.astype(np.int64), np.frombuffer(payload, dtype=np.uint8)
+        if ptype == "FIXED_LEN_BYTE_ARRAY":
+            raw = plain.plain_decode_flba(bytes(buf), type_length, n)
+            return np.frombuffer(raw, dtype=np.uint8).reshape(n, type_length)
         return plain.plain_decode_fixed(bytes(buf), _FIXED_DTYPES[ptype], n)
     if encoding == "DELTA_BINARY_PACKED":
         nbytes = 4 if ptype == "INT32" else 8
@@ -236,11 +244,13 @@ def _page_boundaries(row_bytes: np.ndarray, target: int) -> np.ndarray:
     return np.array(ends, dtype=np.int64)
 
 
-def _plain_size(ptype: str, n: int, lengths=None) -> int:
+def _plain_size(ptype: str, n: int, lengths=None, type_length: int = 0) -> int:
     if ptype == "BYTE_ARRAY":
         return int(lengths.sum()) + 4 * n
     if ptype == "BOOLEAN":
         return (n + 7) // 8
+    if ptype == "FIXED_LEN_BYTE_ARRAY":
+        return type_length * n
     return _FIXED_DTYPES[ptype].itemsize * n
 
 
@@ -276,9 +286,16 @@ def encode_chunk(
 
     # non-null values in flat form
     lengths = payload = values = None
+    type_length = 0
     if ptype == "BYTE_ARRAY":
         lengths, payload = ba_components(nn_arr)
         nn_row_bytes = lengths + 4
+    elif ptype == "FIXED_LEN_BYTE_ARRAY":
+        type_length = arr.type.byte_width
+        buf = nn_arr.buffers()[1]
+        values = np.frombuffer(buf, dtype=np.uint8, count=len(nn_arr) * type_length,
+                               offset=nn_arr.offset * type_length).reshape(-1, type_length)
+        nn_row_bytes = np.full(len(nn_arr), type_length, dtype=np.int64)
     elif ptype == "BOOLEAN":
         values = nn_arr.to_numpy(zero_copy_only=False).astype(bool)
         nn_row_bytes = np.full(len(values), 1, dtype=np.int64)
@@ -293,7 +310,7 @@ def encode_chunk(
     nn_before = np.cumsum(valid, dtype=np.int64)  # non-null count up to row (inclusive)
     nn_page_ends = nn_before[page_ends - 1] if n else np.array([0], dtype=np.int64)
 
-    input_bytes = _plain_size(ptype, int(valid.sum()), lengths)
+    input_bytes = _plain_size(ptype, int(valid.sum()), lengths, type_length)
     chunk = EncodedChunk(
         ptype=ptype,
         logical=logical,
@@ -303,6 +320,7 @@ def encode_chunk(
         cardinality=0,
         encodings=[],
         compression=compression,
+        type_length=type_length,
         input_bytes=input_bytes,
     )
     chunk.sha256 = chunk_sha256(ptype, valid, values, lengths, payload)
@@ -396,6 +414,11 @@ def _dict_plan(ptype, values, lengths, payload, page_ends, nn_page_ends, *, fall
         )
     elif ptype == "BOOLEAN":
         nn_arr = pa.array(values, type=pa.bool_())
+    elif ptype == "FIXED_LEN_BYTE_ARRAY":
+        k = values.shape[1] if values.ndim == 2 else 1
+        nn_arr = pa.Array.from_buffers(
+            pa.binary(k), len(values), [None, pa.py_buffer(values.tobytes())]
+        )
     else:
         nn_arr = pa.array(values)
     codes, dict_arr = dictionary.build_dict(nn_arr)
@@ -410,6 +433,8 @@ def _dict_plan(ptype, values, lengths, payload, page_ends, nn_page_ends, *, fall
         entry_sizes = d_lengths + 4
     elif ptype == "BOOLEAN":
         entry_sizes = np.full(card, 1, dtype=np.int64)
+    elif ptype == "FIXED_LEN_BYTE_ARRAY":
+        entry_sizes = np.full(card, values.shape[1], dtype=np.int64)
     else:
         entry_sizes = np.full(card, _FIXED_DTYPES[ptype].itemsize, dtype=np.int64)
 
@@ -442,6 +467,8 @@ def _encode_dict_page(ptype: str, dict_arr: pa.Array) -> bytes:
     if ptype == "BYTE_ARRAY":
         d_lengths, d_payload = ba_components(dict_arr)
         return plain.plain_encode_byte_array(d_lengths, d_payload.tobytes())
+    if ptype == "FIXED_LEN_BYTE_ARRAY":
+        return bytes(dict_arr.buffers()[1])[: len(dict_arr) * dict_arr.type.byte_width]
     if ptype == "BOOLEAN":
         return plain.plain_encode_bool(dict_arr.to_numpy(zero_copy_only=False).astype(bool))
     vals = np.ascontiguousarray(dict_arr.to_numpy(zero_copy_only=False), dtype=_FIXED_DTYPES[ptype])
@@ -537,6 +564,9 @@ def _auto_plan(ptype, n, values, lengths, payload, page_ends, nn_page_ends, allo
                 ],
             )
             sample_card_ratio = len(sample_arr.unique()) / max(k, 1)
+        elif ptype == "FIXED_LEN_BYTE_ARRAY":
+            k = min(nn, 2048)
+            sample_card_ratio = len(np.unique(values[:k], axis=0)) / k
         else:
             k = min(nn, 4096)
             sample_card_ratio = len(np.unique(values[:k])) / k
@@ -631,6 +661,11 @@ def decode_chunk(chunk: EncodedChunk) -> pa.Array:
                 dict_entries = (lengths.astype(np.int64), np.frombuffer(payload, dtype=np.uint8))
             elif ptype == "BOOLEAN":
                 dict_entries = plain.plain_decode_bool(raw, page.num_values)
+            elif ptype == "FIXED_LEN_BYTE_ARRAY":
+                flat = plain.plain_decode_flba(raw, chunk.type_length, page.num_values)
+                dict_entries = np.frombuffer(flat, dtype=np.uint8).reshape(
+                    page.num_values, chunk.type_length
+                )
             else:
                 dict_entries = plain.plain_decode_fixed(raw, _FIXED_DTYPES[ptype], page.num_values)
             dict_size = page.num_values
@@ -656,7 +691,9 @@ def decode_chunk(chunk: EncodedChunk) -> pa.Array:
             else:
                 fixed_parts.append(np.asarray(dict_entries)[codes])
         else:
-            out = _decode_values(page.encoding, ptype, bytes(body), nn)
+            out = _decode_values(
+                page.encoding, ptype, bytes(body), nn, type_length=chunk.type_length
+            )
             if ptype == "BYTE_ARRAY":
                 lens, pl = out
                 len_parts.append(lens)
@@ -691,6 +728,21 @@ def decode_chunk(chunk: EncodedChunk) -> pa.Array:
         full = np.zeros(n, dtype=bool)
         full[valid] = vals
         return pa.array(full, type=pa.bool_(), mask=~valid if chunk.num_nulls else None)
+    if ptype == "FIXED_LEN_BYTE_ARRAY":
+        k = chunk.type_length
+        vals = (
+            np.concatenate(fixed_parts).reshape(-1, k)
+            if fixed_parts
+            else np.zeros((0, k), dtype=np.uint8)
+        )
+        full = np.zeros((n, k), dtype=np.uint8)
+        full[valid] = vals
+        validity = (
+            pa.py_buffer(np.packbits(valid, bitorder="little").tobytes())
+            if chunk.num_nulls
+            else None
+        )
+        return pa.Array.from_buffers(pa.binary(k), n, [validity, pa.py_buffer(full.tobytes())])
     vals = np.concatenate(fixed_parts) if fixed_parts else np.zeros(0, dtype=_FIXED_DTYPES[ptype])
     full = np.zeros(n, dtype=_FIXED_DTYPES[ptype])
     full[valid] = vals

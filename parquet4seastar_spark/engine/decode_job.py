@@ -2,18 +2,18 @@
 
 Mirrors the reference read path (SURVEY.md §3.2): pages grouped per chunk,
 dictionary page loaded first, values reassembled with nulls from def levels.
-Spark shape: groupBy(part_key, chunk_seq) -> applyInPandas over the page
+Spark shape: groupBy(part_key, chunk_seq) -> applyInArrow over the page
 rows of the row_id chunk + the requested column chunks; output is
 (row_id, <column values>) rows, joinable back to the source for the
 round-trip sha256 verification (BASELINE.json per-row invariant).
+
+Arrow end-to-end: page payloads arrive as arrow binary, decoded values
+leave as arrow arrays -- the decoded strings never materialize as Python
+objects.
 """
 
 from __future__ import annotations
 
-from typing import Iterator
-
-import numpy as np
-import pandas as pd
 import pyarrow as pa
 from pyspark.sql import DataFrame, functions as F
 
@@ -22,6 +22,7 @@ from ..codecs.pages import EncodedChunk, Page, decode_chunk
 _SPARK_TYPES = {
     "string": "string",
     "binary": "binary",
+    "flba": "binary",
     "int32": "int",
     "int64": "long",
     "float": "float",
@@ -29,10 +30,21 @@ _SPARK_TYPES = {
     "bool": "boolean",
 }
 
+_PA_TYPES = {
+    "string": pa.string(),
+    "binary": pa.binary(),
+    "flba": pa.binary(),
+    "int32": pa.int32(),
+    "int64": pa.int64(),
+    "float": pa.float32(),
+    "double": pa.float64(),
+    "bool": pa.bool_(),
+}
 
-def _rebuild_chunk(rows: pd.DataFrame) -> EncodedChunk:
-    rows = rows.sort_values("page_idx")
-    first = rows.iloc[0]
+
+def _rebuild_chunk(rows: list[dict]) -> EncodedChunk:
+    rows = sorted(rows, key=lambda r: r["page_idx"])
+    first = rows[0]
     chunk = EncodedChunk(
         ptype=first["ptype"],
         logical=first["logical"],
@@ -42,8 +54,9 @@ def _rebuild_chunk(rows: pd.DataFrame) -> EncodedChunk:
         cardinality=int(first["cardinality"]),
         encodings=(first["encodings"] or "").split(","),
         compression=first["compression"],
+        type_length=int(first.get("type_length") or 0),
     )
-    for _, r in rows.iterrows():
+    for r in rows:
         chunk.pages.append(
             Page(
                 kind=r["page_kind"],
@@ -52,7 +65,7 @@ def _rebuild_chunk(rows: pd.DataFrame) -> EncodedChunk:
                 num_non_null=int(r["num_non_null"]),
                 uncompressed_size=int(r["uncompressed_size"]),
                 compressed_size=int(r["compressed_size"]),
-                data=bytes(r["data"]),
+                data=r["data"],
             )
         )
     return chunk
@@ -78,19 +91,28 @@ def decode_table(encoded: DataFrame, columns: list[str]) -> DataFrame:
     out_schema = ", ".join(
         ["row_id long"] + [f"`{c}` {_SPARK_TYPES[meta[c]]}" for c in columns]
     )
-
     cols = columns
+    logicals = meta
 
-    def decode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    def decode_group(tbl: pa.Table) -> pa.Table:
         from parquet4seastar_spark import _alloc
 
         _alloc.tune_allocator()
-        by_col = dict(tuple(pdf.groupby("column")))
-        row_ids = decode_chunk(_rebuild_chunk(by_col["row_id"])).to_pandas()
-        out = {"row_id": row_ids}
+        # page metadata is small (tens of rows); data stays as py bytes only
+        # for the page payloads themselves
+        recs = tbl.to_pylist()
+        by_col: dict[str, list[dict]] = {}
+        for r in recs:
+            by_col.setdefault(r["column"], []).append(r)
+        out_arrays = [decode_chunk(_rebuild_chunk(by_col["row_id"])).cast(pa.int64())]
+        names = ["row_id"]
         for c in cols:
             arr = decode_chunk(_rebuild_chunk(by_col[c]))
-            out[c] = arr.to_pandas()
-        return pd.DataFrame(out)
+            target = _PA_TYPES[logicals[c]]
+            if arr.type != target:
+                arr = arr.cast(target)
+            out_arrays.append(arr)
+            names.append(c)
+        return pa.table(dict(zip(names, out_arrays)))
 
-    return pages.groupBy("part_key", "chunk_seq").applyInPandas(decode_group, schema=out_schema)
+    return pages.groupBy("part_key", "chunk_seq").applyInArrow(decode_group, schema=out_schema)

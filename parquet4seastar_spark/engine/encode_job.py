@@ -4,7 +4,7 @@ Spark-first architecture (SURVEY.md §3.1 re-architecture):
 
     input DF (row_id, repo, path, commit, lang, content)
       -> salted repartition on repo (skew-aware, computed distributively)
-      -> mapInPandas(encode_partition): each partition plays the role of a
+      -> mapInArrow(encode_partition): each partition plays the role of a
          parquet row group; per column, per ~chunk_target_bytes slice, the
          codec layer (codecs/pages.py) builds stats, auto-selects the codec,
          and emits page rows + one chunk summary row
@@ -19,7 +19,8 @@ Scale notes:
   (broadcast when small) -- no driver-side collect, works at 10^12 rows;
 - a jumbo repo is split into ceil(bytes / salt_target_bytes) salt buckets,
   so no single task serializes the job (Zipf skew, FIXTURES.md §1);
-- every value-touching step is Arrow-batched numpy (no per-row Python).
+- arrow end-to-end: mapInArrow in, RecordBatch out -- column values never
+  materialize as Python objects (no per-row Python anywhere).
 """
 
 from __future__ import annotations
@@ -39,8 +40,8 @@ ENCODED_SCHEMA = (
     "page_idx int, page_kind string, encoding string, num_values long, num_non_null long, "
     "uncompressed_size long, compressed_size long, data binary, "
     "ptype string, logical string, nullable boolean, num_rows long, num_nulls long, "
-    "cardinality long, encodings string, compression string, input_bytes long, "
-    "encoded_bytes long, sha256 string, n_pages int"
+    "cardinality long, encodings string, compression string, type_length int, "
+    "input_bytes long, encoded_bytes long, sha256 string, n_pages int"
 )
 
 DATA_COLUMNS = ["repo", "path", "commit", "lang", "content"]
@@ -52,6 +53,7 @@ def salted_repartition(
     salt_target_bytes: int = 64 << 20,
     size_col: str = "content",
     salt_col: str = "repo",
+    salt_target_rows: int | None = None,
 ) -> DataFrame:
     """Repartition by (repo, salt) where jumbo repos get split into
     ceil(repo_bytes / salt_target_bytes) buckets.
@@ -61,13 +63,20 @@ def salted_repartition(
     rows are routed with a deterministic hash of (path, commit) so a re-run
     produces identical partitions.
     """
-    sizes = df.groupBy(salt_col).agg(
-        F.sum(F.coalesce(F.octet_length(size_col), F.lit(0))).alias("_repo_bytes")
-    )
+    if salt_target_rows is not None:
+        # row-count salting: scans only the key column (cheap); row count is
+        # a good skew proxy when row sizes are iid within a key
+        sizes = df.groupBy(salt_col).agg(F.count(F.lit(1)).alias("_repo_size"))
+        target = F.lit(salt_target_rows)
+    else:
+        sizes = df.groupBy(salt_col).agg(
+            F.sum(F.coalesce(F.octet_length(size_col), F.lit(0))).alias("_repo_size")
+        )
+        target = F.lit(salt_target_bytes)
     sizes = sizes.withColumn(
         "_salt_buckets",
-        F.greatest(F.lit(1), F.ceil(F.col("_repo_bytes") / F.lit(salt_target_bytes))).cast("int"),
-    ).drop("_repo_bytes")
+        F.greatest(F.lit(1), F.ceil(F.col("_repo_size") / target)).cast("int"),
+    ).drop("_repo_size")
     salted = (
         df.join(F.broadcast(sizes), salt_col)
         .withColumn("_salt", F.pmod(F.xxhash64("row_id"), F.col("_salt_buckets")).cast("int"))
@@ -77,8 +86,47 @@ def salted_repartition(
     return salted.repartition(num_partitions, "part_key")
 
 
+_OUT_SCHEMA_PA = None
+
+
+def _out_schema_pa() -> pa.Schema:
+    global _OUT_SCHEMA_PA
+    if _OUT_SCHEMA_PA is None:
+        _OUT_SCHEMA_PA = pa.schema(
+            [
+                ("kind", pa.string()),
+                ("part_key", pa.string()),
+                ("chunk_id", pa.string()),
+                ("column", pa.string()),
+                ("chunk_seq", pa.int32()),
+                ("page_idx", pa.int32()),
+                ("page_kind", pa.string()),
+                ("encoding", pa.string()),
+                ("num_values", pa.int64()),
+                ("num_non_null", pa.int64()),
+                ("uncompressed_size", pa.int64()),
+                ("compressed_size", pa.int64()),
+                ("data", pa.binary()),
+                ("ptype", pa.string()),
+                ("logical", pa.string()),
+                ("nullable", pa.bool_()),
+                ("num_rows", pa.int64()),
+                ("num_nulls", pa.int64()),
+                ("cardinality", pa.int64()),
+                ("encodings", pa.string()),
+                ("compression", pa.string()),
+                ("type_length", pa.int32()),
+                ("input_bytes", pa.int64()),
+                ("encoded_bytes", pa.int64()),
+                ("sha256", pa.string()),
+                ("n_pages", pa.int32()),
+            ]
+        )
+    return _OUT_SCHEMA_PA
+
+
 def _encode_partition_factory(columns, policy, page_target_bytes, chunk_target_bytes, compression):
-    def encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def encode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from parquet4seastar_spark import _alloc
 
         _alloc.tune_allocator()
@@ -86,22 +134,27 @@ def _encode_partition_factory(columns, policy, page_target_bytes, chunk_target_b
         pending_bytes = 0
         chunk_seq_by_key: dict[str, int] = {}
 
-        def flush(tables: list[pa.Table]) -> Iterator[pd.DataFrame]:
-            tbl = pa.concat_tables(tables)
+        def flush(tables: list[pa.Table]) -> Iterator[pa.RecordBatch]:
+            tbl = pa.concat_tables(tables).combine_chunks()
             # one chunk per (part_key) slice; the partition may hold several
             # part_keys after hash routing -- encode each separately so
-            # lineage stays per-(repo,salt)
-            keys = tbl.column("part_key").to_pylist()
-            # group contiguous runs by key (rows of one key arrive together
-            # only if sorted; group robustly via arrow group-split)
-            pdf_keys = pd.Series(keys)
-            for key, idx in pdf_keys.groupby(pdf_keys).groups.items():
-                sub = tbl.take(pa.array(np.asarray(idx, dtype=np.int64)))
+            # lineage stays per-(repo,salt).  Arrow-native group split:
+            # sort indices by key, slice runs.
+            keys = tbl.column("part_key")
+            order = pa.compute.sort_indices(keys)
+            sorted_keys = keys.take(order)
+            np_keys = np.asarray(sorted_keys.combine_chunks().dictionary_encode().indices)
+            boundaries = np.flatnonzero(np.diff(np_keys)) + 1
+            starts = np.concatenate([[0], boundaries])
+            ends = np.concatenate([boundaries, [len(np_keys)]])
+            for st, en in zip(starts.tolist(), ends.tolist()):
+                sub = tbl.take(order.slice(st, en - st))
+                key = sub.column("part_key")[0].as_py()
                 seq = chunk_seq_by_key.get(key, 0)
                 chunk_seq_by_key[key] = seq + 1
                 yield _encode_chunk_rows(sub, key, seq)
 
-        def _encode_chunk_rows(tbl: pa.Table, part_key: str, seq: int) -> pd.DataFrame:
+        def _encode_chunk_rows(tbl: pa.Table, part_key: str, seq: int) -> pa.RecordBatch:
             rows = []
             for col in ["row_id", *columns]:
                 arr = tbl.column(col).combine_chunks()
@@ -138,6 +191,7 @@ def _encode_partition_factory(columns, policy, page_target_bytes, chunk_target_b
                             "cardinality": chunk.cardinality,
                             "encodings": ",".join(chunk.encodings),
                             "compression": chunk.compression,
+                            "type_length": chunk.type_length,
                             "input_bytes": None,
                             "encoded_bytes": None,
                             "sha256": None,
@@ -167,16 +221,21 @@ def _encode_partition_factory(columns, policy, page_target_bytes, chunk_target_b
                         "cardinality": chunk.cardinality,
                         "encodings": ",".join(chunk.encodings),
                         "compression": chunk.compression,
+                        "type_length": chunk.type_length,
                         "input_bytes": chunk.input_bytes,
                         "encoded_bytes": chunk.encoded_bytes,
                         "sha256": chunk.sha256,
                         "n_pages": len(chunk.pages),
                     }
                 )
-            return pd.DataFrame(rows)
+            schema = _out_schema_pa()
+            arrays = [
+                pa.array([r[f.name] for r in rows], type=f.type) for f in schema
+            ]
+            return pa.RecordBatch.from_arrays(arrays, schema=schema)
 
-        for pdf in batches:
-            t = pa.Table.from_pandas(pdf, preserve_index=False)
+        for rb in batches:
+            t = pa.Table.from_batches([rb])
             pending.append(t)
             pending_bytes += t.nbytes
             if pending_bytes >= chunk_target_bytes:
@@ -202,6 +261,7 @@ def encode_table(
     resume_lineage: DataFrame | None = None,
     salt_col: str = "repo",
     size_col: str | None = None,
+    salt_target_rows: int | None = None,
 ) -> DataFrame:
     """Encode ``df`` (must carry row_id + the data columns) into a pages+
     lineage DataFrame (see ENCODED_SCHEMA).
@@ -215,9 +275,11 @@ def encode_table(
     num_partitions = num_partitions or max(spark.sparkContext.defaultParallelism, 8)
     if size_col is None:
         size_col = "content" if "content" in df.columns else columns[-1]
-    salted = salted_repartition(df, num_partitions, salt_target_bytes, size_col, salt_col)
+    salted = salted_repartition(
+        df, num_partitions, salt_target_bytes, size_col, salt_col, salt_target_rows
+    )
     if resume_lineage is not None:
         done = resume_lineage.filter(F.col("kind") == "chunk").select("part_key").distinct()
         salted = salted.join(F.broadcast(done), "part_key", "left_anti")
     fn = _encode_partition_factory(columns, policy, page_target_bytes, chunk_target_bytes, compression)
-    return salted.select("part_key", "row_id", *columns).mapInPandas(fn, schema=ENCODED_SCHEMA)
+    return salted.select("part_key", "row_id", *columns).mapInArrow(fn, schema=ENCODED_SCHEMA)

@@ -196,3 +196,67 @@ class TestSelectorAdversarial:
         auto, ref = self._sizes(arr)
         assert decode_chunk(ref).to_pylist() == arr.to_pylist()
         assert auto.compressed_bytes <= ref.compressed_bytes
+
+
+def test_flba_roundtrip():
+    # FIXED_LEN_BYTE_ARRAY chunks (the reference's column_chunk_writer_test
+    # uses FLBA); dict + plain + fallback paths
+    import hashlib
+
+    vals = [hashlib.md5(str(i % 7).encode()).digest() for i in range(50)] + [None]
+    arr = pa.array(vals, type=pa.binary(16))
+    for policy in ["auto", "plain", "dict", "reference"]:
+        chunk = encode_chunk(arr, policy=policy, page_target_bytes=128)
+        assert chunk.ptype == "FIXED_LEN_BYTE_ARRAY"
+        assert chunk.type_length == 16
+        out = decode_chunk(chunk)
+        assert out.to_pylist() == vals, policy
+
+
+def test_flba_unique_uuids_fallback():
+    import uuid
+
+    vals = [uuid.UUID(int=i * 7919).bytes for i in range(3000)]
+    arr = pa.array(vals, type=pa.binary(16))
+    ref = encode_chunk(arr, policy="reference", page_target_bytes=2048)
+    auto = encode_chunk(arr, policy="auto", page_target_bytes=2048)
+    assert decode_chunk(ref).to_pylist() == vals
+    assert decode_chunk(auto).to_pylist() == vals
+    assert auto.compressed_bytes <= ref.compressed_bytes
+
+
+def test_levels_v2_and_bit_packed():
+    from parquet4seastar_spark.codecs.levels import (
+        decode_levels_bit_packed,
+        decode_levels_v2,
+        encode_levels_v2,
+    )
+    from parquet4seastar_spark.codecs.bitpack import pack_bits
+
+    lv = np.array([0, 1, 2, 3, 2, 1, 0, 3, 3, 3], dtype=np.uint64)
+    enc = encode_levels_v2(lv, 3)
+    assert decode_levels_v2(enc, 3, len(lv)).tolist() == lv.tolist()
+    # deprecated BIT_PACKED decode (decode-only, like the reference)
+    packed = pack_bits(lv, 2)
+    assert decode_levels_bit_packed(packed, 3, len(lv)).tolist() == lv.tolist()
+
+
+def test_nested_level_sequences():
+    # file_writer_test.cc:100-115 level semantics: map<string,int32> column
+    # with row1 all-null (def=0) and row2 two entries (def=2, rep={0,1});
+    # max_def=2, max_rep=1 -> widths 2 and 1
+    from parquet4seastar_spark.codecs.levels import decode_levels_v1, encode_levels_v1
+
+    def_levels = np.array([0, 2, 2], dtype=np.uint64)  # row1 null, row2 two entries
+    rep_levels = np.array([0, 0, 1], dtype=np.uint64)
+    enc_def = encode_levels_v1(def_levels, 2)
+    enc_rep = encode_levels_v1(rep_levels, 1)
+    out_def, _ = decode_levels_v1(enc_def, 2, 3)
+    out_rep, _ = decode_levels_v1(enc_rep, 1, 3)
+    assert out_def.tolist() == [0, 2, 2]
+    assert out_rep.tolist() == [0, 0, 1]
+    # list<struct<float,double>> second row [null, struct]: def={2,3}, rep={0,1}
+    d2 = np.array([2, 3], dtype=np.uint64)
+    enc2 = encode_levels_v1(d2, 3)
+    out2, _ = decode_levels_v1(enc2, 3, 2)
+    assert out2.tolist() == [2, 3]
