@@ -217,6 +217,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_frames"] = multimodal_frames
 
+    # ---- streaming shapes
+    def windowed_events(spark, sf_dir):
+        from parquet4seastar_spark.engine.streaming import windowed_event_counts
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return windowed_event_counts(ev, window="1 hour")
+
+    q["windowed_event_counts"] = windowed_events
+
+    def stream_encode_smoke(spark, sf_dir):
+        """Structured Streaming ingest (availableNow) of documents ->
+        encoded pages+lineage; returns per-column chunk counts."""
+        import tempfile
+
+        from parquet4seastar_spark.engine.streaming import stream_encode
+        from parquet4seastar_spark.engine.verify import metrics_summary
+
+        with tempfile.TemporaryDirectory() as tmp:
+            src = f"{tmp}/in"
+            _docs_src(spark, sf_dir).write.parquet(src)
+            qry = stream_encode(
+                spark,
+                src,
+                "row_id long, text string, lang string, source string, n_chars long",
+                f"{tmp}/out",
+                f"{tmp}/ckpt",
+                columns=["text", "lang", "source", "n_chars"],
+                salt_col="source",
+            )
+            qry.awaitTermination()
+            enc = spark.read.parquet(f"{tmp}/out")
+            return metrics_summary(enc).select("column", "rows", "chunks").localCheckpoint()
+
+    q["stream_encode_smoke"] = stream_encode_smoke
+
     return q
 
 
@@ -295,6 +330,10 @@ def oracle_sql() -> dict[str, str]:
     """
     # multimodal_ingest: sha1 is not available in DuckDB -> rows-only check;
     # multimodal_frames metadata is fully SQL-derivable:
+    o["windowed_event_counts"] = (
+        "SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type, "
+        "count(*) AS n_events FROM events GROUP BY 1, 2"
+    )
     o["multimodal_frames"] = """
         SELECT doc_id, (u - 1) * 1024 AS frame_offset
         FROM (

@@ -134,16 +134,41 @@ def _match(data: np.ndarray, win: np.ndarray, table: SymbolTable) -> tuple[np.nd
     return mlen, code
 
 
+_SEGMENT = 1 << 18  # 256 KiB
+
+
 def _tokenize(data: np.ndarray, table: SymbolTable) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Greedy left-to-right tokenization; returns (positions, lengths, codes)."""
+    """Greedy left-to-right tokenization; returns (positions, lengths, codes).
+
+    Processed in 256 KiB segments so every temporary stays cache-resident
+    (multi-core scaling holds; cold-page cost bounded).  Tokens never span a
+    segment boundary: the _match tail guard rejects matches that would run
+    past the segment, costing at most 7 escape bytes per 256 KiB.
+    """
     n = len(data)
     if n == 0:
         empty = np.zeros(0, dtype=np.int64)
         return empty, empty, empty
-    win = _windows(data)
-    match_len, code = _match(data, win, table)
-    pos = chain_visit_bounded(match_len, max_jump=_MAX_LEN)
-    return pos, match_len[pos].astype(np.int64), code[pos].astype(np.int64)
+    if n <= _SEGMENT:
+        win = _windows(data)
+        match_len, code = _match(data, win, table)
+        pos = chain_visit_bounded(match_len, max_jump=_MAX_LEN)
+        return pos, match_len[pos].astype(np.int64), code[pos].astype(np.int64)
+    pos_parts, len_parts, code_parts = [], [], []
+    for s0 in range(0, n, _SEGMENT):
+        s1 = min(s0 + _SEGMENT, n)
+        seg = data[s0:s1]
+        win = _windows(seg)
+        match_len, code = _match(seg, win, table)
+        pos = chain_visit_bounded(match_len, max_jump=_MAX_LEN)
+        pos_parts.append(pos + s0)
+        len_parts.append(match_len[pos].astype(np.int64))
+        code_parts.append(code[pos].astype(np.int64))
+    return (
+        np.concatenate(pos_parts),
+        np.concatenate(len_parts),
+        np.concatenate(code_parts),
+    )
 
 
 def fsst_encode(data: bytes | np.ndarray, table: SymbolTable) -> bytes:

@@ -153,7 +153,7 @@ def _decompress(data: bytes, compression: str) -> bytes:
 # value payload encode/decode per codec
 
 
-def _encode_values(encoding: str, ptype: str, values, lengths=None, payload=None) -> bytes:
+def _encode_values(encoding: str, ptype: str, values, lengths=None, payload=None, fsst_table=None) -> bytes:
     """Encode the non-null values of one page."""
     if encoding == "PLAIN":
         if ptype == "BOOLEAN":
@@ -169,7 +169,9 @@ def _encode_values(encoding: str, ptype: str, values, lengths=None, payload=None
     if encoding == "DELTA_LENGTH_BYTE_ARRAY":
         return delta.dlba_encode(lengths.astype(np.int32), payload.tobytes())
     if encoding == "FSST":
-        table = fsst.train_symbol_table(payload[: 1 << 16])
+        # symbol table trained once per chunk and shared across pages
+        # (training costs ~60-90ms; per-page training caps throughput)
+        table = fsst_table if fsst_table is not None else fsst.train_symbol_table(payload[: 1 << 16])
         blob = fsst.fsst_encode(payload, table)
         return delta.dbp_encode(lengths.astype(np.int32), 4) + blob
     if encoding == "RLE":  # boolean RLE
@@ -242,6 +244,10 @@ def _page_boundaries(row_bytes: np.ndarray, target: int) -> np.ndarray:
         base = int(cum[end - 1])
         start = end
     return np.array(ends, dtype=np.int64)
+
+
+def _train_chunk_table(payload):
+    return fsst.train_symbol_table(np.ascontiguousarray(payload[: 1 << 16]))
 
 
 def _plain_size(ptype: str, n: int, lengths=None, type_length: int = 0) -> int:
@@ -342,6 +348,7 @@ def encode_chunk(
     nn_start = 0
     row_start = 0
     len_start = 0
+    chunk_fsst_table = None
     for pi, row_end in enumerate(page_ends.tolist()):
         if n == 0:
             break
@@ -357,7 +364,9 @@ def encode_chunk(
         elif ptype == "BYTE_ARRAY":
             pl = lengths[nn_start:nn_end]
             seg = payload[len_start : len_start + int(pl.sum())]
-            body = _encode_values(enc, ptype, None, pl, seg)
+            if enc == "FSST" and chunk_fsst_table is None:
+                chunk_fsst_table = _train_chunk_table(payload)
+            body = _encode_values(enc, ptype, None, pl, seg, chunk_fsst_table)
         else:
             body = _encode_values(enc, ptype, values[nn_start:nn_end])
         head = encode_levels_v1(page_valid.astype(np.uint64), max_def)
@@ -505,7 +514,7 @@ def _plan_codecs(policy, ptype, n, valid, values, lengths, payload, page_ends, n
     )
 
 
-def _candidate_bodies(enc, ptype, values, lengths, payload, page_ends_nn) -> list[bytes]:
+def _candidate_bodies(enc, ptype, values, lengths, payload, page_ends_nn, fsst_table=None) -> list[bytes]:
     """Actually encode a whole-chunk single-codec candidate; returns the
     per-page value bodies (level bytes are identical across candidates, so
     sizes compare on bodies alone).  The winner's bodies are reused by
@@ -518,7 +527,7 @@ def _candidate_bodies(enc, ptype, values, lengths, payload, page_ends_nn) -> lis
         if ptype == "BYTE_ARRAY":
             pl = lengths[start:end]
             seg = payload[off : off + int(pl.sum())]
-            bodies.append(_encode_values(enc, ptype, None, pl, seg))
+            bodies.append(_encode_values(enc, ptype, None, pl, seg, fsst_table))
             off += int(pl.sum())
         else:
             bodies.append(_encode_values(enc, ptype, values[start:end]))
@@ -624,7 +633,9 @@ def _auto_plan(ptype, n, values, lengths, payload, page_ends, nn_page_ends, allo
             table = fsst.train_symbol_table(sample)
             est_ratio = len(fsst.fsst_encode(sample, table)) / len(sample)
             if est_ratio < 0.95:
-                bodies = _candidate_bodies("FSST", ptype, values, lengths, payload, nn_page_ends)
+                bodies = _candidate_bodies(
+                    "FSST", ptype, values, lengths, payload, nn_page_ends, fsst_table=table
+                )
                 candidates["FSST"] = sum(map(len, bodies))
                 plans["FSST"] = (["FSST"] * n_pages, *no_dict[:-1], bodies)
 

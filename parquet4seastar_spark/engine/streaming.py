@@ -1,0 +1,80 @@
+"""Structured Streaming ingestion into the encode engine.
+
+The reference has no stream processing (Seastar futures are async I/O, not
+streaming -- SURVEY.md §2.4); this module is the engine's scale-path for
+continuously arriving source files: a file-source stream is encoded in
+micro-batches via foreachBatch -> encode_table, appending pages+lineage to
+the metrics table.  Checkpointing makes ingestion exactly-once at the
+batch level; the lineage anti-join (encode_job.resume) additionally makes
+manual re-runs idempotent.
+
+Also provides the watermarked windowed-aggregation shape over an event
+stream (late data tolerated up to the watermark), usable in both batch and
+streaming mode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .encode_job import encode_table
+
+
+def stream_encode(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    *,
+    columns: list[str] | None = None,
+    policy: str = "auto",
+    salt_col: str = "repo",
+    id_cols: list[str] | None = None,
+    available_now: bool = True,
+):
+    """Encode a growing directory of parquet files as a stream.
+
+    Each micro-batch runs the full distributed encode (salting, codec
+    auto-selection, lineage) and appends to ``output_dir``.  ``row_id`` is
+    derived deterministically from ``id_cols`` (xxhash64) when the input
+    has no row_id column.
+    """
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    def process_batch(df: DataFrame, batch_id: int) -> None:
+        if "row_id" not in df.columns:
+            df = df.withColumn("row_id", F.xxhash64(*(id_cols or df.columns)))
+        enc = encode_table(df, columns=columns, policy=policy, salt_col=salt_col)
+        enc.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(output_dir)
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Watermarked tumbling-window counts; works on both a static and a
+    streaming DataFrame (the watermark is a no-op in batch mode)."""
+    src = events
+    if src.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            key_col,
+            "n_events",
+        )
+    )
