@@ -125,6 +125,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["roundtrip_lineitem"] = roundtrip_lineitem
 
+    # ---- events round-trip: timestamp + double + strings through codecs
+    def roundtrip_events(spark, sf_dir):
+        from parquet4seastar_spark.engine.decode_job import decode_table
+        from parquet4seastar_spark.engine.encode_job import encode_table
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            F.col("event_id").alias("row_id"), "ts", "user_id", "event_type", "value", "props"
+        )
+        cols = ["ts", "user_id", "event_type", "value", "props"]
+        enc = encode_table(
+            ev, columns=cols, policy="auto", salt_col="event_type", num_partitions=4,
+            size_col="props",
+        )
+        return decode_table(enc, cols).select(F.col("row_id").alias("event_id"), *cols)
+
+    q["roundtrip_events"] = roundtrip_events
+
     # ---- metrics (rows-only: compression numbers have no SQL oracle)
     def encode_metrics_documents(spark, sf_dir):
         from parquet4seastar_spark.engine.encode_job import encode_table
@@ -270,6 +287,9 @@ def oracle_sql() -> dict[str, str]:
     o["roundtrip_dict_fallback"] = "SELECT doc_id, md5(text) AS h FROM documents"
     o["roundtrip_lineitem"] = (
         "SELECT l_orderkey, l_linenumber, l_extendedprice, l_returnflag FROM lineitem"
+    )
+    o["roundtrip_events"] = (
+        "SELECT event_id, ts, user_id, event_type, value, props FROM events"
     )
     o["doc_stats_by_lang"] = (
         "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars, "

@@ -102,6 +102,15 @@ def pa_ptype(arr: pa.Array) -> tuple[str, str]:
     t = arr.type
     if pa.types.is_fixed_size_binary(t):
         return "FIXED_LEN_BYTE_ARRAY", "flba"
+    # logical types layered on INT32/INT64 physical storage, mirroring the
+    # reference's logical_type validation rules ("TIMESTAMP must annotate
+    # INT64", logical_type.cc:47; DATE annotates INT32)
+    if pa.types.is_timestamp(t):
+        if t.unit != "us":
+            raise TypeError(f"timestamp unit {t.unit} unsupported (use us)")
+        return "INT64", "timestamp_us"
+    if pa.types.is_date32(t):
+        return "INT32", "date"
     if t in _PA_TO_PTYPE:
         ptype = _PA_TO_PTYPE[t]
         logical = {
@@ -278,6 +287,10 @@ def encode_chunk(
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     ptype, logical = pa_ptype(arr)
+    if logical == "timestamp_us":
+        arr = arr.cast(pa.int64())
+    elif logical == "date":
+        arr = arr.cast(pa.int32())
     n = len(arr)
     num_nulls = arr.null_count
     if nullable is None:
@@ -757,4 +770,9 @@ def decode_chunk(chunk: EncodedChunk) -> pa.Array:
     vals = np.concatenate(fixed_parts) if fixed_parts else np.zeros(0, dtype=_FIXED_DTYPES[ptype])
     full = np.zeros(n, dtype=_FIXED_DTYPES[ptype])
     full[valid] = vals
-    return pa.array(full, mask=~valid if chunk.num_nulls else None)
+    out = pa.array(full, mask=~valid if chunk.num_nulls else None)
+    if chunk.logical == "timestamp_us":
+        return out.cast(pa.timestamp("us"))
+    if chunk.logical == "date":
+        return out.cast(pa.date32())
+    return out

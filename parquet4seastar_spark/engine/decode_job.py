@@ -25,6 +25,8 @@ _SPARK_TYPES = {
     "flba": "binary",
     "int32": "int",
     "int64": "long",
+    "timestamp_us": "timestamp_ntz",
+    "date": "date",
     "float": "float",
     "double": "double",
     "bool": "boolean",
@@ -36,6 +38,8 @@ _PA_TYPES = {
     "flba": pa.binary(),
     "int32": pa.int32(),
     "int64": pa.int64(),
+    "timestamp_us": pa.timestamp("us"),
+    "date": pa.date32(),
     "float": pa.float32(),
     "double": pa.float64(),
     "bool": pa.bool_(),

@@ -158,7 +158,9 @@ def _encode_partition_factory(columns, policy, page_target_bytes, chunk_target_b
             rows = []
             for col in ["row_id", *columns]:
                 arr = tbl.column(col).combine_chunks()
-                cpolicy = "DELTA_BINARY_PACKED" if col == "row_id" else policy
+                # row_id gets int auto-selection regardless of the value
+                # policy (sequential ids -> DBP ~free; random ids -> PLAIN)
+                cpolicy = "auto" if col == "row_id" else policy
                 chunk = encode_chunk(
                     arr,
                     policy=cpolicy,

@@ -1,0 +1,143 @@
+"""Training-data pipeline operators over the driver testdata tables."""
+
+import pyspark.sql.functions as F
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.read.parquet(f"{SF}/documents.parquet").cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    df = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_exact_dedup(spark, docs):
+    from parquet4seastar_spark.operators.dedup import exact_dedup
+
+    out = exact_dedup(docs)
+    total = out.agg(F.sum("n_copies")).collect()[0][0]
+    assert total == docs.count()
+    assert out.count() == docs.select("text").distinct().count()
+
+
+def test_minhash_self_similarity(spark, docs):
+    from parquet4seastar_spark.operators.dedup import minhash_signatures
+
+    # identical texts must produce identical signatures
+    dup = docs.limit(5).select(F.col("doc_id") + 100000, "text").toDF("doc_id", "text")
+    both = docs.limit(5).select("doc_id", "text").union(dup)
+    sigs = {r["doc_id"]: tuple(r["sig"]) for r in minhash_signatures(both).collect()}
+    for lo in sorted(sigs)[:5]:
+        assert sigs[lo] == sigs[lo + 100000]
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    from parquet4seastar_spark.operators.dedup import minhash_lsh_pairs
+
+    # inject a near-duplicate of doc 0 (append a few words)
+    base = docs.filter(F.col("doc_id") == 0).select("text").collect()[0][0]
+    near = spark.createDataFrame([(99999, base + " tail tail")], ["doc_id", "text"])
+    both = docs.select("doc_id", "text").union(near)
+    pairs = minhash_lsh_pairs(both, threshold=0.6).collect()
+    assert any({p["doc_a"], p["doc_b"]} == {0, 99999} for p in pairs)
+
+
+def test_simhash_hamming_locality(spark, docs):
+    from parquet4seastar_spark.operators.dedup import simhash
+
+    base = docs.filter(F.col("doc_id") == 0).select("text").collect()[0][0]
+    near = spark.createDataFrame([(99999, base + " x")], ["doc_id", "text"])
+    out = {r["doc_id"]: r["simhash"] for r in simhash(docs.select("doc_id", "text").union(near)).collect()}
+    ham = bin((out[0] ^ out[99999]) & ((1 << 64) - 1)).count("1")
+    assert ham <= 6  # near-identical docs -> close fingerprints
+
+
+def test_brute_force_topk_self_first(spark, embeddings):
+    from parquet4seastar_spark.operators.similarity import brute_force_topk
+
+    q = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = brute_force_topk(embeddings, q, k=5).collect()
+    first = {r["query_id"]: r["neighbor_id"] for r in out if r["rank"] == 1}
+    assert first == {0: 0, 1: 1, 2: 2}  # each vector is its own nearest
+
+
+def test_lsh_topk_contains_self(spark, embeddings):
+    from parquet4seastar_spark.operators.similarity import lsh_topk
+
+    q = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = lsh_topk(embeddings, q, k=3, bits=4).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    for qid, ns in by_q.items():
+        assert qid in ns  # self always lands in its own bucket
+
+
+def test_language_id_markers(spark):
+    from parquet4seastar_spark.operators.text import language_id
+
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog of the house"), (2, "der hund ist nicht die katze und"), (3, "zzz qqq")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["lang_guess"] for r in language_id(df).collect()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "und"
+
+
+def test_multimodal_plumbing(spark, docs):
+    from parquet4seastar_spark.operators.multimodal import decode_image, frame_sample, ingest_media
+
+    media = ingest_media(docs.limit(20))
+    rows = media.collect()
+    assert all(r["n_bytes"] == len(r["media"]) for r in rows)
+    # stub raises without fake=True
+    with pytest.raises(Exception):
+        decode_image(media, fake=False).collect()
+    thumbs = decode_image(media, fake=True).collect()
+    assert all(len(r["thumb8x8"]) == 64 for r in thumbs)
+    frames = frame_sample(media, every_n_bytes=512)
+    n = frames.count()
+    assert n >= 20  # at least one frame per doc
+
+
+def test_stream_encode_roundtrip(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from parquet4seastar_spark.engine.decode_job import decode_table
+    from parquet4seastar_spark.engine.streaming import stream_encode
+
+    src_dir = str(tmp_path / "in")
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").alias("row_id"), "text", "source"
+    )
+    docs.write.parquet(src_dir)
+    q = stream_encode(
+        spark,
+        src_dir,
+        "row_id long, text string, source string",
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        columns=["text", "source"],
+        salt_col="source",
+    )
+    q.awaitTermination()
+    enc = spark.read.parquet(str(tmp_path / "out"))
+    dec = decode_table(enc, ["text"]).withColumnRenamed("text", "text_dec")
+    joined = docs.join(dec, "row_id")
+    assert joined.filter(~F.col("text").eqNullSafe(F.col("text_dec"))).count() == 0
+    assert joined.count() == docs.count()

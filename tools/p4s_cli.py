@@ -1,0 +1,185 @@
+"""CLI driver for the encode engine -- the spark-submit equivalent of the
+reference's apps/parquet2cql/main.cc (CLI: --file --table --pk -> stdout
+CQL) plus the write-path the reference exposes only as a library.
+
+Usage (also runnable via spark-submit --py-files for cluster deployment):
+
+  python tools/p4s_cli.py encode  --input DIR --output DIR [--policy auto]
+                                  [--columns a,b,c] [--salt-col repo]
+  python tools/p4s_cli.py decode  --input DIR --output DIR --columns a,b,c
+  python tools/p4s_cli.py verify  --source DIR --encoded DIR --columns a,b,c
+  python tools/p4s_cli.py metrics --encoded DIR
+  python tools/p4s_cli.py dump-cql --encoded DIR --table t --pk row_id
+                                  --columns a,b,c [--limit 20]
+
+dump-cql decodes the pages table and renders CREATE TABLE + INSERT
+statements like the reference's cql_reader (cql_reader.cc:239-400 schema,
+:150-222 row rendering) -- scoped to the flat column types our engine
+stores.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _spark(args):
+    from parquet4seastar_spark.engine.session import get_spark
+
+    spark = get_spark(app_name="p4s-cli", master=args.master)
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+_CQL_TYPES = {
+    "string": "text",
+    "binary": "blob",
+    "flba": "blob",
+    "int32": "int",
+    "int64": "bigint",
+    "float": "float",
+    "double": "double",
+    "bool": "boolean",
+    "timestamp_us": "timestamp",
+    "date": "date",
+}
+
+
+def cmd_encode(args):
+    import pyspark.sql.functions as F
+
+    from parquet4seastar_spark.engine.encode_job import encode_table
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    if "row_id" not in df.columns:
+        df = df.withColumn("row_id", F.xxhash64(*df.columns))
+    columns = args.columns.split(",") if args.columns else None
+    resume = None
+    if args.resume_from:
+        resume = spark.read.parquet(args.resume_from)
+    enc = encode_table(
+        df, columns=columns, policy=args.policy, salt_col=args.salt_col, resume_lineage=resume
+    )
+    enc.write.mode(args.mode).parquet(args.output)
+    n = spark.read.parquet(args.output).filter(F.col("kind") == "chunk").count()
+    print(f"wrote {args.output}: {n} chunks")
+    spark.stop()
+
+
+def cmd_decode(args):
+    from parquet4seastar_spark.engine.decode_job import decode_table
+
+    spark = _spark(args)
+    enc = spark.read.parquet(args.input)
+    out = decode_table(enc, args.columns.split(","))
+    out.write.mode(args.mode).parquet(args.output)
+    print(f"wrote {args.output}: {spark.read.parquet(args.output).count()} rows")
+    spark.stop()
+
+
+def cmd_verify(args):
+    from parquet4seastar_spark.engine.verify import roundtrip_verify
+
+    spark = _spark(args)
+    source = spark.read.parquet(args.source)
+    encoded = spark.read.parquet(args.encoded)
+    res = roundtrip_verify(source, encoded, args.columns.split(",")).collect()[0]
+    print(dict(res.asDict()))
+    bad = sum(v for k, v in res.asDict().items() if k.endswith("_mismatches"))
+    spark.stop()
+    sys.exit(1 if bad else 0)
+
+
+def cmd_metrics(args):
+    from parquet4seastar_spark.engine.verify import metrics_summary
+
+    spark = _spark(args)
+    metrics_summary(spark.read.parquet(args.encoded)).show(100, truncate=False)
+    spark.stop()
+
+
+def cmd_dump_cql(args):
+    from parquet4seastar_spark.engine.decode_job import decode_table
+
+    spark = _spark(args)
+    enc = spark.read.parquet(args.encoded)
+    columns = args.columns.split(",")
+    logicals = {
+        r["column"]: r["logical"]
+        for r in enc.select("column", "logical").distinct().collect()
+    }
+    cols = ["row_id", *columns]
+    ddl_cols = ", ".join(f"{c} {_CQL_TYPES[logicals[c]]}" for c in cols)
+    print(f"CREATE TABLE {args.table} ({ddl_cols}, PRIMARY KEY ({args.pk}));")
+    rows = decode_table(enc, columns).orderBy("row_id").limit(args.limit).collect()
+    for r in rows:
+        vals = []
+        for c in cols:
+            v = r[c]
+            if v is None:
+                vals.append("null")
+            elif logicals[c] in ("string",):
+                vals.append("'" + str(v).replace("'", "''") + "'")
+            elif logicals[c] in ("binary", "flba"):
+                vals.append("0x" + bytes(v).hex())
+            elif logicals[c] == "timestamp_us":
+                vals.append("'" + v.isoformat() + "'")
+            elif logicals[c] == "bool":
+                vals.append("true" if v else "false")
+            else:
+                vals.append(str(v))
+        print(f"INSERT INTO {args.table} ({', '.join(cols)}) VALUES ({', '.join(vals)});")
+    spark.stop()
+
+
+def main():
+    ap = argparse.ArgumentParser(prog="p4s_cli")
+    ap.add_argument("--master", default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("encode")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--policy", default="auto")
+    p.add_argument("--columns", default=None)
+    p.add_argument("--salt-col", default="repo")
+    p.add_argument("--resume-from", default=None)
+    p.add_argument("--mode", default="overwrite")
+    p.set_defaults(fn=cmd_encode)
+
+    p = sub.add_parser("decode")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--columns", required=True)
+    p.add_argument("--mode", default="overwrite")
+    p.set_defaults(fn=cmd_decode)
+
+    p = sub.add_parser("verify")
+    p.add_argument("--source", required=True)
+    p.add_argument("--encoded", required=True)
+    p.add_argument("--columns", required=True)
+    p.set_defaults(fn=cmd_verify)
+
+    p = sub.add_parser("metrics")
+    p.add_argument("--encoded", required=True)
+    p.set_defaults(fn=cmd_metrics)
+
+    p = sub.add_parser("dump-cql")
+    p.add_argument("--encoded", required=True)
+    p.add_argument("--table", required=True)
+    p.add_argument("--pk", default="row_id")
+    p.add_argument("--columns", required=True)
+    p.add_argument("--limit", type=int, default=20)
+    p.set_defaults(fn=cmd_dump_cql)
+
+    args = ap.parse_args()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
