@@ -215,6 +215,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_lsh_topk"] = ann_lsh
 
+    def ann_ivf(spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return similarity.ivf_topk(emb, _queries_df(spark, sf_dir), k=5, n_clusters=8, n_probe=4)
+
+    q["ann_ivf_topk"] = ann_ivf
+
     def embedding_near_dups(spark, sf_dir):
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         return similarity.embedding_near_dups(emb, threshold=0.99).select("id_a", "id_b")

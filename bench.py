@@ -164,6 +164,16 @@ def main():
     queries["encode_local4"] = lo["wall_sec"]
     queries["encode_local16"] = hi["wall_sec"]
 
+    # policy comparison at 16 cores on the same input (ratio + throughput)
+    global POLICY
+    saved = POLICY
+    for pol in ("auto_fast", "reference"):
+        POLICY = pol
+        r = encode_bench(16, data_path, content_bytes)
+        out["encode"][f"local16_{pol}"] = r
+        queries[f"encode_local16_{pol}"] = r["wall_sec"]
+    POLICY = saved
+
     # --- phase 2: headline operator queries at the sf dir
     import __spark_entry__ as entrymod
 

@@ -273,6 +273,11 @@ def encode_table(
     via a broadcast anti-join (north rule: resumable re-runs).
     """
     columns = columns or [c for c in DATA_COLUMNS if c in df.columns]
+    if not columns:
+        raise ValueError(
+            "no encodable columns: pass columns=[...] explicitly "
+            f"(input has {df.columns}; defaults cover {DATA_COLUMNS})"
+        )
     spark = df.sparkSession
     num_partitions = num_partitions or max(spark.sparkContext.defaultParallelism, 8)
     if size_col is None:

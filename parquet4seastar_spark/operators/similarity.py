@@ -118,3 +118,90 @@ def embedding_near_dups(
         _cosine_expr(F.col("l.v"), F.col("r.v")).alias("cosine"),
     )
     return pairs.filter(F.col("cosine") >= threshold)
+
+
+def _kmeans(mat: np.ndarray, k: int, iters: int = 10, seed: int = 5) -> np.ndarray:
+    """Plain Lloyd's k-means on a sample (numpy); returns (k, dim) centroids."""
+    rng = np.random.default_rng(seed)
+    centroids = mat[rng.choice(len(mat), size=min(k, len(mat)), replace=False)].astype(np.float64)
+    for _ in range(iters):
+        # squared distances via ||x||^2 - 2 x.c + ||c||^2
+        d = (
+            (mat * mat).sum(axis=1)[:, None]
+            - 2.0 * (mat @ centroids.T)
+            + (centroids * centroids).sum(axis=1)[None, :]
+        )
+        assign = d.argmin(axis=1)
+        for c in range(len(centroids)):
+            members = mat[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def ivf_assignments(
+    embeddings: DataFrame, centroids: np.ndarray, n_probe: int = 1,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster) rows: nearest n_probe centroids per vector (n_probe=1
+    for corpus assignment; >1 for query probe lists)."""
+    cb = centroids  # captured in the closure -> shipped to executors once
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cn = (cb * cb).sum(axis=1)
+        for pdf in batches:
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d = (mat * mat).sum(axis=1)[:, None] - 2.0 * (mat @ cb.T) + cn[None, :]
+            order = np.argsort(d, axis=1)[:, :n_probe]
+            ids = np.repeat(pdf[id_col].to_numpy(), n_probe)
+            yield pd.DataFrame({id_col: ids, "cluster": order.reshape(-1).astype(np.int32)})
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        compute, schema=f"{id_col} long, cluster int"
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 2048,
+    seed: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: coarse k-means quantizer, exact cosine only
+    within each query's n_probe nearest clusters.
+
+    The quantizer trains on a bounded sample (driver-side by design -- the
+    training set is small regardless of corpus size); centroids broadcast in
+    the UDF closure; corpus assignment is one map-side pass; search joins on
+    cluster id, so each query scores ~n_probe/n_clusters of the corpus.
+    """
+    sample = embeddings.select(vec_col).limit(train_sample).collect()
+    mat = np.stack([r[vec_col] for r in sample]).astype(np.float64)
+    centroids = _kmeans(mat, n_clusters, seed=seed)
+
+    corpus_assign = ivf_assignments(embeddings, centroids, 1, id_col, vec_col)
+    emb = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("nv")
+    ).join(corpus_assign.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
+
+    q_emb = queries.select(F.col("query_id").alias(id_col), F.col("query_vec").alias(vec_col))
+    probes = ivf_assignments(q_emb, centroids, n_probe, id_col, vec_col).withColumnRenamed(
+        id_col, "query_id"
+    )
+    q = queries.select("query_id", F.col("query_vec").cast("array<double>").alias("qv")).join(
+        probes, "query_id"
+    )
+    cand = emb.join(q, "cluster").select(
+        "query_id", "neighbor_id", _cosine_expr(F.col("qv"), F.col("nv")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -96,3 +96,22 @@ def test_reference_policy_not_smaller_than_auto(spark, source):
     r = {r["column"]: r["encoded_bytes"] for r in metrics_summary(enc_ref).collect()}
     for col in ["repo", "path", "commit", "lang", "content"]:
         assert a[col] <= r[col], col
+
+
+def test_engine_gzip_compression(spark, source):
+    enc = encode_table(
+        source, columns=["content"], num_partitions=2, compression="gzip"
+    )
+    res = roundtrip_verify(source, enc, ["content"]).collect()[0]
+    assert res["content_mismatches"] == 0
+    chunks = enc.filter(F.col("kind") == "chunk").filter(F.col("column") == "content")
+    row = chunks.agg(F.sum("uncompressed_size").alias("u"), F.sum("compressed_size").alias("c")).collect()[0]
+    assert row["c"] < row["u"]  # gzip layer actually compresses
+
+
+def test_encode_table_rejects_no_columns(spark):
+    import pytest as _pytest
+
+    df = spark.range(3).withColumnRenamed("id", "row_id").withColumn("x", F.lit("a"))
+    with _pytest.raises(Exception, match="no encodable columns"):
+        encode_table(df.select("row_id"), columns=None)

@@ -141,3 +141,23 @@ def test_stream_encode_roundtrip(spark, tmp_path):
     joined = docs.join(dec, "row_id")
     assert joined.filter(~F.col("text").eqNullSafe(F.col("text_dec"))).count() == 0
     assert joined.count() == docs.count()
+
+
+def test_ivf_topk_recall(spark, embeddings):
+    from parquet4seastar_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    q = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = brute_force_topk(embeddings, q, k=5).collect()
+    approx = ivf_topk(embeddings, q, k=5, n_clusters=8, n_probe=4).collect()
+    ex = {}
+    ap = {}
+    for r in exact:
+        ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx:
+        ap.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # self always found; recall@5 with half the clusters probed >= 0.4 overall
+    hits = sum(len(ex[qid] & ap.get(qid, set())) for qid in ex)
+    assert all(qid in ap.get(qid, set()) for qid in ex)
+    assert hits >= 0.4 * sum(len(v) for v in ex.values())
