@@ -34,7 +34,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BENCH_DIR = os.environ.get("P4S_BENCH_DIR", "/tmp/p4s_bench")
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-ROWS = int(os.environ.get("P4S_BENCH_ROWS", "800000"))
+ROWS = int(os.environ.get("P4S_BENCH_ROWS", "400000"))
 POLICY = os.environ.get("P4S_BENCH_POLICY", "auto")
 
 HEADLINE_QUERIES = [
@@ -86,13 +86,18 @@ def ensure_bench_data(spark) -> tuple[str, int, int]:
     return path, meta["rows"], meta["content_bytes"]
 
 
-def encode_bench(cpus: int, data_path: str, content_bytes: int) -> dict:
+def encode_bench(
+    cpus: int, data_path: str, content_bytes: int, repeats: int = 2, spark=None, policy=None
+) -> dict:
     """Run the full encode job at the given parallelism; returns metrics."""
     import pyspark.sql.functions as F
 
     from parquet4seastar_spark.engine.encode_job import encode_table
 
-    spark = _new_spark(cpus)
+    own_session = spark is None
+    if own_session:
+        spark = _new_spark(cpus)
+    policy = policy or POLICY
     try:
         df = spark.read.parquet(data_path)
         # warm-up: spin up python workers and pull the input through the
@@ -110,11 +115,11 @@ def encode_bench(cpus: int, data_path: str, content_bytes: int) -> dict:
         # variance, and the second run measures warm steady state (what a
         # long-running cluster sees)
         best = None
-        for _ in range(2):
+        for _ in range(repeats):
             t0 = time.perf_counter()
             enc = encode_table(
                 df,
-                policy=POLICY,
+                policy=policy,
                 num_partitions=cpus * 2,
                 chunk_target_bytes=16 << 20,
                 salt_target_bytes=16 << 20,
@@ -126,6 +131,7 @@ def encode_bench(cpus: int, data_path: str, content_bytes: int) -> dict:
             if best is None or wall < best[0]:
                 best = (wall, agg)
         wall, agg = best
+        print(f"[bench] encode cpus={cpus} policy={policy}: {wall:.1f}s", file=sys.stderr)
         return {
             "cpus": cpus,
             "wall_sec": round(wall, 2),
@@ -135,7 +141,8 @@ def encode_bench(cpus: int, data_path: str, content_bytes: int) -> dict:
             "ratio": round(agg["out_b"] / agg["in_b"], 4),
         }
     finally:
-        spark.stop()
+        if own_session:
+            spark.stop()
 
 
 def main():
@@ -150,29 +157,27 @@ def main():
     data_path, rows, content_bytes = ensure_bench_data(spark)
     spark.stop()
     lo = encode_bench(4, data_path, content_bytes)
-    hi = encode_bench(16, data_path, content_bytes)
-    over = encode_bench(32, data_path, content_bytes)
+    # one 16-core session serves the 4N leg plus the policy comparison
+    spark16 = _new_spark(16)
+    hi = encode_bench(16, data_path, content_bytes, spark=spark16)
+    comparison = {}
+    for pol in ("auto_fast", "reference"):
+        comparison[pol] = encode_bench(
+            16, data_path, content_bytes, repeats=1, spark=spark16, policy=pol
+        )
+    spark16.stop()
     eff = (hi["throughput_mb_s"] / lo["throughput_mb_s"]) / (16 / 4)
     out["encode"] = {
         "rows": rows,
         "content_mb": round(content_bytes / 1e6, 1),
         "local4": lo,
         "local16": hi,
-        "local32_oversubscribed": over,
         "scaling_efficiency_4_to_16": round(eff, 3),
     }
+    for pol, r in comparison.items():
+        out["encode"][f"local16_{pol}"] = r
     queries["encode_local4"] = lo["wall_sec"]
     queries["encode_local16"] = hi["wall_sec"]
-
-    # policy comparison at 16 cores on the same input (ratio + throughput)
-    global POLICY
-    saved = POLICY
-    for pol in ("auto_fast", "reference"):
-        POLICY = pol
-        r = encode_bench(16, data_path, content_bytes)
-        out["encode"][f"local16_{pol}"] = r
-        queries[f"encode_local16_{pol}"] = r["wall_sec"]
-    POLICY = saved
 
     # --- phase 2: headline operator queries at the sf dir
     import __spark_entry__ as entrymod
