@@ -67,6 +67,9 @@ def windowed_event_counts(
     """Watermarked tumbling-window counts; works on both a static and a
     streaming DataFrame (the watermark is a no-op in batch mode)."""
     src = events
+    if dict(src.dtypes).get(ts_col) == "timestamp_ntz":
+        # watermarks require TIMESTAMP; interpret NTZ in the session zone
+        src = src.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     if src.isStreaming:
         src = src.withWatermark(ts_col, watermark)
     return (

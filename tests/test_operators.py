@@ -161,3 +161,34 @@ def test_ivf_topk_recall(spark, embeddings):
     hits = sum(len(ex[qid] & ap.get(qid, set())) for qid in ex)
     assert all(qid in ap.get(qid, set()) for qid in ex)
     assert hits >= 0.4 * sum(len(v) for v in ex.values())
+
+
+def test_windowed_event_counts_streaming_mode(spark, tmp_path):
+    """The same windowed aggregation runs as a real stream with a watermark
+    (file source, availableNow) and matches the batch result."""
+    import pyspark.sql.functions as F
+
+    from parquet4seastar_spark.engine.streaming import windowed_event_counts
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    src = str(tmp_path / "ev")
+    ev.write.parquet(src)
+    batch = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in windowed_event_counts(ev).collect()
+    }
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = windowed_event_counts(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.sql("select * from win_counts").collect()
+    }
+    assert streamed == batch
