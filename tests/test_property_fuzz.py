@@ -1,0 +1,64 @@
+"""Property-based round-trip fuzzing (hypothesis) -- beyond the reference's
+test pyramid (SURVEY.md §5 notes it has no randomized fuzzing)."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings, strategies as st
+
+from parquet4seastar_spark.codecs.delta import dbp_decode, dbp_encode
+from parquet4seastar_spark.codecs.fsst import fsst_decode, fsst_encode, train_symbol_table
+from parquet4seastar_spark.codecs.pages import decode_chunk, encode_chunk
+from parquet4seastar_spark.codecs.rle import rle_decode, rle_encode
+
+I64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+I32 = st.integers(min_value=-(2**31), max_value=2**31 - 1)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=7), max_size=300))
+def test_rle_roundtrip_fuzz(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    out = rle_decode(rle_encode(arr, 3), 3, len(arr))
+    assert out.tolist() == vals
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(I64, max_size=600))
+def test_dbp64_roundtrip_fuzz(vals):
+    arr = np.array(vals, dtype=np.int64)
+    out, _ = dbp_decode(dbp_encode(arr, 8), 8)
+    assert out.tolist() == vals
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(I32, max_size=600))
+def test_dbp32_roundtrip_fuzz(vals):
+    arr = np.array(vals, dtype=np.int32)
+    out, _ = dbp_decode(dbp_encode(arr, 4), 4)
+    assert out.tolist() == vals
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.binary(max_size=5000))
+def test_fsst_roundtrip_fuzz(data):
+    table = train_symbol_table(data[:2048])
+    assert fsst_decode(fsst_encode(data, table)) == data
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.one_of(st.none(), st.text(max_size=80)), max_size=200),
+    st.sampled_from(["auto", "plain", "reference", "dict"]),
+)
+def test_string_chunk_roundtrip_fuzz(vals, policy):
+    arr = pa.array(vals, type=pa.string())
+    chunk = encode_chunk(arr, policy=policy, page_target_bytes=512)
+    assert decode_chunk(chunk).to_pylist() == vals
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.one_of(st.none(), I64), max_size=300))
+def test_int_chunk_roundtrip_fuzz(vals):
+    arr = pa.array(vals, type=pa.int64())
+    chunk = encode_chunk(arr, policy="auto", page_target_bytes=256)
+    assert decode_chunk(chunk).to_pylist() == vals
