@@ -165,6 +165,34 @@ def main():
         comparison[pol] = encode_bench(
             16, data_path, content_bytes, repeats=1, spark=spark16, policy=pol
         )
+    # decode throughput: materialize the encoded table once, time the full
+    # distributed decode of the content column
+    import pyspark.sql.functions as F
+
+    from parquet4seastar_spark.engine.decode_job import decode_table
+    from parquet4seastar_spark.engine.encode_job import encode_table
+
+    enc_path = f"{BENCH_DIR}/encoded_{ROWS}_{POLICY}"
+    if not os.path.exists(enc_path):
+        encode_table(
+            spark16.read.parquet(data_path), policy=POLICY, num_partitions=32,
+            chunk_target_bytes=16 << 20, salt_target_bytes=16 << 20,
+        ).write.parquet(enc_path)
+    enc_df = spark16.read.parquet(enc_path)
+    best_dec = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        decode_table(enc_df, ["content"]).agg(
+            F.sum(F.octet_length("content"))
+        ).collect()
+        d = time.perf_counter() - t0
+        best_dec = d if best_dec is None or d < best_dec else best_dec
+    out_decode = {
+        "cpus": 16,
+        "wall_sec": round(best_dec, 2),
+        "throughput_mb_s": round(content_bytes / 1e6 / best_dec, 1),
+    }
+    print(f"[bench] decode cpus=16: {best_dec:.1f}s", file=sys.stderr)
     spark16.stop()
     eff = (hi["throughput_mb_s"] / lo["throughput_mb_s"]) / (16 / 4)
     out["encode"] = {
@@ -176,8 +204,10 @@ def main():
     }
     for pol, r in comparison.items():
         out["encode"][f"local16_{pol}"] = r
+    out["decode_local16"] = out_decode
     queries["encode_local4"] = lo["wall_sec"]
     queries["encode_local16"] = hi["wall_sec"]
+    queries["decode_local16"] = out_decode["wall_sec"]
 
     # --- phase 2: headline operator queries at the sf dir
     import __spark_entry__ as entrymod
