@@ -1,0 +1,60 @@
+"""Physical-plan regression tests: lock in the scale-critical properties
+documented in PLANS.md (broadcast joins, predicate pushdown, column
+pruning, single-shuffle salting)."""
+
+import pyspark.sql.functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_salted_repartition_broadcasts_sizes(spark):
+    from parquet4seastar_spark.engine.encode_job import salted_repartition
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").alias("row_id"), "text", F.col("source").alias("repo")
+    )
+    plan = _plan(salted_repartition(docs, 4, size_col="text"))
+    assert "BroadcastHashJoin" in plan  # per-repo sizes join is broadcast
+    # exactly ONE shuffle moves the value bytes (the part_key repartition);
+    # the second hashpartitioning is the tiny one-row-per-repo aggregate
+    assert plan.count("Exchange hashpartitioning(part_key") == 1
+
+
+def test_scan_pruning_and_pushdown(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = docs.select("doc_id", "lang").filter(F.col("lang") == "en")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+    assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan
+
+
+def test_row_count_salting_prunes_value_column(spark):
+    from parquet4seastar_spark.engine.encode_job import salted_repartition
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").alias("row_id"), "text", F.col("source").alias("repo")
+    )
+    salted = salted_repartition(docs, 4, salt_target_rows=1000)
+    # the sizes aggregate subtree must not read the value bytes
+    opt = _optimized(salted)
+    assert "count(1)" in opt  # row-count mode, not octet_length sum
+
+
+def test_ann_corpus_never_shuffles(spark):
+    from parquet4seastar_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    plan = _plan(brute_force_topk(emb, q, k=5))
+    assert "BroadcastNestedLoopJoin" in plan  # queries broadcast to the corpus
+    assert "WindowGroupLimit" in plan  # top-k rank pushdown before the sort
