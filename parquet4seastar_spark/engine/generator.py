@@ -5,11 +5,13 @@ Input shape mandated by BASELINE.json input_hint:
 plus a stable ``row_id`` (int64) used by the round-trip verifier.
 
 Design for scale:
-- generated distributively from ``spark.range`` via ``mapInPandas`` -- no
-  driver-side materialization, any row count;
+- generated distributively from ``spark.range`` via ``mapInArrow``; the
+  content column is assembled as one arrow buffer per batch (offsets +
+  payload gather) -- value bytes never materialize as per-row Python
+  strings, honoring the input_hint's "no per-row Python";
 - fully deterministic from (seed, row index): re-running at any
-  parallelism yields identical rows (generation state is per-row, not
-  per-partition);
+  parallelism yields identical rows (generation state is per-row
+  counter-hash, not per-partition RNG);
 - repo sizes follow a Zipf(alpha) distribution => heavy skew, exercising the
   engine's salted repartitioning (FIXTURES.md §1);
 - content is sliced from per-language deterministic token-soup corpora with
@@ -24,6 +26,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 
 LANGS = [
@@ -44,27 +47,43 @@ _CORPUS_BYTES = 1 << 20
 
 
 def _corpus_for(lang: str, seed: int) -> np.ndarray:
-    """Deterministic ~1 MiB token soup for one language."""
+    """Deterministic ~1 MiB token soup for one language (fully vectorized:
+    token picks are gathered from a concatenated pool buffer)."""
     rng = np.random.default_rng(abs(hash((lang, seed))) % (2**63))
     words = (_KEYWORDS.get(lang, _DEFAULT_KW)).split()
     idents = [f"v{i}".encode() for i in range(40)] + [f"fn_{i}".encode() for i in range(20)]
     seps = [b" ", b" ", b"\n", b"(", b")", b" = ", b"., ", b";\n", b"    "]
     pool = words * 4 + idents + seps * 6
-    pool_arr = np.array(pool, dtype=object)
-    parts = pool_arr[rng.integers(0, len(pool_arr), _CORPUS_BYTES // 5)]
-    buf = b"".join(parts)[:_CORPUS_BYTES]
-    return np.frombuffer(buf, dtype=np.uint8)
+    pool_payload = np.frombuffer(b"".join(pool), dtype=np.uint8)
+    pool_lens = np.array([len(t) for t in pool], dtype=np.int64)
+    pool_starts = np.zeros(len(pool), dtype=np.int64)
+    pool_starts[1:] = np.cumsum(pool_lens)[:-1]
+    picks = rng.integers(0, len(pool), _CORPUS_BYTES // 5)
+    buf = _ragged_gather(pool_payload, pool_starts[picks], pool_lens[picks])
+    return buf[:_CORPUS_BYTES]
 
 
 class _GenState:
-    """Per-executor lazily built corpora (deterministic, seed-keyed)."""
+    """Per-executor lazily built corpora (deterministic, seed-keyed).
+
+    All language corpora concatenated into one buffer so body bytes can be
+    gathered with a single fancy index.
+    """
 
     _cache: dict = {}
 
     @classmethod
-    def corpora(cls, seed: int) -> dict:
+    def corpus_blob(cls, seed: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(blob, per-lang start offsets, per-lang lengths).
+
+        Corpora are shorter than _CORPUS_BYTES (token join undershoots);
+        slices past a corpus end clamp, like numpy slicing."""
         if seed not in cls._cache:
-            cls._cache[seed] = {lang: _corpus_for(lang, seed) for lang in LANGS}
+            parts = [_corpus_for(lang, seed) for lang in LANGS]
+            lens = np.array([len(p) for p in parts], dtype=np.int64)
+            starts = np.zeros(len(parts), dtype=np.int64)
+            starts[1:] = np.cumsum(lens)[:-1]
+            cls._cache[seed] = (np.concatenate(parts), starts, lens)
         return cls._cache[seed]
 
 
@@ -73,75 +92,120 @@ def _zipf_cdf(n_repos: int, alpha: float) -> np.ndarray:
     return np.cumsum(w) / w.sum()
 
 
-def _gen_batch(ids: np.ndarray, n_repos: int, seed: int, alpha: float) -> pd.DataFrame:
+def _ragged_gather(src: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Concatenate src[starts[i] : starts[i]+lens[i]] for all i, vectorized."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(0, dtype=src.dtype)
+    base = np.repeat(starts, lens)
+    off = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(lens) - lens, lens)
+    return src[base + off]
+
+
+def _gen_batch(ids: np.ndarray, n_repos: int, seed: int, alpha: float) -> pa.RecordBatch:
     n = len(ids)
-    # one independent stream per batch, keyed by the first row id -- but all
-    # row attributes are pure functions of the row id, so regeneration at any
-    # partitioning is identical
-    base = np.random.default_rng(seed)  # fixed stream for shared tables
     cdf = _zipf_cdf(n_repos, alpha)
 
     # per-row uniform from a counter-based hash of (seed, id)
-    def u(tag: int, lo=0.0, hi=1.0) -> np.ndarray:
-        x = (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) + np.uint64(seed * 1000003 + tag)) & np.uint64(
-            0xFFFFFFFFFFFFFFFF
-        )
+    def u(tag: int) -> np.ndarray:
+        x = (
+            ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            + np.uint64(seed * 1000003 + tag)
+        ) & np.uint64(0xFFFFFFFFFFFFFFFF)
         x ^= x >> np.uint64(33)
         x = (x * np.uint64(0xFF51AFD7ED558CCD)) & np.uint64(0xFFFFFFFFFFFFFFFF)
         x ^= x >> np.uint64(33)
-        return lo + (hi - lo) * (x.astype(np.float64) / float(2**64))
+        return x.astype(np.float64) / float(2**64)
 
     repo_idx = np.searchsorted(cdf, u(1))
-    org = repo_idx % 97
-    repos = pd.Series(repo_idx).map(lambda r: f"org{r % 97}/repo{r}").to_numpy()
+    s = pd.Series  # vectorized string assembly (pandas C string kernels)
+    repos = ("org" + s(repo_idx % 97).astype(str) + "/repo" + s(repo_idx).astype(str)).to_numpy()
 
     depth = (u(2) * 3).astype(np.int64) + 1
-    d1 = (u(3) * 12).astype(np.int64)
-    d2 = (u(4) * 12).astype(np.int64)
-    fno = (u(5) * 500).astype(np.int64)
-    lang_pick = (u(6) * len(LANGS) ** 2) .astype(np.int64)
-    # per-repo skewed language: fold repo into the pick
-    lang_idx = (lang_pick + repo_idx * 7) % len(LANGS)
+    d1 = s((u(3) * 12).astype(np.int64)).astype(str)
+    d2 = s((u(4) * 12).astype(np.int64)).astype(str)
+    fno = s((u(5) * 500).astype(np.int64)).astype(str)
+    lang_idx = ((u(6) * len(LANGS) ** 2).astype(np.int64) + repo_idx * 7) % len(LANGS)
     langs = np.array(LANGS, dtype=object)[lang_idx]
-    exts = langs  # extension = lang tag (synthetic)
-    paths = np.array(
+    mid = np.where(depth > 1, ("sub" + d2 + "/").to_numpy(), "")
+    paths = ("src/dir" + d1 + "/" + s(mid) + "file" + fno + "." + s(langs)).to_numpy()
+
+    # commits: one sha1 per (repo, id-bucket) -- hash only the unique keys
+    bucket = ids >> 6
+    keys = repo_idx.astype(np.uint64) << np.uint64(32) | (bucket.astype(np.uint64) & np.uint64(0xFFFFFFFF))
+    uniq, inverse = np.unique(keys, return_inverse=True)
+    uniq_commits = np.array(
         [
-            f"src/dir{a}/" + (f"sub{b}/" if d > 1 else "") + f"file{f}.{e}"
-            for a, b, d, f, e in zip(d1, d2, depth, fno, exts)
+            hashlib.sha1(f"{seed}:{int(k) >> 32}:{int(k) & 0xFFFFFFFF}".encode()).hexdigest()
+            for k in uniq
         ],
         dtype=object,
     )
-    commits = np.array(
-        [hashlib.sha1(f"{seed}:{r}:{i >> 6}".encode()).hexdigest() for r, i in zip(repo_idx, ids)],
-        dtype=object,
-    )
+    commits = uniq_commits[inverse]
+
     # ~2% null lang, ~1% null content (def-level coverage, FIXTURES.md §1)
     lang_null = u(7) < 0.02
     content_null = u(8) < 0.01
 
     # lognormal lengths: median ~800B, heavy tail; clip to corpus size
-    ln = np.exp(np.log(800.0) + 1.1 * _norminv(u(9)))
-    lengths = np.clip(ln, 16, 260_000).astype(np.int64)
-    offsets = (u(10) * (_CORPUS_BYTES - 260_001)).astype(np.int64)
-    corpora = _GenState.corpora(seed)
-    contents = np.empty(n, dtype=object)
-    for i in range(n):
-        if content_null[i]:
-            contents[i] = None
-            continue
-        corpus = corpora[langs[i]]
-        header = f"// {repos[i]}/{paths[i]}@{commits[i][:12]} #{ids[i]}\n"
-        contents[i] = header + corpus[offsets[i] : offsets[i] + lengths[i]].tobytes().decode("latin1")
-    langs_col = np.where(lang_null, None, langs)
-    return pd.DataFrame(
-        {
-            "row_id": ids,
-            "repo": repos,
-            "path": paths,
-            "commit": commits,
-            "lang": langs_col,
-            "content": contents,
-        }
+    body_lens = np.clip(
+        np.exp(np.log(800.0) + 1.1 * _norminv(u(9))), 16, 260_000
+    ).astype(np.int64)
+    blob, lang_starts, lang_lens = _GenState.corpus_blob(seed)
+    rel_offs = (u(10) * (_CORPUS_BYTES - 260_001)).astype(np.int64)
+    body_offs = lang_starts[lang_idx] + np.minimum(rel_offs, lang_lens[lang_idx])
+    # clamp to each language corpus end (original slice semantics)
+    body_lens = np.minimum(body_lens, np.maximum(lang_lens[lang_idx] - rel_offs, 0))
+
+    # content = header line + corpus slice, assembled as ONE arrow buffer
+    headers = (
+        "// " + s(repos) + "/" + s(paths) + "@" + s(commits).str[:12]
+        + " #" + s(ids).astype(str) + "\n"
+    )
+    h_arr = pa.array(headers, type=pa.string()).cast(pa.large_binary())
+    h_buffers = h_arr.buffers()
+    h_offsets = np.frombuffer(h_buffers[1], dtype=np.int64, count=n + 1)
+    h_payload = np.frombuffer(h_buffers[2], dtype=np.uint8)
+    h_lens = np.diff(h_offsets)
+
+    nn = ~content_null
+    c_lens = np.where(nn, h_lens + body_lens, 0).astype(np.int64)
+    out_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(c_lens, out=out_offsets[1:])
+    payload = np.empty(int(out_offsets[-1]), dtype=np.uint8)
+    # scatter headers then bodies (both ragged, fully vectorized)
+    h_starts_out = out_offsets[:-1][nn]
+    hp = _ragged_gather(h_payload, h_offsets[:-1][nn], h_lens[nn])
+    idx_h = np.repeat(h_starts_out, h_lens[nn]) + (
+        np.arange(len(hp), dtype=np.int64)
+        - np.repeat(np.cumsum(h_lens[nn]) - h_lens[nn], h_lens[nn])
+    )
+    payload[idx_h] = hp
+    bp = _ragged_gather(blob, body_offs[nn], body_lens[nn])
+    b_starts_out = (out_offsets[:-1] + h_lens)[nn]
+    idx_b = np.repeat(b_starts_out, body_lens[nn]) + (
+        np.arange(len(bp), dtype=np.int64)
+        - np.repeat(np.cumsum(body_lens[nn]) - body_lens[nn], body_lens[nn])
+    )
+    payload[idx_b] = bp
+    validity = pa.py_buffer(np.packbits(nn, bitorder="little").tobytes())
+    content_arr = pa.Array.from_buffers(
+        pa.large_binary(),
+        n,
+        [validity if content_null.any() else None, pa.py_buffer(out_offsets.tobytes()), pa.py_buffer(payload.tobytes())],
+    ).cast(pa.large_string()).cast(pa.string())
+
+    lang_arr = pa.array(langs, type=pa.string(), mask=lang_null)
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(ids, type=pa.int64()),
+            pa.array(repos, type=pa.string()),
+            pa.array(paths, type=pa.string()),
+            pa.array(commits, type=pa.string()),
+            lang_arr,
+            content_arr,
+        ],
+        names=["row_id", "repo", "path", "commit", "lang", "content"],
     )
 
 
@@ -190,12 +254,12 @@ def generate_source_repos(
     partitions = partitions or max(spark.sparkContext.defaultParallelism, 8)
     schema = "row_id long, repo string, path string, commit string, lang string, content string"
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from parquet4seastar_spark import _alloc
 
         _alloc.tune_allocator()
-        for pdf in batches:
-            ids = pdf["id"].to_numpy()
+        for rb in batches:
+            ids = rb.column("id").to_numpy()
             yield _gen_batch(ids, n_repos, seed, alpha)
 
-    return spark.range(0, n_rows, 1, partitions).mapInPandas(gen, schema=schema)
+    return spark.range(0, n_rows, 1, partitions).mapInArrow(gen, schema=schema)
