@@ -234,6 +234,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_ingest"] = multimodal_ingest
 
+    def multimodal_meta(spark, sf_dir):
+        media = multimodal.ingest_media(_docs(spark, sf_dir))
+        return media.select("doc_id", "media_type", "n_bytes", "width", "height")
+
+    q["multimodal_meta"] = multimodal_meta
+
     def multimodal_frames(spark, sf_dir):
         media = multimodal.ingest_media(_docs(spark, sf_dir))
         return multimodal.frame_sample(media, every_n_bytes=1024)
@@ -355,7 +361,13 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
     """
     # multimodal_ingest: sha1 is not available in DuckDB -> rows-only check;
-    # multimodal_frames metadata is fully SQL-derivable:
+    # the sha1-free metadata and frame offsets are fully SQL-derivable:
+    o["multimodal_meta"] = (
+        "SELECT doc_id, 'text/plain' AS media_type, "
+        "octet_length(encode(text)) AS n_bytes, "
+        "CAST(octet_length(encode(text)) % 640 AS INT) AS width, "
+        "CAST(octet_length(encode(text)) % 480 AS INT) AS height FROM documents"
+    )
     o["windowed_event_counts"] = (
         "SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type, "
         "count(*) AS n_events FROM events GROUP BY 1, 2"
