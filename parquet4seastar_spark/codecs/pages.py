@@ -527,6 +527,26 @@ def _plan_codecs(policy, ptype, n, valid, values, lengths, payload, page_ends, n
     )
 
 
+def _ragged_take(lengths: np.ndarray, payload: np.ndarray, idx: np.ndarray) -> pa.Array:
+    """Gather entries ``idx`` of a ragged (lengths, payload) column into a
+    large_binary arrow array (vectorized, no per-row Python)."""
+    offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    s_lens = lengths[idx]
+    s_starts = offsets[:-1][idx]
+    total = int(s_lens.sum())
+    base = np.repeat(s_starts, s_lens)
+    off = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(s_lens) - s_lens, s_lens)
+    s_payload = payload[base + off] if total else np.zeros(0, dtype=np.uint8)
+    s_offsets = np.zeros(len(idx) + 1, dtype=np.int64)
+    np.cumsum(s_lens, out=s_offsets[1:])
+    return pa.Array.from_buffers(
+        pa.large_binary(),
+        len(idx),
+        [None, pa.py_buffer(s_offsets.tobytes()), pa.py_buffer(s_payload.tobytes())],
+    )
+
+
 def _candidate_bodies(enc, ptype, values, lengths, payload, page_ends_nn, fsst_table=None) -> list[bytes]:
     """Actually encode a whole-chunk single-codec candidate; returns the
     per-page value bodies (level bytes are identical across candidates, so
@@ -565,33 +585,31 @@ def _auto_plan(ptype, n, values, lengths, payload, page_ends, nn_page_ends, allo
     candidates: dict[str, int] = {}
     plans: dict[str, tuple] = {}
 
-    plain_size = _plain_size(ptype, nn, lengths)
+    type_length = (
+        int(values.shape[1]) if ptype == "FIXED_LEN_BYTE_ARRAY" and values is not None and values.ndim == 2 else 0
+    )
+    plain_size = _plain_size(ptype, nn, lengths, type_length)
     candidates["PLAIN"] = plain_size
     plans["PLAIN"] = (["PLAIN"] * n_pages, *no_dict[:-1], None)
 
-    # dictionary candidate (with fallback = reference policy for this column)
+    # dictionary candidate (with fallback = reference policy for this column).
+    # Sampled uniformly across the chunk (not the prefix) so a unique head
+    # followed by a repetitive tail still admits the dict candidate.
     sample_card_ratio = 1.0
     if nn:
         if ptype == "BYTE_ARRAY":
             k = min(nn, 512)
-            offs = np.zeros(k + 1, dtype=np.int64)
-            np.cumsum(lengths[:k], out=offs[1:])
-            sample_arr = pa.Array.from_buffers(
-                pa.large_binary(),
-                k,
-                [
-                    None,
-                    pa.py_buffer(offs.tobytes()),
-                    pa.py_buffer(np.ascontiguousarray(payload[: int(offs[-1])]).tobytes()),
-                ],
-            )
+            idx = np.linspace(0, nn - 1, num=k, dtype=np.int64)
+            sample_arr = _ragged_take(lengths, payload, idx)
             sample_card_ratio = len(sample_arr.unique()) / max(k, 1)
         elif ptype == "FIXED_LEN_BYTE_ARRAY":
             k = min(nn, 2048)
-            sample_card_ratio = len(np.unique(values[:k], axis=0)) / k
+            idx = np.linspace(0, nn - 1, num=k, dtype=np.int64)
+            sample_card_ratio = len(np.unique(values[idx], axis=0)) / k
         else:
             k = min(nn, 4096)
-            sample_card_ratio = len(np.unique(values[:k])) / k
+            idx = np.linspace(0, nn - 1, num=k, dtype=np.int64)
+            sample_card_ratio = len(np.unique(values[idx])) / k
     if nn and sample_card_ratio < 0.98:
         per_page, dict_bytes, codes, card, card_by_page = _dict_plan(
             ptype, values, lengths, payload, page_ends, nn_page_ends, fallback=True

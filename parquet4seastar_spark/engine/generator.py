@@ -49,7 +49,12 @@ _CORPUS_BYTES = 1 << 20
 def _corpus_for(lang: str, seed: int) -> np.ndarray:
     """Deterministic ~1 MiB token soup for one language (fully vectorized:
     token picks are gathered from a concatenated pool buffer)."""
-    rng = np.random.default_rng(abs(hash((lang, seed))) % (2**63))
+    # hash-randomization-free seed derivation: Python's str hash depends on
+    # PYTHONHASHSEED, so digest-based seeding is what makes the generator
+    # reproducible outside Spark workers too
+    rng = np.random.default_rng(
+        int.from_bytes(hashlib.sha256(f"{lang}:{seed}".encode()).digest()[:8], "little")
+    )
     words = (_KEYWORDS.get(lang, _DEFAULT_KW)).split()
     idents = [f"v{i}".encode() for i in range(40)] + [f"fn_{i}".encode() for i in range(20)]
     seps = [b" ", b" ", b"\n", b"(", b")", b" = ", b"., ", b";\n", b"    "]

@@ -213,6 +213,40 @@ def test_flba_roundtrip():
         assert out.to_pylist() == vals, policy
 
 
+def test_flba_low_card_auto_picks_dict():
+    # regression (round-1 ADVICE): _plain_size must account for type_length,
+    # otherwise the PLAIN candidate scores 0 bytes and auto never picks dict
+    # for FLBA.  16 repeated md5 digests -> dict must win under auto.
+    import hashlib
+
+    vals = [hashlib.md5(str(i % 16).encode()).digest() for i in range(10_000)]
+    arr = pa.array(vals, type=pa.binary(16))
+    auto = encode_chunk(arr, policy="auto", page_target_bytes=1 << 16)
+    assert "RLE_DICTIONARY" in auto.encodings
+    plain = encode_chunk(arr, policy="plain", page_target_bytes=1 << 16)
+    assert auto.compressed_bytes < plain.compressed_bytes // 4
+    assert decode_chunk(auto).to_pylist() == vals
+
+
+def test_unique_head_repetitive_tail_picks_dict():
+    # regression (round-1 ADVICE): prefix-only sampling missed the dict
+    # candidate when the first 512 values are unique; uniform sampling must
+    # admit it (dict wins overall here: 90% of the chunk is 3 values).
+    uniq = [f"unique-value-{i:06d}" for i in range(600)]
+    tail = ["aa", "bb", "cc"] * 2000
+    arr = pa.array(uniq + tail, type=pa.string())
+    auto = encode_chunk(arr, policy="auto", page_target_bytes=1 << 20)
+    ref = encode_chunk(arr, policy="reference", page_target_bytes=1 << 20)
+    assert auto.compressed_bytes <= ref.compressed_bytes
+    # without FSST in the race, the dict candidate (admitted by the uniform
+    # sample) must win over PLAIN/DLBA
+    fast = encode_chunk(arr, policy="auto_fast", page_target_bytes=1 << 20)
+    assert "RLE_DICTIONARY" in fast.encodings
+    assert fast.compressed_bytes <= ref.compressed_bytes
+    assert decode_chunk(auto).to_pylist() == arr.to_pylist()
+    assert decode_chunk(fast).to_pylist() == arr.to_pylist()
+
+
 def test_flba_unique_uuids_fallback():
     import uuid
 
