@@ -46,72 +46,95 @@ _PA_TYPES = {
 }
 
 
-def _rebuild_chunk(rows: list[dict]) -> EncodedChunk:
-    rows = sorted(rows, key=lambda r: r["page_idx"])
-    first = rows[0]
+_META_FIELDS = (
+    "ptype", "logical", "nullable", "num_rows", "num_nulls", "cardinality",
+    "encodings", "compression", "type_length",
+)
+
+
+def _rebuild_chunk(tbl: pa.Table, idxs: list[int]) -> EncodedChunk:
+    """Build an EncodedChunk from page rows ``idxs`` of an arrow table.
+
+    Metadata scalars are read per row (tens of rows); page payloads stay
+    zero-copy arrow buffers -- they never round-trip through Python bytes.
+    """
+    cols = {name: tbl.column(name) for name in (
+        "page_idx", "page_kind", "encoding", "num_values", "num_non_null",
+        "uncompressed_size", "compressed_size", "data", *_META_FIELDS,
+    )}
+    idxs = sorted(idxs, key=lambda i: cols["page_idx"][i].as_py())
+    f = idxs[0]
     chunk = EncodedChunk(
-        ptype=first["ptype"],
-        logical=first["logical"],
-        nullable=bool(first["nullable"]),
-        num_rows=int(first["num_rows"]),
-        num_nulls=int(first["num_nulls"]),
-        cardinality=int(first["cardinality"]),
-        encodings=(first["encodings"] or "").split(","),
-        compression=first["compression"],
-        type_length=int(first.get("type_length") or 0),
+        ptype=cols["ptype"][f].as_py(),
+        logical=cols["logical"][f].as_py(),
+        nullable=bool(cols["nullable"][f].as_py()),
+        num_rows=int(cols["num_rows"][f].as_py()),
+        num_nulls=int(cols["num_nulls"][f].as_py()),
+        cardinality=int(cols["cardinality"][f].as_py()),
+        encodings=(cols["encodings"][f].as_py() or "").split(","),
+        compression=cols["compression"][f].as_py(),
+        type_length=int(cols["type_length"][f].as_py() or 0),
     )
-    for r in rows:
+    data = cols["data"]
+    for i in idxs:
         chunk.pages.append(
             Page(
-                kind=r["page_kind"],
-                encoding=r["encoding"],
-                num_values=int(r["num_values"]),
-                num_non_null=int(r["num_non_null"]),
-                uncompressed_size=int(r["uncompressed_size"]),
-                compressed_size=int(r["compressed_size"]),
-                data=r["data"],
+                kind=cols["page_kind"][i].as_py(),
+                encoding=cols["encoding"][i].as_py(),
+                num_values=int(cols["num_values"][i].as_py()),
+                num_non_null=int(cols["num_non_null"][i].as_py()),
+                uncompressed_size=int(cols["uncompressed_size"][i].as_py()),
+                compressed_size=int(cols["compressed_size"][i].as_py()),
+                data=data[i].as_buffer(),  # zero-copy view into the arrow batch
             )
         )
     return chunk
 
 
-def decode_table(encoded: DataFrame, columns: list[str]) -> DataFrame:
+def decode_table(
+    encoded: DataFrame, columns: list[str], *, schema: dict[str, str] | None = None
+) -> DataFrame:
     """Decode the given columns from a pages DataFrame.
 
     Returns a DataFrame (row_id, *columns).  Output types follow the chunk
-    metadata (logical types).
+    metadata (logical types).  ``schema`` (column -> logical type) skips
+    discovery entirely; otherwise logical types are read from the tiny
+    ``kind='chunk'`` lineage rows (one row per chunk, payload column never
+    touched) -- not from a scan of the page rows.
     """
     pages = encoded.filter((F.col("kind") == "page") & F.col("column").isin(["row_id", *columns]))
 
-    # column -> spark type comes from chunk metadata; collect one row per
-    # column (tiny, driver-side is fine: it's schema discovery, not data)
-    meta = {
-        r["column"]: r["logical"]
-        for r in pages.select("column", "logical").distinct().collect()
-    }
-    missing = [c for c in ["row_id", *columns] if c not in meta]
+    if schema is None:
+        schema = {
+            r["column"]: r["logical"]
+            for r in encoded.filter(
+                (F.col("kind") == "chunk") & F.col("column").isin(["row_id", *columns])
+            )
+            .select("column", "logical")
+            .distinct()
+            .collect()
+        }
+    missing = [c for c in ["row_id", *columns] if c not in schema]
     if missing:
         raise ValueError(f"columns not present in encoded table: {missing}")
     out_schema = ", ".join(
-        ["row_id long"] + [f"`{c}` {_SPARK_TYPES[meta[c]]}" for c in columns]
+        ["row_id long"] + [f"`{c}` {_SPARK_TYPES[schema[c]]}" for c in columns]
     )
     cols = columns
-    logicals = meta
+    logicals = schema
 
     def decode_group(tbl: pa.Table) -> pa.Table:
         from parquet4seastar_spark import _alloc
 
         _alloc.tune_allocator()
-        # page metadata is small (tens of rows); data stays as py bytes only
-        # for the page payloads themselves
-        recs = tbl.to_pylist()
-        by_col: dict[str, list[dict]] = {}
-        for r in recs:
-            by_col.setdefault(r["column"], []).append(r)
-        out_arrays = [decode_chunk(_rebuild_chunk(by_col["row_id"])).cast(pa.int64())]
+        tbl = tbl.combine_chunks()
+        by_col: dict[str, list[int]] = {}
+        for i, c in enumerate(tbl.column("column").to_pylist()):
+            by_col.setdefault(c, []).append(i)
+        out_arrays = [decode_chunk(_rebuild_chunk(tbl, by_col["row_id"])).cast(pa.int64())]
         names = ["row_id"]
         for c in cols:
-            arr = decode_chunk(_rebuild_chunk(by_col[c]))
+            arr = decode_chunk(_rebuild_chunk(tbl, by_col[c]))
             target = _PA_TYPES[logicals[c]]
             if arr.type != target:
                 arr = arr.cast(target)

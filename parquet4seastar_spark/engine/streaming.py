@@ -3,10 +3,13 @@
 The reference has no stream processing (Seastar futures are async I/O, not
 streaming -- SURVEY.md §2.4); this module is the engine's scale-path for
 continuously arriving source files: a file-source stream is encoded in
-micro-batches via foreachBatch -> encode_table, appending pages+lineage to
-the metrics table.  Checkpointing makes ingestion exactly-once at the
-batch level; the lineage anti-join (encode_job.resume) additionally makes
-manual re-runs idempotent.
+micro-batches via foreachBatch -> encode_table, writing pages+lineage to
+the metrics table.  foreachBatch alone is at-least-once on batch retry;
+each batch therefore writes to its own ``batch_id=N`` partition directory
+with overwrite mode, so a retried batch replaces (not duplicates) its own
+output -- end-to-end idempotent given Spark's checkpointed batch ids.  The
+lineage anti-join (encode_job.resume) additionally makes manual re-runs
+idempotent.
 
 Also provides the watermarked windowed-aggregation shape over an event
 stream (late data tolerated up to the watermark), usable in both batch and
@@ -46,7 +49,10 @@ def stream_encode(
         if "row_id" not in df.columns:
             df = df.withColumn("row_id", F.xxhash64(*(id_cols or df.columns)))
         enc = encode_table(df, columns=columns, policy=policy, salt_col=salt_col)
-        enc.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(output_dir)
+        # batch-scoped overwrite: a retried micro-batch replaces its own
+        # partition directory instead of appending duplicates (idempotent
+        # under the checkpointed batch ids -> exactly-once output)
+        enc.write.mode("overwrite").parquet(f"{output_dir}/batch_id={batch_id}")
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

@@ -109,9 +109,13 @@ def cmd_dump_cql(args):
     spark = _spark(args)
     enc = spark.read.parquet(args.encoded)
     columns = args.columns.split(",")
+    import pyspark.sql.functions as F
+
+    # logical types live on the tiny kind='chunk' lineage rows -- no need to
+    # scan the page rows for schema discovery
     logicals = {
         r["column"]: r["logical"]
-        for r in enc.select("column", "logical").distinct().collect()
+        for r in enc.filter(F.col("kind") == "chunk").select("column", "logical").distinct().collect()
     }
     cols = ["row_id", *columns]
     ddl_cols = ", ".join(f"{c} {_CQL_TYPES[logicals[c]]}" for c in cols)
