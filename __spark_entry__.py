@@ -230,7 +230,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- multimodal plumbing (deterministic fake decode; SQL-oracled meta)
     def multimodal_ingest(spark, sf_dir):
         media = multimodal.ingest_media(_docs(spark, sf_dir))
-        return media.select("doc_id", "media_type", "n_bytes", "sha1", "width", "height")
+        # md5 is the DuckDB-matchable digest (sha1 has no DuckDB equivalent,
+        # so it stays out of the checked projection but is still computed)
+        return media.select("doc_id", "media_type", "n_bytes", "md5", "width", "height")
 
     q["multimodal_ingest"] = multimodal_ingest
 
@@ -360,8 +362,12 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
     """
-    # multimodal_ingest: sha1 is not available in DuckDB -> rows-only check;
-    # the sha1-free metadata and frame offsets are fully SQL-derivable:
+    o["multimodal_ingest"] = (
+        "SELECT doc_id, 'text/plain' AS media_type, "
+        "octet_length(encode(text)) AS n_bytes, md5(text) AS md5, "
+        "CAST(octet_length(encode(text)) % 640 AS INT) AS width, "
+        "CAST(octet_length(encode(text)) % 480 AS INT) AS height FROM documents"
+    )
     o["multimodal_meta"] = (
         "SELECT doc_id, 'text/plain' AS media_type, "
         "octet_length(encode(text)) AS n_bytes, "

@@ -1,12 +1,16 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Images/audio/video are carried as ``binary`` columns with a metadata
-struct.  The Spark-side plumbing -- schemas, Arrow batch shapes,
-mapInPandas signatures, partition sizing -- is real and tested; the actual
-media decode is STUBBED (no image/audio libs in this container):
-``decode_image`` raises NotImplementedError unless ``fake=True``, in which
-case a deterministic fake decoder derives metadata from the payload bytes,
-so the pipeline is exercisable end-to-end and oracle-checkable.
+struct.  Metadata extraction and frame sampling are pure column math and
+run entirely JVM-side (whole-stage codegen, no Python stage in the plan):
+``encode``/``octet_length``/``sha1``/``md5`` built-ins for ingest,
+``explode(sequence(...))`` for frame offsets.  The only Python stage left
+is the actual media decode (``decode_image``), which is where a real
+image/audio library would sit -- it is STUBBED (no such libs in this
+container): raises NotImplementedError unless ``fake=True``, in which case
+a deterministic fake decoder derives a thumbnail from the payload bytes,
+so the mapInPandas plumbing (schema, Arrow batch shape, UDF signature) is
+exercisable end-to-end.
 """
 
 from __future__ import annotations
@@ -21,40 +25,31 @@ from pyspark.sql import DataFrame, functions as F
 
 MEDIA_SCHEMA = (
     "doc_id long, media binary, media_type string, n_bytes long, "
-    "sha1 string, width int, height int"
+    "sha1 string, md5 string, width int, height int"
 )
 
 
 def ingest_media(docs: DataFrame, payload_col: str = "text") -> DataFrame:
     """Wrap a column as an opaque media payload with extracted metadata.
 
-    Runs in mapInPandas over Arrow batches (the shape a real image decoder
-    would use: bytes in, metadata + bytes out, batch-at-a-time).
+    All metadata is computed with JVM built-ins -- no per-row Python.  A
+    real container-header parse (jpeg/png dims etc.) would slot in as one
+    extra mapInArrow stage over ``media``; the fake dimensions here are
+    deterministic functions of the payload size so the whole pipeline is
+    SQL-oracle-checkable.
     """
-
-    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payload = [t.encode("utf-8", "surrogatepass") if t is not None else b"" for t in pdf[payload_col]]
-            n_bytes = np.array([len(b) for b in payload], dtype=np.int64)
-            sha1 = [hashlib.sha1(b).hexdigest() for b in payload]
-            # deterministic fake dimensions derived from content size --
-            # replicable in SQL for the oracle; a real decoder would parse
-            # the container header here
-            width = (n_bytes % 640).astype(np.int32)
-            height = (n_bytes % 480).astype(np.int32)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "media": payload,
-                    "media_type": ["text/plain"] * len(pdf),
-                    "n_bytes": n_bytes,
-                    "sha1": sha1,
-                    "width": width,
-                    "height": height,
-                }
-            )
-
-    return docs.select("doc_id", payload_col).mapInPandas(extract, schema=MEDIA_SCHEMA)
+    media = F.encode(F.coalesce(F.col(payload_col), F.lit("")), "utf-8")
+    n_bytes = F.octet_length(media).cast("long")
+    return docs.select(
+        "doc_id",
+        media.alias("media"),
+        F.lit("text/plain").alias("media_type"),
+        n_bytes.alias("n_bytes"),
+        F.sha1(media).alias("sha1"),
+        F.md5(media).alias("md5"),
+        (n_bytes % 640).cast("int").alias("width"),
+        (n_bytes % 480).cast("int").alias("height"),
+    )
 
 
 def decode_image(media: DataFrame, fake: bool = False) -> DataFrame:
@@ -83,19 +78,15 @@ def decode_image(media: DataFrame, fake: bool = False) -> DataFrame:
 
 
 def frame_sample(media: DataFrame, every_n_bytes: int = 4096) -> DataFrame:
-    """'Frame sampling' plumbing: emit one row per sampled offset of each
-    payload (what video frame extraction looks like shape-wise: one input
-    row fans out to many output rows inside mapInPandas)."""
-
-    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, offs = [], []
-            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
-                n = len(blob)
-                k = max(1, n // every_n_bytes)
-                for j in range(k):
-                    ids.append(doc_id)
-                    offs.append(j * every_n_bytes)
-            yield pd.DataFrame({"doc_id": ids, "frame_offset": np.array(offs, dtype=np.int64)})
-
-    return media.select("doc_id", "media").mapInPandas(sample, schema="doc_id long, frame_offset long")
+    """'Frame sampling': one row per sampled offset of each payload
+    (min 1 per payload).  Pure built-ins: the per-row fan-out is
+    ``explode(sequence(...))`` -- fully JVM-side, no Python stage."""
+    n_frames = F.greatest(
+        (F.octet_length("media") / F.lit(every_n_bytes)).cast("long"), F.lit(1)
+    )
+    return media.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("_j"),
+    ).select(
+        "doc_id", (F.col("_j") * every_n_bytes).cast("long").alias("frame_offset")
+    )

@@ -48,6 +48,19 @@ def test_row_count_salting_prunes_value_column(spark):
     assert "count(1)" in opt  # row-count mode, not octet_length sum
 
 
+def test_multimodal_plan_has_no_python_stage(spark):
+    # ingest metadata + frame sampling are pure column math: the plan must
+    # stay JVM-side (no ArrowEvalPython / MapInPandas / BatchEvalPython)
+    from parquet4seastar_spark.operators.multimodal import frame_sample, ingest_media
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    media = ingest_media(docs)
+    for df in (media, frame_sample(media, every_n_bytes=1024)):
+        plan = _plan(df)
+        for marker in ("Python", "MapInPandas", "ArrowEval"):
+            assert marker not in plan, plan
+
+
 def test_ann_corpus_never_shuffles(spark):
     from parquet4seastar_spark.operators.similarity import brute_force_topk
 
