@@ -192,6 +192,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(spark, sf_dir), threshold=0.3
     ).select("doc_a", "doc_b")
     q["dedup_simhash"] = lambda spark, sf_dir: dedup.simhash(_docs(spark, sf_dir))
+
+    def dedup_simhash_pairs(spark, sf_dir):
+        # planted exact duplicates make the pair generation non-vacuous:
+        # identical text -> identical fingerprint -> hamming 0 pairs that the
+        # banded join is guaranteed (pigeonhole) to surface
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        dup = docs.filter(F.col("doc_id") < 10).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+        return dedup.simhash_near_dups(docs.union(dup), max_hamming=3)
+
+    q["dedup_simhash_pairs"] = dedup_simhash_pairs
     q["dedup_ngram_jaccard"] = lambda spark, sf_dir: dedup.ngram_jaccard_dedup(
         _docs(spark, sf_dir), threshold=0.5
     ).select("doc_a", "doc_b")

@@ -1,10 +1,17 @@
 """Deduplication operators for large-scale training-data pipelines.
 
 All shuffle-conscious: exact dedup is one hash aggregate; MinHash-LSH and
-SimHash bucket first (map-side, vectorized pandas UDFs over Arrow batches)
-and only join within buckets, so the candidate-pair space stays linear-ish
-instead of O(n^2).  At cluster scale the bucket join is a standard shuffled
-equi-join Catalyst/AQE can re-plan (skewed buckets split by AQE).
+SimHash bucket first and only join within buckets, so the candidate-pair
+space stays linear-ish instead of O(n^2).  At cluster scale the bucket join
+is a standard shuffled equi-join Catalyst/AQE can re-plan (skewed buckets
+split by AQE).
+
+Vectorization: shingle hashing runs over ONE concatenated buffer per Arrow
+batch (mapInArrow + the offsets/payload layout from codecs.pages), with
+doc-boundary masking -- no per-document Python loop anywhere.  Signatures
+do NOT ride the band shuffle: only (doc_id, band, bucket) explodes; the
+64-long signatures join back exactly once after candidate pairs are
+deduplicated.
 """
 
 from __future__ import annotations
@@ -13,9 +20,14 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, Window, functions as F
 
-_MERSENNE = (1 << 61) - 1
+from ..codecs.pages import ba_components
+
+# 2^31 - 1: Mersenne prime small enough that a*x+b (a,b,x < p) fits uint64
+# exactly -- the (a*x+b) mod p universal family without 128-bit math
+_P31 = np.uint64((1 << 31) - 1)
 
 
 def exact_dedup(docs: DataFrame, key: str = "text") -> DataFrame:
@@ -25,25 +37,65 @@ def exact_dedup(docs: DataFrame, key: str = "text") -> DataFrame:
     ).select("keep_id", "n_copies")
 
 
-def _shingle_hashes(texts: pd.Series, k: int) -> list[np.ndarray]:
-    """Per-doc arrays of 64-bit k-shingle hashes (vectorized per doc)."""
-    out = []
-    for t in texts:
-        if t is None or len(t) < k:
-            out.append(np.zeros(1, dtype=np.uint64))
-            continue
-        b = np.frombuffer(t.encode("utf-8", "surrogatepass"), dtype=np.uint8)
-        n = len(b)
-        if n < k:
-            out.append(np.zeros(1, dtype=np.uint64))
-            continue
-        # polynomial rolling hash of every k-gram, fully vectorized
-        h = np.zeros(n - k + 1, dtype=np.uint64)
+def _shingle_stream(arr: pa.Array, k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Sorted-unique k-byte-shingle hashes for every doc of an arrow string
+    array, in ONE vectorized pass over the concatenated batch payload.
+
+    Returns (starts int64[n], counts int64[n], hashes uint64[total]):
+    doc i's hashes are ``hashes[starts[i] : starts[i]+counts[i]]``, sorted
+    ascending.  Docs that are null or shorter than k get the single
+    sentinel hash 0 (so every segment is non-empty).
+    """
+    if arr.null_count:
+        arr = arr.fill_null("")
+    lengths, payload = ba_components(arr)
+    n = len(lengths)
+    grams = np.maximum(lengths - k + 1, 0)
+    m = len(payload)
+
+    # polynomial rolling hash of every k-gram of the whole batch buffer
+    if m >= k:
+        h_all = np.zeros(m - k + 1, dtype=np.uint64)
         mult = np.uint64(1099511628211)
+        pb = payload.astype(np.uint64)
         for j in range(k):
-            h = h * mult + b[j : n - k + 1 + j].astype(np.uint64)
-        out.append(np.unique(h))
-    return out
+            h_all = h_all * mult + pb[j : m - k + 1 + j]
+    else:
+        h_all = np.zeros(0, dtype=np.uint64)
+
+    # gather each doc's grams (positions that span doc boundaries are never
+    # touched: doc i's valid gram positions are [payload_start_i, +grams_i))
+    counts = np.where(grams > 0, grams, 1).astype(np.int64)
+    starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    out = np.zeros(int(starts[-1]), dtype=np.uint64)  # zeros = sentinel
+    has = grams > 0
+    if has.any():
+        payload_starts = np.zeros(n, dtype=np.int64)
+        payload_starts[1:] = np.cumsum(lengths)[:-1]
+        g = grams[has]
+        src_base = np.repeat(payload_starts[has], g)
+        dst_base = np.repeat(starts[:-1][has], g)
+        rel = np.arange(int(g.sum()), dtype=np.int64) - np.repeat(np.cumsum(g) - g, g)
+        out[dst_base + rel] = h_all[src_base + rel]
+
+    # segmented unique: sort within docs, drop consecutive repeats
+    owner = np.repeat(np.arange(n, dtype=np.int64), counts)
+    order = np.lexsort((out, owner))
+    so = out[order]
+    oo = owner[order]
+    keep = np.ones(len(so), dtype=bool)
+    if len(so) > 1:
+        keep[1:] = (so[1:] != so[:-1]) | (oo[1:] != oo[:-1])
+    u_h = so[keep]
+    u_counts = np.bincount(oo[keep], minlength=n).astype(np.int64)
+    u_starts = np.zeros(n, dtype=np.int64)
+    u_starts[1:] = np.cumsum(u_counts)[:-1]
+    return u_starts, u_counts, u_h
+
+
+def _batch_text(rb: pa.RecordBatch, col: str) -> pa.Array:
+    return pa.Table.from_batches([rb]).column(col).combine_chunks()
 
 
 def minhash_signatures(
@@ -51,27 +103,67 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig array<long>): MinHash signatures over k-shingles.
 
-    Vectorized pandas UDF: per Arrow batch, shingle hashes x permutation
-    params in one (num_hashes, n_shingles) broadcast min.
+    mapInArrow end-to-end: shingle hashes for the whole batch in one pass,
+    then per-permutation segmented minima (np.minimum.reduceat) -- the
+    (a*x+b) mod 2^31-1 permutations are exact in uint64.
     """
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE - 1, num_hashes, dtype=np.uint64)
-    b = rng.integers(0, _MERSENNE - 1, num_hashes, dtype=np.uint64)
+    a = rng.integers(1, int(_P31), num_hashes, dtype=np.uint64)
+    b = rng.integers(0, int(_P31), num_hashes, dtype=np.uint64)
 
-    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def compute(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from parquet4seastar_spark import _alloc
 
         _alloc.tune_allocator()
-        for pdf in batches:
-            shingles = _shingle_hashes(pdf["text"], shingle_k)
-            sigs = []
-            for h in shingles:
-                # (num_hashes, n_shingles) permuted mod-Mersenne minimum
-                hm = (a[:, None] * (h[None, :] % _MERSENNE) + b[:, None]) % _MERSENNE
-                sigs.append(hm.min(axis=1).astype(np.int64))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            doc_id = _batch_text(rb, "doc_id")
+            starts, counts, h = _shingle_stream(_batch_text(rb, "text"), shingle_k)
+            hp = h % _P31
+            n = len(counts)
+            sig = np.empty((n, num_hashes), dtype=np.int64)
+            # (a*x+b) mod 2^31-1 via Mersenne folding (2^31 === 1 mod p):
+            # ~3x faster than integer % and zero per-permutation allocations
+            tmp = np.empty_like(hp)
+            hi = np.empty_like(hp)
+            for i in range(num_hashes):
+                np.multiply(hp, a[i], out=tmp)
+                tmp += b[i]  # < 2^62 + 2^31: no overflow
+                for _ in range(2):
+                    np.right_shift(tmp, np.uint64(31), out=hi)
+                    tmp &= _P31
+                    tmp += hi
+                tmp[tmp >= _P31] -= _P31
+                sig[:, i] = np.minimum.reduceat(tmp, starts).astype(np.int64)
+            offsets = pa.array((np.arange(n + 1, dtype=np.int64) * num_hashes).astype(np.int32))
+            sig_arr = pa.ListArray.from_arrays(offsets, pa.array(sig.reshape(-1), type=pa.int64()))
+            yield pa.RecordBatch.from_arrays(
+                [doc_id.cast(pa.int64()), sig_arr], names=["doc_id", "sig"]
+            )
 
-    return docs.select("doc_id", "text").mapInPandas(compute, schema="doc_id long, sig array<long>")
+    return docs.select("doc_id", "text").mapInArrow(compute, schema="doc_id long, sig array<long>")
+
+
+def _banded_buckets(sigs: DataFrame, bands: int, r: int) -> DataFrame:
+    """(doc_id, band, bucket): ONLY ids ride the band explode -- the full
+    signature does not get duplicated x bands through the shuffle."""
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            F.slice("sig", i * r + 1, r).cast("array<string>").cast("string")
+                        ).alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
 
 
 def minhash_lsh_pairs(
@@ -85,27 +177,17 @@ def minhash_lsh_pairs(
     """Near-duplicate candidate pairs via banded LSH + exact signature check.
 
     banding: sig split into ``bands`` bands of r = num_hashes/bands rows;
-    docs sharing any band-hash become candidates (shuffle = groupBy band
-    bucket); candidate pairs keep an estimated Jaccard >= threshold
-    (fraction of equal signature positions).
+    docs sharing any band-hash become candidates (shuffle = bucket
+    equi-join over (doc_id, band, bucket) triples only); candidate pairs
+    are deduplicated, THEN the signatures join back once to estimate
+    Jaccard (fraction of equal signature positions) >= threshold.
     """
     r = num_hashes // bands
-    sigs = minhash_signatures(docs, num_hashes, shingle_k, seed)
-    banded = sigs.select(
-        "doc_id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.xxhash64(F.slice("sig", i * r + 1, r).cast("array<string>").cast("string")).alias("bucket"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "sig", "bb.band", "bb.bucket")
+    # three subtrees consume the signatures (banding + both join-backs);
+    # persist so the shingle/minhash UDF runs once, not three times.  At
+    # cluster scale you'd materialize signatures to a table instead.
+    sigs = minhash_signatures(docs, num_hashes, shingle_k, seed).persist()
+    banded = _banded_buckets(sigs, bands, r)
     left = banded.alias("l")
     right = banded.alias("r")
     cand = (
@@ -115,14 +197,12 @@ def minhash_lsh_pairs(
             & (F.col("l.bucket") == F.col("r.bucket"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
-        .select(
-            F.col("l.doc_id").alias("doc_a"),
-            F.col("r.doc_id").alias("doc_b"),
-            F.col("l.sig").alias("sig_a"),
-            F.col("r.sig").alias("sig_b"),
-        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    cand = cand.join(sa, "doc_a").join(sb, "doc_b")
     est = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
         F.lit(0),
@@ -134,22 +214,88 @@ def minhash_lsh_pairs(
 
 
 def simhash(docs: DataFrame, bits: int = 64, shingle_k: int = 6, seed: int = 7) -> DataFrame:
-    """(doc_id, simhash long): weighted bit-vote fingerprint over shingles."""
+    """(doc_id, simhash long): bit-vote fingerprint over unique shingles.
 
-    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    mapInArrow + segmented bit-voting: per bit, ones = np.add.reduceat over
+    the batch shingle stream; bit set where ones*2 > count.
+    """
+
+    def compute(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from parquet4seastar_spark import _alloc
 
         _alloc.tune_allocator()
-        shifts = np.arange(bits, dtype=np.uint64)
-        for pdf in batches:
-            shingles = _shingle_hashes(pdf["text"], shingle_k)
-            out = np.empty(len(shingles), dtype=np.int64)
-            for i, h in enumerate(shingles):
-                votes = (((h[:, None] >> shifts) & np.uint64(1)).astype(np.int64) * 2 - 1).sum(axis=0)
-                out[i] = int(((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64).astype(np.int64))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
+        one = np.uint64(1)
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            doc_id = _batch_text(rb, "doc_id")
+            starts, counts, h = _shingle_stream(_batch_text(rb, "text"), shingle_k)
+            n = len(counts)
+            fp = np.zeros(n, dtype=np.uint64)
+            for bit in range(bits):
+                ones = np.add.reduceat((h >> np.uint64(bit)) & one, starts)
+                fp |= ((ones * 2 > counts).astype(np.uint64)) << np.uint64(bit)
+            yield pa.RecordBatch.from_arrays(
+                [doc_id.cast(pa.int64()), pa.array(fp.astype(np.int64), type=pa.int64())],
+                names=["doc_id", "simhash"],
+            )
 
-    return docs.select("doc_id", "text").mapInPandas(compute, schema="doc_id long, simhash long")
+    return docs.select("doc_id", "text").mapInArrow(compute, schema="doc_id long, simhash long")
+
+
+def simhash_near_dups(
+    docs: DataFrame, max_hamming: int = 3, bits: int = 64, shingle_k: int = 6, seed: int = 7
+) -> DataFrame:
+    """(doc_a, doc_b, hamming): near-duplicate pairs via banded SimHash.
+
+    Fingerprints split into max_hamming+1 bands: by pigeonhole, any pair
+    within ``max_hamming`` differing bits agrees EXACTLY on at least one
+    band, so the banded equi-join has zero recall loss vs all-pairs while
+    shuffling only (doc_id, band, band_value) triples.  The confirm step is
+    a JVM built-in: bit_count(xor) <= max_hamming.
+    """
+    nb = max_hamming + 1
+    if bits % nb:
+        raise ValueError(f"bits={bits} must divide into {nb} bands")
+    width = bits // nb
+    mask = (1 << width) - 1
+    # banding + both join-backs consume the fingerprints: persist once
+    fp = simhash(docs, bits, shingle_k, seed).persist()
+    banded = fp.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("simhash", i * width).bitwiseAND(F.lit(mask)).alias("bval"),
+                    )
+                    for i in range(nb)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bval")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bval") == F.col("r.bval"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"))
+    fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"))
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
 
 
 def ngram_jaccard_dedup(
@@ -158,7 +304,9 @@ def ngram_jaccard_dedup(
     """Exact n-gram Jaccard on LSH candidate pairs (verification pass).
 
     LSH proposes candidates (cheap); the exact Jaccard over shingle sets
-    confirms (cogrouped pandas apply over only the candidate texts).
+    confirms.  Shingle streams for the candidate texts are batch-hashed
+    (one buffer per side); only the per-pair sorted-set intersection is a
+    loop -- bounded by the candidate count, which LSH keeps small.
     """
     cand = minhash_lsh_pairs(docs, threshold=min(threshold - 0.2, 0.5), shingle_k=shingle_k, seed=seed)
     texts = docs.select("doc_id", "text")
@@ -167,16 +315,30 @@ def ngram_jaccard_dedup(
         .join(texts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("text", "text_b"), "doc_b")
     )
 
-    def exact(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ja = []
-            for ta, tb in zip(pdf["text_a"], pdf["text_b"]):
-                sa = _shingle_hashes(pd.Series([ta]), shingle_k)[0]
-                sb = _shingle_hashes(pd.Series([tb]), shingle_k)[0]
-                inter = len(np.intersect1d(sa, sb, assume_unique=True))
-                union = len(sa) + len(sb) - inter
-                ja.append(inter / union if union else 0.0)
-            yield pd.DataFrame({"doc_a": pdf["doc_a"], "doc_b": pdf["doc_b"], "jaccard": ja})
+    def exact(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from parquet4seastar_spark import _alloc
 
-    out = joined.mapInPandas(exact, schema="doc_a long, doc_b long, jaccard double")
+        _alloc.tune_allocator()
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            sa, ca, ha = _shingle_stream(_batch_text(rb, "text_a"), shingle_k)
+            sb, cb, hb = _shingle_stream(_batch_text(rb, "text_b"), shingle_k)
+            jac = np.empty(rb.num_rows, dtype=np.float64)
+            for i in range(rb.num_rows):
+                A = ha[sa[i] : sa[i] + ca[i]]
+                B = hb[sb[i] : sb[i] + cb[i]]
+                inter = len(np.intersect1d(A, B, assume_unique=True))
+                union = len(A) + len(B) - inter
+                jac[i] = inter / union if union else 0.0
+            yield pa.RecordBatch.from_arrays(
+                [
+                    _batch_text(rb, "doc_a").cast(pa.int64()),
+                    _batch_text(rb, "doc_b").cast(pa.int64()),
+                    pa.array(jac, type=pa.float64()),
+                ],
+                names=["doc_a", "doc_b", "jaccard"],
+            )
+
+    out = joined.mapInArrow(exact, schema="doc_a long, doc_b long, jaccard double")
     return out.filter(F.col("jaccard") >= threshold)

@@ -63,6 +63,45 @@ def test_simhash_hamming_locality(spark, docs):
     assert ham <= 6  # near-identical docs -> close fingerprints
 
 
+def test_shingle_stream_matches_naive():
+    import numpy as np
+    import pyarrow as pa
+
+    from parquet4seastar_spark.operators.dedup import _shingle_stream
+
+    texts = ["hello world", None, "ab", "hello worlds", "", "aaaaaaaaaa"]
+    k = 5
+
+    def naive(t):
+        if t is None or len(t.encode()) < k:
+            return np.zeros(1, dtype=np.uint64)
+        b = np.frombuffer(t.encode(), dtype=np.uint8)
+        n = len(b)
+        h = np.zeros(n - k + 1, dtype=np.uint64)
+        mult = np.uint64(1099511628211)
+        for j in range(k):
+            h = h * mult + b[j : n - k + 1 + j].astype(np.uint64)
+        return np.unique(h)
+
+    arr = pa.array(texts, type=pa.string())
+    starts, counts, hashes = _shingle_stream(arr.fill_null(""), k)
+    for i, t in enumerate(texts):
+        assert np.array_equal(naive(t), hashes[starts[i] : starts[i] + counts[i]]), i
+
+
+def test_simhash_near_dups_banded_exact(spark, docs):
+    from parquet4seastar_spark.operators.dedup import simhash_near_dups
+
+    # plant exact duplicates: identical text => identical fingerprint =>
+    # hamming 0, and the banded join must surface every planted pair
+    dup = docs.limit(8).select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    both = docs.select("doc_id", "text").union(dup)
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_near_dups(both).collect()}
+    planted = [r["doc_id"] for r in docs.limit(8).select("doc_id").collect()]
+    for d in planted:
+        assert pairs.get((d, d + 1000000)) == 0
+
+
 def test_brute_force_topk_self_first(spark, embeddings):
     from parquet4seastar_spark.operators.similarity import brute_force_topk
 
