@@ -234,8 +234,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_ivf_topk"] = ann_ivf
 
     def embedding_near_dups(spark, sf_dir):
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        return similarity.embedding_near_dups(emb, threshold=0.99).select("id_a", "id_b")
+        # plant near-duplicates by positive scaling (cosine 1.0, and signs --
+        # hence every LSH band bucket -- are preserved exactly, so recall on
+        # the planted pairs is 1 by construction); original testdata vectors
+        # top out around cosine 0.6, so only planted pairs clear 0.9 and the
+        # brute-force DuckDB oracle matches the LSH result exactly
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+        planted = emb.filter(F.col("vec_id") < 20).select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"),
+            F.transform("embedding", lambda x: (x * F.lit(1.01)).cast("float")).alias("embedding"),
+        )
+        return similarity.embedding_near_dups(emb.union(planted), threshold=0.9).select(
+            "id_a", "id_b"
+        )
 
     q["embedding_near_dups"] = embedding_near_dups
 
@@ -373,6 +384,18 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
         )
         SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
+    """
+    o["embedding_near_dups"] = """
+        WITH all_vecs AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 10000000,
+                   list_transform(embedding, x -> CAST(x * 1.01 AS FLOAT))
+            FROM embeddings WHERE vec_id < 20
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM all_vecs a JOIN all_vecs b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
     """
     o["multimodal_ingest"] = (
         "SELECT doc_id, 'text/plain' AS media_type, "

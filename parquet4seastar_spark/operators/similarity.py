@@ -16,8 +16,22 @@ from __future__ import annotations
 from typing import Iterator
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _list_to_mat(arr) -> np.ndarray:
+    """Arrow list<float> column -> (n, dim) float64 matrix, zero per-row
+    Python (flatten + reshape on the arrow value buffer)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    flat = np.asarray(arr.flatten(), dtype=np.float64)
+    if flat.size % n:
+        raise ValueError("ragged embedding column: all vectors must share one dim")
+    return flat.reshape(n, flat.size // n)
 
 
 def _cosine_expr(a, b):
@@ -58,18 +72,64 @@ def random_hyperplane_signatures(
 ) -> DataFrame:
     """(vec_id, bucket): sign-random-projection LSH bucket per vector."""
 
-    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def compute(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         planes = None
-        for pdf in batches:
-            mat = np.stack(pdf[vec_col].to_numpy())
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            tbl = pa.Table.from_batches([rb])
+            mat = _list_to_mat(tbl.column(vec_col))
             if planes is None:
                 rng = np.random.default_rng(seed)
                 planes = rng.standard_normal((mat.shape[1], bits))
             proj = mat @ planes  # (n, bits)
             bucket = ((proj > 0).astype(np.uint64) << np.arange(bits, dtype=np.uint64)).sum(axis=1)
-            yield pd.DataFrame({id_col: pdf[id_col], "bucket": bucket.astype(np.int64)})
+            yield pa.RecordBatch.from_arrays(
+                [
+                    tbl.column(id_col).combine_chunks().cast(pa.int64()),
+                    pa.array(bucket.astype(np.int64), type=pa.int64()),
+                ],
+                names=[id_col, "bucket"],
+            )
 
-    return embeddings.select(id_col, vec_col).mapInPandas(compute, schema=f"{id_col} long, bucket long")
+    return embeddings.select(id_col, vec_col).mapInArrow(compute, schema=f"{id_col} long, bucket long")
+
+
+def banded_hyperplane_buckets(
+    embeddings: DataFrame, bands: int = 8, bits: int = 8, seed: int = 11,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, band, bucket): ``bands`` independent sign-projection signatures
+    per vector (OR-construction: one matmul computes all bands*bits
+    projections; a pair collides if ANY band bucket matches)."""
+
+    def compute(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        planes = None
+        weights = (np.uint64(1) << np.arange(bits, dtype=np.uint64)).astype(np.float64)
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            tbl = pa.Table.from_batches([rb])
+            mat = _list_to_mat(tbl.column(vec_col))
+            n = mat.shape[0]
+            if planes is None:
+                rng = np.random.default_rng(seed)
+                planes = rng.standard_normal((mat.shape[1], bands * bits))
+            proj = mat @ planes  # (n, bands*bits)
+            packed = ((proj > 0).reshape(n, bands, bits) @ weights).astype(np.int64)
+            ids = np.repeat(np.asarray(tbl.column(id_col).combine_chunks().cast(pa.int64())), bands)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, type=pa.int64()),
+                    pa.array(np.tile(np.arange(bands, dtype=np.int32), n), type=pa.int32()),
+                    pa.array(packed.reshape(-1), type=pa.int64()),
+                ],
+                names=[id_col, "band", "bucket"],
+            )
+
+    return embeddings.select(id_col, vec_col).mapInArrow(
+        compute, schema=f"{id_col} long, band int, bucket long"
+    )
 
 
 def lsh_topk(
@@ -101,21 +161,52 @@ def lsh_topk(
 
 
 def embedding_near_dups(
-    embeddings: DataFrame, threshold: float = 0.95, bits: int = 8, seed: int = 11,
-    id_col: str = "vec_id", vec_col: str = "embedding",
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    bands: int = 8,
+    bits: int = 8,
+    seed: int = 11,
+    max_bucket_size: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id_a, id_b, cosine): near-duplicate vector pairs via LSH buckets +
-    exact cosine confirm."""
-    sig = random_hyperplane_signatures(embeddings, bits=bits, seed=seed, id_col=id_col, vec_col=vec_col)
-    emb = embeddings.select(id_col, F.col(vec_col).cast("array<double>").alias("v")).join(sig, id_col)
-    l, r = emb.alias("l"), emb.alias("r")
-    pairs = l.join(
-        r,
-        (F.col("l.bucket") == F.col("r.bucket")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-    ).select(
-        F.col(f"l.{id_col}").alias("id_a"),
-        F.col(f"r.{id_col}").alias("id_b"),
-        _cosine_expr(F.col("l.v"), F.col("r.v")).alias("cosine"),
+    """(id_a, id_b, cosine): near-duplicate vector pairs via multi-band
+    sign-projection LSH + exact cosine confirm.
+
+    Scale shape: only (id, band, bucket) triples ride the banding shuffle;
+    candidate pairs are deduplicated before the vectors join back once per
+    side for the exact confirm.  ``max_bucket_size`` drops degenerate
+    buckets (e.g. a constant-vector pile-up) before the self-join so no
+    bucket goes quadratic -- an explicit recall/cost knob, like LSH itself.
+    """
+    sig = banded_hyperplane_buckets(
+        embeddings, bands=bands, bits=bits, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    # bucket space is bands * 2^bits (tiny): the size table broadcasts
+    sizes = sig.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_n"))
+    sig = (
+        sig.join(F.broadcast(sizes), ["band", "bucket"])
+        .filter(F.col("_n") <= max_bucket_size)
+        .drop("_n")
+    )
+    left, right = sig.alias("l"), sig.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    emb = embeddings.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+    va = emb.select(F.col(id_col).alias("id_a"), F.col("v").alias("v_a"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col("v").alias("v_b"))
+    pairs = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", _cosine_expr(F.col("v_a"), F.col("v_b")).alias("cosine"))
     )
     return pairs.filter(F.col("cosine") >= threshold)
 
@@ -147,16 +238,25 @@ def ivf_assignments(
     for corpus assignment; >1 for query probe lists)."""
     cb = centroids  # captured in the closure -> shipped to executors once
 
-    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def compute(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         cn = (cb * cb).sum(axis=1)
-        for pdf in batches:
-            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            tbl = pa.Table.from_batches([rb])
+            mat = _list_to_mat(tbl.column(vec_col))
             d = (mat * mat).sum(axis=1)[:, None] - 2.0 * (mat @ cb.T) + cn[None, :]
             order = np.argsort(d, axis=1)[:, :n_probe]
-            ids = np.repeat(pdf[id_col].to_numpy(), n_probe)
-            yield pd.DataFrame({id_col: ids, "cluster": order.reshape(-1).astype(np.int32)})
+            ids = np.repeat(np.asarray(tbl.column(id_col).combine_chunks().cast(pa.int64())), n_probe)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, type=pa.int64()),
+                    pa.array(order.reshape(-1).astype(np.int32), type=pa.int32()),
+                ],
+                names=[id_col, "cluster"],
+            )
 
-    return embeddings.select(id_col, vec_col).mapInPandas(
+    return embeddings.select(id_col, vec_col).mapInArrow(
         compute, schema=f"{id_col} long, cluster int"
     )
 

@@ -182,6 +182,31 @@ def test_stream_encode_roundtrip(spark, tmp_path):
     assert joined.count() == docs.count()
 
 
+def test_embedding_near_dups_planted(spark, embeddings):
+    from parquet4seastar_spark.operators.similarity import embedding_near_dups
+
+    # scaled copies keep every projection sign -> guaranteed band collision;
+    # original vectors are near-orthogonal so only planted pairs survive 0.9
+    planted = embeddings.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(1.01)).cast("float")).alias("embedding"),
+    )
+    both = embeddings.select("vec_id", "embedding").union(planted)
+    pairs = {(r["id_a"], r["id_b"]) for r in embedding_near_dups(both, threshold=0.9).collect()}
+    assert pairs == {(i, i + 1000000) for i in range(5)}
+
+
+def test_embedding_near_dups_bucket_cap(spark, embeddings):
+    from parquet4seastar_spark.operators.similarity import embedding_near_dups
+
+    # a cap of 1 drops every bucket that could produce a pair -> empty result
+    planted = embeddings.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    both = embeddings.select("vec_id", "embedding").union(planted)
+    assert embedding_near_dups(both, threshold=0.9, max_bucket_size=1).count() == 0
+
+
 def test_ivf_topk_recall(spark, embeddings):
     from parquet4seastar_spark.operators.similarity import brute_force_topk, ivf_topk
 
