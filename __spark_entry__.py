@@ -104,6 +104,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["roundtrip_dict_fallback"] = roundtrip_dict_fallback
 
+    # ---- nested round-trip: array<float> through rep/def levels (Dremel)
+    def roundtrip_embeddings(spark, sf_dir):
+        from parquet4seastar_spark.engine.decode_job import decode_table
+        from parquet4seastar_spark.engine.encode_job import encode_table
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            F.col("vec_id").alias("row_id"), "embedding", "label"
+        )
+        cols = ["embedding", "label"]
+        enc = encode_table(
+            emb, columns=cols, policy="auto", salt_col="label", num_partitions=4,
+            salt_target_rows=2000, page_target_bytes=16 << 10,
+        )
+        return decode_table(enc, cols).select(F.col("row_id").alias("vec_id"), *cols)
+
+    q["roundtrip_embeddings"] = roundtrip_embeddings
+
     # ---- lineitem round-trip (mixed types incl. doubles, low-card strings)
     def roundtrip_lineitem(spark, sf_dir):
         from parquet4seastar_spark.engine.decode_job import decode_table
@@ -322,6 +339,7 @@ def oracle_sql() -> dict[str, str]:
     o["roundtrip_reference_policy"] = "SELECT doc_id, text, lang, n_chars FROM documents"
     o["roundtrip_auto_fast"] = "SELECT doc_id, text, source FROM documents"
     o["roundtrip_dict_fallback"] = "SELECT doc_id, md5(text) AS h FROM documents"
+    o["roundtrip_embeddings"] = "SELECT vec_id, embedding, label FROM embeddings"
     o["roundtrip_lineitem"] = (
         "SELECT l_orderkey, l_linenumber, l_extendedprice, l_returnflag FROM lineitem"
     )

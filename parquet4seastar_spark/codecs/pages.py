@@ -78,8 +78,8 @@ class Page:
 
 @dataclass
 class EncodedChunk:
-    ptype: str
-    logical: str  # 'string' | 'binary' | 'int32' | 'int64' | 'float' | 'double' | 'bool'
+    ptype: str  # physical type of the LEAF values
+    logical: str  # flat: 'string'|'binary'|'int32'|...; nested: 'list<elem>'
     nullable: bool
     num_rows: int
     num_nulls: int
@@ -92,6 +92,12 @@ class EncodedChunk:
     encoded_bytes: int = 0  # sum of page uncompressed sizes (post-encoding)
     compressed_bytes: int = 0
     sha256: str = ""
+    # Dremel level geometry (reader_schema.cc:79-93 / file_writer.hh:50-81):
+    # flat optional column -> (1, 0); list column -> max_rep = 1 and
+    # max_def = outer_optional + 1 (repeated) + elem_optional
+    max_def: int = -1  # -1: derive from `nullable` (flat back-compat)
+    max_rep: int = 0
+    elem_nullable: bool = False
 
     @property
     def total_size(self) -> int:
@@ -100,6 +106,18 @@ class EncodedChunk:
 
 def pa_ptype(arr: pa.Array) -> tuple[str, str]:
     t = arr.type
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        # one level of repetition (standard parquet 3-level LIST,
+        # writer_schema.cc:30-134); ptype reports the LEAF physical type
+        elem = t.value_type
+        if pa.types.is_list(elem) or pa.types.is_large_list(elem) or pa.types.is_nested(elem):
+            raise TypeError(f"only one nesting level supported, got {t}")
+        elem_ptype, elem_logical = pa_ptype_scalar(elem)
+        return elem_ptype, f"list<{elem_logical}>"
+    return pa_ptype_scalar(t)
+
+
+def pa_ptype_scalar(t: pa.DataType) -> tuple[str, str]:
     if pa.types.is_fixed_size_binary(t):
         return "FIXED_LEN_BYTE_ARRAY", "flba"
     # logical types layered on INT32/INT64 physical storage, mirroring the
@@ -269,48 +287,16 @@ def _plain_size(ptype: str, n: int, lengths=None, type_length: int = 0) -> int:
     return _FIXED_DTYPES[ptype].itemsize * n
 
 
-def encode_chunk(
-    arr: pa.Array,
-    *,
-    policy: str = "auto",
-    page_target_bytes: int = 1 << 20,
-    compression: str = "uncompressed",
-    nullable: bool | None = None,
-) -> EncodedChunk:
-    """Encode one column chunk into pages.
-
-    policy: 'auto' (codec auto-selection, never worse than 'reference'),
-            'reference' (the reference's static policy: RLE_DICTIONARY with
-            16 KiB fallback for all types except INT32/INT64 -> PLAIN is the
-            baseline; see BASELINE.md), 'plain', or an explicit codec name.
-    """
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
-    ptype, logical = pa_ptype(arr)
-    if logical == "timestamp_us":
-        arr = arr.cast(pa.int64())
-    elif logical == "date":
-        arr = arr.cast(pa.int32())
-    n = len(arr)
-    num_nulls = arr.null_count
-    if nullable is None:
-        nullable = num_nulls > 0
-    max_def = 1 if nullable else 0
-    valid = (
-        np.ones(n, dtype=bool)
-        if num_nulls == 0
-        else np.asarray(arr.is_valid())
-    )
-    nn_arr = arr.drop_null() if num_nulls else arr
-
-    # non-null values in flat form
+def _leaf_components(nn_arr: pa.Array, ptype: str):
+    """Null-free leaf array -> (values, lengths, payload, per-value bytes,
+    type_length) in the flat form the codec kernels consume."""
     lengths = payload = values = None
     type_length = 0
     if ptype == "BYTE_ARRAY":
         lengths, payload = ba_components(nn_arr)
         nn_row_bytes = lengths + 4
     elif ptype == "FIXED_LEN_BYTE_ARRAY":
-        type_length = arr.type.byte_width
+        type_length = nn_arr.type.byte_width
         buf = nn_arr.buffers()[1]
         values = np.frombuffer(buf, dtype=np.uint8, count=len(nn_arr) * type_length,
                                offset=nn_arr.offset * type_length).reshape(-1, type_length)
@@ -321,6 +307,70 @@ def encode_chunk(
     else:
         values = np.ascontiguousarray(nn_arr.to_numpy(zero_copy_only=False), dtype=_FIXED_DTYPES[ptype])
         nn_row_bytes = np.full(len(values), _FIXED_DTYPES[ptype].itemsize, dtype=np.int64)
+    return values, lengths, payload, nn_row_bytes, type_length
+
+
+def encode_chunk(
+    arr: pa.Array,
+    *,
+    policy: str = "auto",
+    page_target_bytes: int = 1 << 20,
+    compression: str = "uncompressed",
+    nullable: bool | None = None,
+    _def_levels: np.ndarray | None = None,
+    _max_def: int | None = None,
+) -> EncodedChunk:
+    """Encode one column chunk into pages.
+
+    policy: 'auto' (codec auto-selection, never worse than 'reference'),
+            'reference' (the reference's static policy: RLE_DICTIONARY with
+            16 KiB fallback for all types except INT32/INT64 -> PLAIN is the
+            baseline; see BASELINE.md), 'plain', or an explicit codec name.
+
+    List columns (one nesting level) are routed to the Dremel level path
+    (_encode_list_chunk); flat columns keep max_def <= 1, max_rep = 0.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+        return _encode_list_chunk(
+            arr,
+            policy=policy,
+            page_target_bytes=page_target_bytes,
+            compression=compression,
+            nullable=nullable,
+        )
+    ptype, logical = pa_ptype(arr)
+    if logical == "timestamp_us":
+        arr = arr.cast(pa.int64())
+    elif logical == "date":
+        arr = arr.cast(pa.int32())
+    n = len(arr)
+    if _def_levels is not None:
+        # struct-field mode: caller supplies the merged Dremel def stream
+        # (e.g. {0: struct NULL, 1: field NULL, 2: value}); values exist
+        # only at def == max_def (column_chunk_writer.hh:75-89)
+        max_def = int(_max_def)
+        def_arr = np.ascontiguousarray(_def_levels, dtype=np.uint64)
+        valid = def_arr == max_def
+        num_nulls = int(n - valid.sum())
+        nullable = True
+        nn_arr = arr.filter(pa.array(valid)) if num_nulls else arr
+    else:
+        num_nulls = arr.null_count
+        if nullable is None:
+            nullable = num_nulls > 0
+        max_def = 1 if nullable else 0
+        valid = (
+            np.ones(n, dtype=bool)
+            if num_nulls == 0
+            else np.asarray(arr.is_valid())
+        )
+        def_arr = valid.astype(np.uint64)
+        nn_arr = arr.drop_null() if num_nulls else arr
+
+    # non-null values in flat form
+    values, lengths, payload, nn_row_bytes, type_length = _leaf_components(nn_arr, ptype)
 
     # map to row domain (nulls occupy a row with 0 value bytes)
     row_bytes = np.zeros(n, dtype=np.int64)
@@ -341,6 +391,8 @@ def encode_chunk(
         compression=compression,
         type_length=type_length,
         input_bytes=input_bytes,
+        max_def=max_def,
+        max_rep=0,
     )
     chunk.sha256 = chunk_sha256(ptype, valid, values, lengths, payload)
 
@@ -367,7 +419,6 @@ def encode_chunk(
             break
         enc = per_page_enc[pi]
         nn_end = int(nn_page_ends[pi])
-        page_valid = valid[row_start:row_end]
         if cached_bodies is not None:
             body = cached_bodies[pi]
         elif enc == "RLE_DICTIONARY":
@@ -382,7 +433,7 @@ def encode_chunk(
             body = _encode_values(enc, ptype, None, pl, seg, chunk_fsst_table)
         else:
             body = _encode_values(enc, ptype, values[nn_start:nn_end])
-        head = encode_levels_v1(page_valid.astype(np.uint64), max_def)
+        head = encode_levels_v1(def_arr[row_start:row_end], max_def)
         page_raw = head + body
         comp = _compress(page_raw, compression)
         chunk.pages.append(
@@ -402,6 +453,177 @@ def encode_chunk(
 def chunk_sha256(ptype, valid, values, lengths, payload) -> str:
     h = hashlib.sha256()
     h.update(np.packbits(valid, bitorder="little").tobytes())
+    if ptype == "BYTE_ARRAY":
+        h.update(np.ascontiguousarray(lengths, dtype=np.int64).tobytes())
+        h.update(np.ascontiguousarray(payload).tobytes())
+    elif ptype == "BOOLEAN":
+        h.update(np.packbits(values, bitorder="little").tobytes())
+    else:
+        h.update(np.ascontiguousarray(values).tobytes())
+    return h.hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# list columns: Dremel rep/def levels over one repetition level
+#
+# Semantics match the reference's level computation (REPEATED => ++def,++rep;
+# OPTIONAL => ++def -- reader_schema.cc:79-93, file_writer.hh:50-81) and its
+# record assembly contract (record_reader.hh:469-505): for the standard
+# 3-level LIST with an optional outer field,
+#   def 0            = list is NULL
+#   def d_empty      = list present but empty          (d_empty = outer opt)
+#   def max_def - 1  = element slot, element NULL      (iff elem optional)
+#   def max_def      = element value present
+#   rep 0 starts a new row; rep 1 continues the current list.
+
+
+def _list_level_geometry(nullable: bool, elem_nullable: bool) -> tuple[int, int]:
+    """(max_def, d_empty) for a single-level list."""
+    d_empty = 1 if nullable else 0
+    return d_empty + 1 + (1 if elem_nullable else 0), d_empty
+
+
+def _encode_list_chunk(
+    arr: pa.Array,
+    *,
+    policy: str,
+    page_target_bytes: int,
+    compression: str,
+    nullable: bool | None,
+) -> EncodedChunk:
+    ptype, logical = pa_ptype(arr)
+    n = len(arr)
+    num_nulls = arr.null_count
+    if nullable is None:
+        nullable = num_nulls > 0
+    leaf = arr.flatten()  # elements of non-null lists, row order
+    elem_nullable = leaf.null_count > 0
+    max_def, d_empty = _list_level_geometry(nullable, elem_nullable)
+    max_rep = 1
+
+    row_valid = np.ones(n, dtype=bool) if num_nulls == 0 else np.asarray(arr.is_valid())
+    lvl = pa.compute.list_value_length(arr)
+    lengths_per_row = np.asarray(lvl.fill_null(0) if num_nulls else lvl).astype(np.int64)
+    elem_valid = (
+        np.ones(len(leaf), dtype=bool) if leaf.null_count == 0 else np.asarray(leaf.is_valid())
+    )
+    nn_leaf = leaf.drop_null() if leaf.null_count else leaf
+    values, lengths, payload, nn_val_bytes, type_length = _leaf_components(nn_leaf, ptype)
+
+    # ---- level streams (one entry per element; null/empty rows get one)
+    counts = np.maximum(lengths_per_row, 1)
+    n_levels = int(counts.sum())
+    level_starts = np.zeros(n, dtype=np.int64)
+    level_starts[1:] = np.cumsum(counts)[:-1]
+    rep = np.ones(n_levels, dtype=np.uint64)
+    rep[level_starts] = 0
+    def_ = np.zeros(n_levels, dtype=np.uint64)
+    has = lengths_per_row > 0
+    if has.any():
+        g = lengths_per_row[has]
+        dst = np.repeat(level_starts[has], g) + (
+            np.arange(int(g.sum()), dtype=np.int64) - np.repeat(np.cumsum(g) - g, g)
+        )
+        def_[dst] = np.where(elem_valid, max_def, max_def - 1).astype(np.uint64)
+    empty_rows = ~has
+    if empty_rows.any():
+        def_[level_starts[empty_rows]] = np.where(
+            row_valid[empty_rows], d_empty, 0
+        ).astype(np.uint64)
+
+    # ---- paginate in ROW space by estimated bytes (elements + level entry)
+    row_bytes = np.zeros(n, dtype=np.int64)
+    if has.any():
+        # per-row sum of element byte sizes: sizes of VALID elements only
+        elem_sizes = np.zeros(len(leaf), dtype=np.int64)
+        elem_sizes[elem_valid] = nn_val_bytes
+        cs = np.zeros(len(leaf) + 1, dtype=np.int64)
+        np.cumsum(elem_sizes, out=cs[1:])
+        leaf_starts = np.zeros(n, dtype=np.int64)
+        leaf_starts[1:] = np.cumsum(lengths_per_row)[:-1]
+        row_bytes = cs[leaf_starts + lengths_per_row] - cs[leaf_starts]
+    row_bytes = row_bytes + counts  # ~1B/level entry
+    page_ends = _page_boundaries(row_bytes, page_target_bytes)
+    n_pages = len(page_ends) if n else 0
+
+    # per-page end positions in level space and encoded-value space
+    level_ends = np.cumsum(counts)[page_ends - 1] if n else np.array([0], dtype=np.int64)
+    enc_mask = def_ == max_def  # entries carrying an encoded value
+    enc_before = np.cumsum(enc_mask, dtype=np.int64)
+    nn_page_ends = enc_before[level_ends - 1] if n else np.array([0], dtype=np.int64)
+
+    input_bytes = _plain_size(ptype, int(elem_valid.sum()), lengths, type_length)
+    chunk = EncodedChunk(
+        ptype=ptype,
+        logical=logical,
+        nullable=nullable,
+        num_rows=n,
+        num_nulls=num_nulls,
+        cardinality=0,
+        encodings=[],
+        compression=compression,
+        type_length=type_length,
+        input_bytes=input_bytes,
+        max_def=max_def,
+        max_rep=max_rep,
+        elem_nullable=elem_nullable,
+    )
+    chunk.sha256 = list_chunk_sha256(ptype, row_valid, lengths_per_row, elem_valid, values, lengths, payload)
+
+    plan = _plan_codecs(policy, ptype, n, None, values, lengths, payload, page_ends, nn_page_ends)
+    per_page_enc, dict_page_bytes, codes, cardinality, card_by_page, cached_bodies = plan
+    chunk.cardinality = cardinality
+    if dict_page_bytes is not None:
+        comp = _compress(dict_page_bytes, compression)
+        chunk.pages.append(
+            Page("dict", "PLAIN", cardinality, cardinality, len(dict_page_bytes), len(comp), comp)
+        )
+
+    nn_start = 0
+    lvl_start = 0
+    len_start = 0
+    chunk_fsst_table = None
+    for pi in range(n_pages):
+        lvl_end = int(level_ends[pi])
+        nn_end = int(nn_page_ends[pi])
+        enc = per_page_enc[pi]
+        if cached_bodies is not None:
+            body = cached_bodies[pi]
+        elif enc == "RLE_DICTIONARY":
+            body = dictionary.encode_dict_indices(codes[nn_start:nn_end], int(card_by_page[pi]))
+        elif ptype == "BYTE_ARRAY":
+            pl = lengths[nn_start:nn_end]
+            seg = payload[len_start : len_start + int(pl.sum())]
+            if enc == "FSST" and chunk_fsst_table is None:
+                chunk_fsst_table = _train_chunk_table(payload)
+            body = _encode_values(enc, ptype, None, pl, seg, chunk_fsst_table)
+        else:
+            body = _encode_values(enc, ptype, values[nn_start:nn_end])
+        # V1 page: [u32+rep][u32+def][values] (column_chunk_writer.hh:98-139)
+        head = encode_levels_v1(rep[lvl_start:lvl_end], max_rep) + encode_levels_v1(
+            def_[lvl_start:lvl_end], max_def
+        )
+        page_raw = head + body
+        comp = _compress(page_raw, compression)
+        chunk.pages.append(
+            Page("data", enc, lvl_end - lvl_start, nn_end - nn_start, len(page_raw), len(comp), comp)
+        )
+        if ptype == "BYTE_ARRAY":
+            len_start += int(lengths[nn_start:nn_end].sum())
+        nn_start = nn_end
+        lvl_start = lvl_end
+
+    chunk.encodings = sorted({p.encoding for p in chunk.pages if p.kind == "data"})
+    chunk.encoded_bytes = sum(p.uncompressed_size for p in chunk.pages)
+    chunk.compressed_bytes = sum(p.compressed_size for p in chunk.pages)
+    return chunk
+
+
+def list_chunk_sha256(ptype, row_valid, lengths_per_row, elem_valid, values, lengths, payload) -> str:
+    h = hashlib.sha256()
+    h.update(np.packbits(row_valid, bitorder="little").tobytes())
+    h.update(np.ascontiguousarray(lengths_per_row, dtype=np.int64).tobytes())
+    h.update(np.packbits(elem_valid, bitorder="little").tobytes())
     if ptype == "BYTE_ARRAY":
         h.update(np.ascontiguousarray(lengths, dtype=np.int64).tobytes())
         h.update(np.ascontiguousarray(payload).tobytes())
@@ -678,15 +900,50 @@ def _auto_plan(ptype, n, values, lengths, payload, page_ends, nn_page_ends, allo
 # decode
 
 
-def decode_chunk(chunk: EncodedChunk) -> pa.Array:
+def _load_dict_page(raw, ptype: str, type_length: int, num_values: int):
+    """Decode a PLAIN dictionary page into flat entry form."""
+    if ptype == "BYTE_ARRAY":
+        lengths, payload = plain.plain_decode_byte_array(raw, num_values)
+        return (lengths.astype(np.int64), np.frombuffer(payload, dtype=np.uint8))
+    if ptype == "BOOLEAN":
+        return plain.plain_decode_bool(raw, num_values)
+    if ptype == "FIXED_LEN_BYTE_ARRAY":
+        flat = plain.plain_decode_flba(raw, type_length, num_values)
+        return np.frombuffer(flat, dtype=np.uint8).reshape(num_values, type_length)
+    return plain.plain_decode_fixed(raw, _FIXED_DTYPES[ptype], num_values)
+
+
+def _gather_dict_values(ptype: str, dict_entries, codes, len_parts, payload_parts, fixed_parts):
+    """Append dictionary lookups for one page into the value accumulators."""
+    if ptype == "BYTE_ARRAY":
+        d_lengths, d_payload = dict_entries
+        d_offsets = np.zeros(len(d_lengths) + 1, dtype=np.int64)
+        np.cumsum(d_lengths, out=d_offsets[1:])
+        lens = d_lengths[codes]
+        total = int(lens.sum())
+        idx = np.repeat(d_offsets[codes], lens) + (
+            np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(lens) - lens, lens)
+        )
+        len_parts.append(lens)
+        payload_parts.append(d_payload[idx])
+    else:
+        fixed_parts.append(np.asarray(dict_entries)[codes])
+
+
+def decode_chunk(chunk: EncodedChunk, *, _collect_levels: list | None = None) -> pa.Array:
     """Decode pages back into a (nullable) arrow array.
 
     Mirrors column_chunk_reader::read_batch (column_chunk_reader.hh:101-157):
     a DICTIONARY page loads the dictionary, DATA pages decode def levels then
-    values; values exist only where def == max_def.
+    values; values exist only where def == max_def.  List chunks
+    (max_rep > 0) go through Dremel record reassembly (_decode_list_chunk).
+    ``_collect_levels`` (internal): struct reassembly passes a list to
+    receive the raw per-page def-level arrays.
     """
+    if chunk.max_rep > 0:
+        return _decode_list_chunk(chunk)
     ptype = chunk.ptype
-    max_def = 1 if chunk.nullable else 0
+    max_def = chunk.max_def if chunk.max_def >= 0 else (1 if chunk.nullable else 0)
     dict_entries = None  # decoded dictionary in flat form
     dict_size = 0
 
@@ -698,40 +955,18 @@ def decode_chunk(chunk: EncodedChunk) -> pa.Array:
     for page in chunk.pages:
         raw = _decompress(page.data, chunk.compression)
         if page.kind == "dict":
-            if ptype == "BYTE_ARRAY":
-                lengths, payload = plain.plain_decode_byte_array(raw, page.num_values)
-                dict_entries = (lengths.astype(np.int64), np.frombuffer(payload, dtype=np.uint8))
-            elif ptype == "BOOLEAN":
-                dict_entries = plain.plain_decode_bool(raw, page.num_values)
-            elif ptype == "FIXED_LEN_BYTE_ARRAY":
-                flat = plain.plain_decode_flba(raw, chunk.type_length, page.num_values)
-                dict_entries = np.frombuffer(flat, dtype=np.uint8).reshape(
-                    page.num_values, chunk.type_length
-                )
-            else:
-                dict_entries = plain.plain_decode_fixed(raw, _FIXED_DTYPES[ptype], page.num_values)
+            dict_entries = _load_dict_page(raw, ptype, chunk.type_length, page.num_values)
             dict_size = page.num_values
             continue
         levels, consumed = decode_levels_v1(raw, max_def, page.num_values)
+        if _collect_levels is not None:
+            _collect_levels.append(levels)
         mask = levels == max_def if max_def else np.ones(page.num_values, dtype=bool)
         nn = int(mask.sum())
         body = memoryview(raw)[consumed:]
         if page.encoding == "RLE_DICTIONARY":
             codes = _decode_values("RLE_DICTIONARY", ptype, bytes(body), nn, dict_size)
-            if ptype == "BYTE_ARRAY":
-                d_lengths, d_payload = dict_entries
-                d_offsets = np.zeros(len(d_lengths) + 1, dtype=np.int64)
-                np.cumsum(d_lengths, out=d_offsets[1:])
-                lens = d_lengths[codes]
-                total = int(lens.sum())
-                idx = np.repeat(d_offsets[codes], lens) + (
-                    np.arange(total, dtype=np.int64)
-                    - np.repeat(np.cumsum(lens) - lens, lens)
-                )
-                len_parts.append(lens)
-                payload_parts.append(d_payload[idx])
-            else:
-                fixed_parts.append(np.asarray(dict_entries)[codes])
+            _gather_dict_values(ptype, dict_entries, codes, len_parts, payload_parts, fixed_parts)
         else:
             out = _decode_values(
                 page.encoding, ptype, bytes(body), nn, type_length=chunk.type_length
@@ -794,3 +1029,191 @@ def decode_chunk(chunk: EncodedChunk) -> pa.Array:
     if chunk.logical == "date":
         return out.cast(pa.date32())
     return out
+
+
+_ELEM_PA_TYPES = {
+    "int32": pa.int32(),
+    "int64": pa.int64(),
+    "float": pa.float32(),
+    "double": pa.float64(),
+    "bool": pa.bool_(),
+    "string": pa.string(),
+    "binary": pa.binary(),
+}
+
+
+def _decode_list_chunk(chunk: EncodedChunk) -> pa.Array:
+    """Dremel record reassembly for one list column chunk.
+
+    Mirrors record_reader list logic (record_reader.hh:272-297, 469-505):
+    rep == 0 starts a row; def tells NULL list / empty list / NULL element /
+    value.  Values decode through the same codec dispatch as flat chunks.
+    """
+    ptype = chunk.ptype
+    max_def = chunk.max_def
+    max_rep = chunk.max_rep
+    _, d_empty = _list_level_geometry(chunk.nullable, chunk.elem_nullable)
+    dict_entries = None
+    dict_size = 0
+
+    rep_parts: list[np.ndarray] = []
+    def_parts: list[np.ndarray] = []
+    fixed_parts: list[np.ndarray] = []
+    len_parts: list[np.ndarray] = []
+    payload_parts: list[np.ndarray] = []
+
+    for page in chunk.pages:
+        raw = _decompress(page.data, chunk.compression)
+        if page.kind == "dict":
+            dict_entries = _load_dict_page(raw, ptype, chunk.type_length, page.num_values)
+            dict_size = page.num_values
+            continue
+        rep, c1 = decode_levels_v1(raw, max_rep, page.num_values)
+        def_, c2 = decode_levels_v1(memoryview(raw)[c1:], max_def, page.num_values)
+        body = memoryview(raw)[c1 + c2 :]
+        nn = int((def_ == max_def).sum())
+        if nn != page.num_non_null:
+            raise ValueError(
+                f"list page value count mismatch: {nn} != {page.num_non_null}"
+            )
+        if page.encoding == "RLE_DICTIONARY":
+            codes = _decode_values("RLE_DICTIONARY", ptype, bytes(body), nn, dict_size)
+            _gather_dict_values(ptype, dict_entries, codes, len_parts, payload_parts, fixed_parts)
+        else:
+            out = _decode_values(page.encoding, ptype, bytes(body), nn, type_length=chunk.type_length)
+            if ptype == "BYTE_ARRAY":
+                lens, pl = out
+                len_parts.append(lens)
+                payload_parts.append(pl)
+            else:
+                fixed_parts.append(out)
+        rep_parts.append(rep)
+        def_parts.append(def_)
+
+    rep_all = np.concatenate(rep_parts) if rep_parts else np.zeros(0, dtype=np.int32)
+    def_all = np.concatenate(def_parts) if def_parts else np.zeros(0, dtype=np.int32)
+    row_start = rep_all == 0
+    n_rows = int(row_start.sum())
+    if n_rows != chunk.num_rows:
+        raise ValueError(f"decoded row count mismatch: {n_rows} != {chunk.num_rows}")
+
+    is_elem = def_all > d_empty
+    row_ids = np.cumsum(row_start) - 1
+    row_lengths = np.bincount(row_ids[is_elem], minlength=n_rows).astype(np.int64)
+    if chunk.nullable:
+        row_valid = def_all[row_start] > 0
+    else:
+        row_valid = np.ones(n_rows, dtype=bool)
+    elem_valid = def_all[is_elem] == max_def
+    n_elems = int(is_elem.sum())
+
+    elem_logical = chunk.logical[5:-1] if chunk.logical.startswith("list<") else chunk.logical
+    elem_validity = (
+        pa.py_buffer(np.packbits(elem_valid, bitorder="little").tobytes())
+        if chunk.elem_nullable
+        else None
+    )
+    if ptype == "BYTE_ARRAY":
+        lens = np.concatenate(len_parts) if len_parts else np.zeros(0, dtype=np.int64)
+        payload = np.concatenate(payload_parts) if payload_parts else np.zeros(0, dtype=np.uint8)
+        full_lens = np.zeros(n_elems, dtype=np.int64)
+        full_lens[elem_valid] = lens
+        offsets = np.zeros(n_elems + 1, dtype=np.int64)
+        np.cumsum(full_lens, out=offsets[1:])
+        leaf = pa.Array.from_buffers(
+            pa.large_binary(),
+            n_elems,
+            [elem_validity, pa.py_buffer(offsets.tobytes()), pa.py_buffer(payload.tobytes())],
+        )
+        leaf = leaf.cast(pa.large_string()).cast(pa.string()) if elem_logical == "string" else leaf.cast(pa.binary())
+    elif ptype == "BOOLEAN":
+        vals = (
+            np.concatenate([np.asarray(p, dtype=bool) for p in fixed_parts])
+            if fixed_parts
+            else np.zeros(0, dtype=bool)
+        )
+        full = np.zeros(n_elems, dtype=bool)
+        full[elem_valid] = vals
+        leaf = pa.array(full, type=pa.bool_(), mask=~elem_valid if chunk.elem_nullable else None)
+    else:
+        vals = np.concatenate(fixed_parts) if fixed_parts else np.zeros(0, dtype=_FIXED_DTYPES[ptype])
+        full = np.zeros(n_elems, dtype=_FIXED_DTYPES[ptype])
+        full[elem_valid] = vals
+        leaf = pa.array(full, mask=~elem_valid if chunk.elem_nullable else None)
+    target = _ELEM_PA_TYPES[elem_logical]
+    if leaf.type != target:
+        leaf = leaf.cast(target)
+
+    list_offsets = np.zeros(n_rows + 1, dtype=np.int32)
+    np.cumsum(row_lengths, out=list_offsets[1:])
+    mask = None
+    if chunk.num_nulls:
+        mask = pa.array(~row_valid)
+    return pa.ListArray.from_arrays(pa.array(list_offsets, type=pa.int32()), leaf, mask=mask)
+
+
+# ---------------------------------------------------------------------------
+# struct columns (struct-of-primitives): one leaf chunk per field with the
+# merged Dremel def stream (struct optional +1, field optional +1 --
+# file_writer.hh:50-81; assembly record_reader.hh:234-247): def 0 = struct
+# NULL, def 1 = struct present / field NULL, def 2 = value.  Reuses the flat
+# chunk machinery via encode_chunk(_def_levels=...).
+
+
+def encode_struct_chunk(
+    arr: pa.StructArray,
+    *,
+    policy: str = "auto",
+    page_target_bytes: int = 1 << 20,
+    compression: str = "uncompressed",
+) -> dict[str, EncodedChunk]:
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not pa.types.is_struct(arr.type):
+        raise TypeError(f"expected struct array, got {arr.type}")
+    n = len(arr)
+    struct_valid = (
+        np.ones(n, dtype=bool) if arr.null_count == 0 else np.asarray(arr.is_valid())
+    )
+    out: dict[str, EncodedChunk] = {}
+    for i, f in enumerate(arr.type):
+        fa = arr.field(i)
+        # arrow child values at struct-null slots are unspecified: they are
+        # not encoded (def < max_def there), matching the reference's
+        # "value only when def == max_def" contract
+        f_valid = np.ones(n, dtype=bool) if fa.null_count == 0 else np.asarray(fa.is_valid())
+        def_levels = np.zeros(n, dtype=np.uint64)
+        def_levels[struct_valid] = 1
+        def_levels[struct_valid & f_valid] = 2
+        out[f.name] = encode_chunk(
+            fa,
+            policy=policy,
+            page_target_bytes=page_target_bytes,
+            compression=compression,
+            _def_levels=def_levels,
+            _max_def=2,
+        )
+    return out
+
+
+def decode_struct_chunk(chunks: dict[str, EncodedChunk]) -> pa.StructArray:
+    """Reassemble a struct column from its per-field leaf chunks: struct
+    validity = (def >= 1), field validity = (def == max_def)."""
+    fields = []
+    names = []
+    struct_valid = None
+    for name, ch in chunks.items():
+        levels: list[np.ndarray] = []
+        arr = decode_chunk(ch, _collect_levels=levels)
+        def_all = (
+            np.concatenate(levels) if levels else np.zeros(0, dtype=np.int32)
+        )
+        sv = def_all >= 1
+        if struct_valid is None:
+            struct_valid = sv
+        elif not np.array_equal(struct_valid, sv):
+            raise ValueError("struct fields disagree on struct validity")
+        fields.append(arr)
+        names.append(name)
+    mask = None if bool(struct_valid.all()) else pa.array(~struct_valid)
+    return pa.StructArray.from_arrays(fields, names, mask=mask)

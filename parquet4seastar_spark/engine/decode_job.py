@@ -46,9 +46,21 @@ _PA_TYPES = {
 }
 
 
+def _spark_type(logical: str) -> str:
+    if logical.startswith("list<") and logical.endswith(">"):
+        return f"array<{_SPARK_TYPES[logical[5:-1]]}>"
+    return _SPARK_TYPES[logical]
+
+
+def _pa_type(logical: str) -> pa.DataType:
+    if logical.startswith("list<") and logical.endswith(">"):
+        return pa.list_(_PA_TYPES[logical[5:-1]])
+    return _PA_TYPES[logical]
+
+
 _META_FIELDS = (
     "ptype", "logical", "nullable", "num_rows", "num_nulls", "cardinality",
-    "encodings", "compression", "type_length",
+    "encodings", "compression", "type_length", "max_def", "max_rep", "elem_nullable",
 )
 
 
@@ -74,6 +86,9 @@ def _rebuild_chunk(tbl: pa.Table, idxs: list[int]) -> EncodedChunk:
         encodings=(cols["encodings"][f].as_py() or "").split(","),
         compression=cols["compression"][f].as_py(),
         type_length=int(cols["type_length"][f].as_py() or 0),
+        max_def=int(cols["max_def"][f].as_py() if cols["max_def"][f].is_valid else -1),
+        max_rep=int(cols["max_rep"][f].as_py() or 0),
+        elem_nullable=bool(cols["elem_nullable"][f].as_py() or False),
     )
     data = cols["data"]
     for i in idxs:
@@ -118,7 +133,7 @@ def decode_table(
     if missing:
         raise ValueError(f"columns not present in encoded table: {missing}")
     out_schema = ", ".join(
-        ["row_id long"] + [f"`{c}` {_SPARK_TYPES[schema[c]]}" for c in columns]
+        ["row_id long"] + [f"`{c}` {_spark_type(schema[c])}" for c in columns]
     )
     cols = columns
     logicals = schema
@@ -135,7 +150,7 @@ def decode_table(
         names = ["row_id"]
         for c in cols:
             arr = decode_chunk(_rebuild_chunk(tbl, by_col[c]))
-            target = _PA_TYPES[logicals[c]]
+            target = _pa_type(logicals[c])
             if arr.type != target:
                 arr = arr.cast(target)
             out_arrays.append(arr)

@@ -41,7 +41,8 @@ ENCODED_SCHEMA = (
     "uncompressed_size long, compressed_size long, data binary, "
     "ptype string, logical string, nullable boolean, num_rows long, num_nulls long, "
     "cardinality long, encodings string, compression string, type_length int, "
-    "input_bytes long, encoded_bytes long, sha256 string, n_pages int"
+    "input_bytes long, encoded_bytes long, sha256 string, n_pages int, "
+    "max_def int, max_rep int, elem_nullable boolean"
 )
 
 DATA_COLUMNS = ["repo", "path", "commit", "lang", "content"]
@@ -120,6 +121,9 @@ def _out_schema_pa() -> pa.Schema:
                 ("encoded_bytes", pa.int64()),
                 ("sha256", pa.string()),
                 ("n_pages", pa.int32()),
+                ("max_def", pa.int32()),
+                ("max_rep", pa.int32()),
+                ("elem_nullable", pa.bool_()),
             ]
         )
     return _OUT_SCHEMA_PA
@@ -198,6 +202,9 @@ def _encode_partition_factory(columns, policy, page_target_bytes, chunk_target_b
                             "encoded_bytes": None,
                             "sha256": None,
                             "n_pages": len(chunk.pages),
+                            "max_def": chunk.max_def,
+                            "max_rep": chunk.max_rep,
+                            "elem_nullable": chunk.elem_nullable,
                         }
                     )
                 rows.append(
@@ -228,6 +235,9 @@ def _encode_partition_factory(columns, policy, page_target_bytes, chunk_target_b
                         "encoded_bytes": chunk.encoded_bytes,
                         "sha256": chunk.sha256,
                         "n_pages": len(chunk.pages),
+                        "max_def": chunk.max_def,
+                        "max_rep": chunk.max_rep,
+                        "elem_nullable": chunk.elem_nullable,
                     }
                 )
             schema = _out_schema_pa()

@@ -9,6 +9,30 @@ import pytest
 
 from parquet4seastar_spark.engine.encode_job import encode_table, salted_repartition
 from parquet4seastar_spark.engine.generator import generate_source_repos
+
+
+def test_engine_array_column_roundtrip(spark):
+    import pyspark.sql.functions as F
+
+    from parquet4seastar_spark.engine.decode_job import decode_table
+    from parquet4seastar_spark.engine.encode_job import encode_table
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        F.col("vec_id").alias("row_id"), "embedding", "label"
+    )
+    enc = encode_table(
+        emb, columns=["embedding", "label"], policy="auto", salt_col="label",
+        num_partitions=2, salt_target_rows=200, page_target_bytes=8 << 10,
+    )
+    dec = decode_table(enc, ["embedding", "label"])
+    joined = emb.join(
+        dec.withColumnRenamed("embedding", "e2").withColumnRenamed("label", "l2"), "row_id"
+    )
+    assert joined.count() == emb.count()
+    bad = joined.filter(
+        ~F.col("embedding").eqNullSafe(F.col("e2")) | ~F.col("label").eqNullSafe(F.col("l2"))
+    )
+    assert bad.count() == 0
 from parquet4seastar_spark.engine.verify import lineage_table, metrics_summary, roundtrip_verify
 
 N_ROWS = 600

@@ -259,6 +259,82 @@ def test_flba_unique_uuids_fallback():
     assert auto.compressed_bytes <= ref.compressed_bytes
 
 
+@pytest.mark.parametrize("policy", ["auto", "plain", "reference", "dict"])
+def test_list_roundtrip_policies(policy):
+    arr = pa.array(
+        [[1.0, 2.0], None, [], [3.0, None, 4.0], [5.0]] * 40, type=pa.list_(pa.float32())
+    )
+    chunk = encode_chunk(arr, policy=policy, page_target_bytes=64)
+    assert chunk.max_rep == 1
+    # optional list + repeated + optional element -> max_def 3
+    assert chunk.max_def == 3 and chunk.elem_nullable
+    assert chunk.logical == "list<float>"
+    assert decode_chunk(chunk).to_pylist() == arr.to_pylist()
+
+
+@pytest.mark.parametrize(
+    "vals,typ",
+    [
+        ([[1, 2, 3], [4], [], [5, 6]], pa.list_(pa.int64())),
+        ([["ab", "cd"], None, ["x"], []], pa.list_(pa.string())),
+        ([[b"aa"], [b"bb", b"cc"]], pa.list_(pa.binary())),
+        ([[True, None], [False]], pa.list_(pa.bool_())),
+        ([], pa.list_(pa.float64())),
+        ([None, None], pa.list_(pa.int32())),
+        ([[1.5, 2.5]] * 1000, pa.list_(pa.float64())),
+    ],
+)
+def test_list_roundtrip_types(vals, typ):
+    arr = pa.array(vals, type=typ)
+    chunk = encode_chunk(arr, policy="auto", page_target_bytes=256)
+    assert decode_chunk(chunk).to_pylist() == arr.to_pylist()
+
+
+def test_list_level_streams_match_reference_semantics():
+    # record_reader.hh:469-505 contract on a hand-checked example:
+    # [[a], NULL, [], [b, NULL]] with optional list + optional element =>
+    # def = {3, 0, 1, 3, 2}, rep = {0, 0, 0, 0, 1}
+    from parquet4seastar_spark.codecs.levels import decode_levels_v1
+
+    arr = pa.array([[1.0], None, [], [2.0, None]], type=pa.list_(pa.float64()))
+    chunk = encode_chunk(arr, policy="plain", page_target_bytes=1 << 20)
+    page = next(p for p in chunk.pages if p.kind == "data")
+    rep, c1 = decode_levels_v1(page.data, 1, page.num_values)
+    deflv, _ = decode_levels_v1(page.data[c1:], 3, page.num_values)
+    assert rep.tolist() == [0, 0, 0, 0, 1]
+    assert deflv.tolist() == [3, 0, 1, 3, 2]
+
+
+def test_list_dict_fallback_and_fsst():
+    # string elements: low-card -> dict; repetitive text -> FSST under auto
+    arr = pa.array([["py", "c", "py"], ["go"], ["py", "c"]] * 500, type=pa.list_(pa.string()))
+    chunk = encode_chunk(arr, policy="auto", page_target_bytes=1 << 14)
+    assert decode_chunk(chunk).to_pylist() == arr.to_pylist()
+    assert chunk.compressed_bytes < chunk.input_bytes
+
+
+def test_struct_roundtrip_mirrors_file_writer_test():
+    # file_writer_test.cc:61-130 analogue: struct-of-primitives with nulls at
+    # both levels; def stream distinguishes struct-NULL (0) / field-NULL (1)
+    # / value (2); every field chunk round-trips bit-identically
+    from parquet4seastar_spark.codecs.pages import decode_struct_chunk, encode_struct_chunk
+
+    vals = [
+        {"a": 1, "b": "x", "c": 1.5},
+        None,
+        {"a": None, "b": "yy", "c": 2.5},
+        {"a": 3, "b": None, "c": None},
+    ] * 50
+    arr = pa.array(
+        vals, type=pa.struct([("a", pa.int64()), ("b", pa.string()), ("c", pa.float64())])
+    )
+    for policy in ["auto", "plain", "reference"]:
+        chunks = encode_struct_chunk(arr, policy=policy, page_target_bytes=64)
+        assert all(c.max_def == 2 for c in chunks.values())
+        out = decode_struct_chunk(chunks)
+        assert out.to_pylist() == arr.to_pylist(), policy
+
+
 def test_levels_v2_and_bit_packed():
     from parquet4seastar_spark.codecs.levels import (
         decode_levels_bit_packed,
