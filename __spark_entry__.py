@@ -104,6 +104,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["roundtrip_dict_fallback"] = roundtrip_dict_fallback
 
+    # ---- derived-column round-trips closing the codec oracle gaps:
+    # BOOLEAN (RLE/PLAIN-bool), FIXED_LEN_BYTE_ARRAY, BYTE_STREAM_SPLIT
+    def roundtrip_bool(spark, sf_dir):
+        from parquet4seastar_spark.engine.decode_job import decode_table
+        from parquet4seastar_spark.engine.encode_job import encode_table
+
+        src = _docs(spark, sf_dir).select(
+            F.col("doc_id").alias("row_id"),
+            (F.col("n_chars") % 2 == 0).alias("is_even"),
+            "source",
+        )
+        enc = encode_table(
+            src, columns=["is_even"], policy="auto", salt_col="source",
+            num_partitions=2, salt_target_rows=2000,
+        )
+        return decode_table(enc, ["is_even"]).select(F.col("row_id").alias("doc_id"), "is_even")
+
+    q["roundtrip_bool"] = roundtrip_bool
+
+    def roundtrip_flba(spark, sf_dir):
+        from parquet4seastar_spark.engine.decode_job import decode_table
+        from parquet4seastar_spark.engine.encode_job import encode_table
+
+        src = _docs(spark, sf_dir).select(
+            F.col("doc_id").alias("row_id"), F.unhex(F.md5("text")).alias("h16"), "source"
+        )
+        enc = encode_table(
+            src, columns=["h16"], policy="auto", salt_col="source", num_partitions=2,
+            salt_target_rows=2000, fixed_len={"h16": 16},
+        )
+        # project the decoded 16-byte FLBA values as hex: the compare
+        # harness (driver + DuckDB) handles strings, not raw binary
+        return decode_table(enc, ["h16"]).select(
+            F.col("row_id").alias("doc_id"), F.lower(F.hex("h16")).alias("h16_hex")
+        )
+
+    q["roundtrip_flba"] = roundtrip_flba
+
+    def roundtrip_bss(spark, sf_dir):
+        from parquet4seastar_spark.engine.decode_job import decode_table
+        from parquet4seastar_spark.engine.encode_job import encode_table
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            F.col("event_id").alias("row_id"), "value", "event_type"
+        )
+        enc = encode_table(
+            ev, columns=["value"], policy="BYTE_STREAM_SPLIT", salt_col="event_type",
+            num_partitions=2, salt_target_rows=20000,
+        )
+        return decode_table(enc, ["value"]).select(F.col("row_id").alias("event_id"), "value")
+
+    q["roundtrip_bss"] = roundtrip_bss
+
     # ---- nested round-trip: array<float> through rep/def levels (Dremel)
     def roundtrip_embeddings(spark, sf_dir):
         from parquet4seastar_spark.engine.decode_job import decode_table
@@ -340,6 +393,9 @@ def oracle_sql() -> dict[str, str]:
     o["roundtrip_auto_fast"] = "SELECT doc_id, text, source FROM documents"
     o["roundtrip_dict_fallback"] = "SELECT doc_id, md5(text) AS h FROM documents"
     o["roundtrip_embeddings"] = "SELECT vec_id, embedding, label FROM embeddings"
+    o["roundtrip_bool"] = "SELECT doc_id, n_chars % 2 = 0 AS is_even FROM documents"
+    o["roundtrip_flba"] = "SELECT doc_id, md5(text) AS h16_hex FROM documents"
+    o["roundtrip_bss"] = "SELECT event_id, value FROM events"
     o["roundtrip_lineitem"] = (
         "SELECT l_orderkey, l_linenumber, l_extendedprice, l_returnflag FROM lineitem"
     )

@@ -129,7 +129,9 @@ def _out_schema_pa() -> pa.Schema:
     return _OUT_SCHEMA_PA
 
 
-def _encode_partition_factory(columns, policy, page_target_bytes, chunk_target_bytes, compression):
+def _encode_partition_factory(
+    columns, policy, page_target_bytes, chunk_target_bytes, compression, fixed_len=None
+):
     def encode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from parquet4seastar_spark import _alloc
 
@@ -162,6 +164,10 @@ def _encode_partition_factory(columns, policy, page_target_bytes, chunk_target_b
             rows = []
             for col in ["row_id", *columns]:
                 arr = tbl.column(col).combine_chunks()
+                if fixed_len and col in fixed_len:
+                    # FIXED_LEN_BYTE_ARRAY route: spark has no fixed-size
+                    # binary type, so equal-length binary columns opt in here
+                    arr = arr.cast(pa.binary(fixed_len[col]))
                 # row_id gets int auto-selection regardless of the value
                 # policy (sequential ids -> DBP ~free; random ids -> PLAIN)
                 cpolicy = "auto" if col == "row_id" else policy
@@ -274,6 +280,7 @@ def encode_table(
     salt_col: str = "repo",
     size_col: str | None = None,
     salt_target_rows: int | None = None,
+    fixed_len: dict[str, int] | None = None,
 ) -> DataFrame:
     """Encode ``df`` (must carry row_id + the data columns) into a pages+
     lineage DataFrame (see ENCODED_SCHEMA).
@@ -298,5 +305,7 @@ def encode_table(
     if resume_lineage is not None:
         done = resume_lineage.filter(F.col("kind") == "chunk").select("part_key").distinct()
         salted = salted.join(F.broadcast(done), "part_key", "left_anti")
-    fn = _encode_partition_factory(columns, policy, page_target_bytes, chunk_target_bytes, compression)
+    fn = _encode_partition_factory(
+        columns, policy, page_target_bytes, chunk_target_bytes, compression, fixed_len
+    )
     return salted.select("part_key", "row_id", *columns).mapInArrow(fn, schema=ENCODED_SCHEMA)
