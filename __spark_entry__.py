@@ -195,6 +195,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["roundtrip_lineitem"] = roundtrip_lineitem
 
+    # ---- DECIMAL logical type: all three physical mappings
+    # (p<=9 -> INT32, p<=18 -> INT64, else FLBA big-endian two's complement)
+    def roundtrip_decimal(spark, sf_dir):
+        from parquet4seastar_spark.engine.decode_job import decode_table
+        from parquet4seastar_spark.engine.encode_job import encode_table
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            (F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("row_id"),
+            F.col("l_discount").cast("decimal(7,2)").alias("disc_d7"),
+            F.col("l_extendedprice").cast("decimal(12,2)").alias("price_d12"),
+            F.col("l_extendedprice").cast("decimal(25,4)").alias("price_d25"),
+            "l_returnflag",
+        )
+        cols = ["disc_d7", "price_d12", "price_d25"]
+        enc = encode_table(
+            li, columns=cols, policy="auto", salt_col="l_returnflag", num_partitions=4,
+            salt_target_rows=50000,
+        )
+        # decimals compare as scale-preserving strings: the harness's pandas
+        # conversion renders DuckDB decimals as floats otherwise
+        return decode_table(enc, cols).select(
+            F.col("row_id").alias("rid"),
+            *[F.col(c).cast("string").alias(c) for c in cols],
+        )
+
+    q["roundtrip_decimal"] = roundtrip_decimal
+
     # ---- events round-trip: timestamp + double + strings through codecs
     def roundtrip_events(spark, sf_dir):
         from parquet4seastar_spark.engine.decode_job import decode_table
@@ -398,6 +425,12 @@ def oracle_sql() -> dict[str, str]:
     o["roundtrip_bss"] = "SELECT event_id, value FROM events"
     o["roundtrip_lineitem"] = (
         "SELECT l_orderkey, l_linenumber, l_extendedprice, l_returnflag FROM lineitem"
+    )
+    o["roundtrip_decimal"] = (
+        "SELECT l_orderkey * 100 + l_linenumber AS rid, "
+        "CAST(CAST(l_discount AS DECIMAL(7,2)) AS VARCHAR) AS disc_d7, "
+        "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR) AS price_d12, "
+        "CAST(CAST(l_extendedprice AS DECIMAL(25,4)) AS VARCHAR) AS price_d25 FROM lineitem"
     )
     o["roundtrip_events"] = (
         "SELECT event_id, ts, user_id, event_type, value, props FROM events"

@@ -117,7 +117,25 @@ def pa_ptype(arr: pa.Array) -> tuple[str, str]:
     return pa_ptype_scalar(t)
 
 
+def _decimal_byte_width(precision: int) -> int:
+    """Minimal FLBA width holding 10^p - 1 in two's complement (the
+    reference's DECIMAL/FLBA validation rule, logical_type.cc:94-115)."""
+    w = 1
+    while (1 << (8 * w - 1)) <= 10**precision - 1:
+        w += 1
+    return w
+
+
 def pa_ptype_scalar(t: pa.DataType) -> tuple[str, str]:
+    if pa.types.is_decimal(t):
+        # DECIMAL annotates INT32 (p<=9), INT64 (p<=18) or FLBA, mirroring
+        # the reference's logical->physical validation (logical_type.cc:94-115)
+        p, s = t.precision, t.scale
+        if p <= 9:
+            return "INT32", f"decimal({p},{s})"
+        if p <= 18:
+            return "INT64", f"decimal({p},{s})"
+        return "FIXED_LEN_BYTE_ARRAY", f"decimal({p},{s})"
     if pa.types.is_fixed_size_binary(t):
         return "FIXED_LEN_BYTE_ARRAY", "flba"
     # logical types layered on INT32/INT64 physical storage, mirroring the
@@ -158,6 +176,60 @@ def ba_components(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     lengths = np.diff(offsets)
     payload = data[offsets[0] : offsets[-1]]
     return lengths.astype(np.int64), payload
+
+
+def _parse_decimal(logical: str) -> tuple[int, int]:
+    p, s = logical[8:-1].split(",")
+    return int(p), int(s)
+
+
+def _decimal_to_physical(arr: pa.Array, ptype: str) -> pa.Array:
+    """decimal128 -> unscaled INT32/INT64 values, or big-endian
+    two's-complement FLBA (the parquet wire form for DECIMAL on FLBA)."""
+    n = len(arr)
+    if arr.offset:
+        arr = arr.take(np.arange(n, dtype=np.int64))  # rebase sliced input
+    p = arr.type.precision
+    validity = arr.buffers()[0]
+    raw = np.frombuffer(arr.buffers()[1], dtype=np.int64, count=2 * n).reshape(n, 2)
+    if ptype == "INT32":
+        # |unscaled| < 10^9 < 2^31: the low word reinterpreted signed IS it
+        vals = raw[:, 0].astype(np.int32)
+        return pa.Array.from_buffers(pa.int32(), n, [validity, pa.py_buffer(vals.tobytes())])
+    if ptype == "INT64":
+        return pa.Array.from_buffers(
+            pa.int64(), n, [validity, pa.py_buffer(np.ascontiguousarray(raw[:, 0]).tobytes())]
+        )
+    w = _decimal_byte_width(p)
+    le16 = np.frombuffer(arr.buffers()[1], dtype=np.uint8, count=16 * n).reshape(n, 16)
+    be = le16[:, ::-1][:, 16 - w :]  # big-endian two's complement, w bytes
+    return pa.Array.from_buffers(
+        pa.binary(w), n, [validity, pa.py_buffer(np.ascontiguousarray(be).tobytes())]
+    )
+
+
+def _int_to_decimal(full: np.ndarray, valid: np.ndarray, has_nulls: bool, p: int, s: int) -> pa.Array:
+    n = len(full)
+    pairs = np.empty((n, 2), dtype=np.int64)
+    pairs[:, 0] = full.astype(np.int64)
+    pairs[:, 1] = np.where(pairs[:, 0] < 0, np.int64(-1), np.int64(0))
+    validity = pa.py_buffer(np.packbits(valid, bitorder="little").tobytes()) if has_nulls else None
+    return pa.Array.from_buffers(
+        pa.decimal128(p, s), n, [validity, pa.py_buffer(pairs.tobytes())]
+    )
+
+
+def _flba_to_decimal(full: np.ndarray, valid: np.ndarray, has_nulls: bool, p: int, s: int) -> pa.Array:
+    n, w = full.shape
+    be16 = np.empty((n, 16), dtype=np.uint8)
+    sign = full[:, 0] >= 128
+    be16[:, : 16 - w] = np.where(sign, 255, 0).astype(np.uint8)[:, None]
+    be16[:, 16 - w :] = full
+    le16 = be16[:, ::-1]
+    validity = pa.py_buffer(np.packbits(valid, bitorder="little").tobytes()) if has_nulls else None
+    return pa.Array.from_buffers(
+        pa.decimal128(p, s), n, [validity, pa.py_buffer(np.ascontiguousarray(le16).tobytes())]
+    )
 
 
 def _compress(data: bytes, compression: str) -> bytes:
@@ -345,6 +417,8 @@ def encode_chunk(
         arr = arr.cast(pa.int64())
     elif logical == "date":
         arr = arr.cast(pa.int32())
+    elif logical.startswith("decimal("):
+        arr = _decimal_to_physical(arr, ptype)
     n = len(arr)
     if _def_levels is not None:
         # struct-field mode: caller supplies the merged Dremel def stream
@@ -1014,6 +1088,9 @@ def decode_chunk(chunk: EncodedChunk, *, _collect_levels: list | None = None) ->
         )
         full = np.zeros((n, k), dtype=np.uint8)
         full[valid] = vals
+        if chunk.logical.startswith("decimal("):
+            p, s = _parse_decimal(chunk.logical)
+            return _flba_to_decimal(full, valid, bool(chunk.num_nulls), p, s)
         validity = (
             pa.py_buffer(np.packbits(valid, bitorder="little").tobytes())
             if chunk.num_nulls
@@ -1023,6 +1100,9 @@ def decode_chunk(chunk: EncodedChunk, *, _collect_levels: list | None = None) ->
     vals = np.concatenate(fixed_parts) if fixed_parts else np.zeros(0, dtype=_FIXED_DTYPES[ptype])
     full = np.zeros(n, dtype=_FIXED_DTYPES[ptype])
     full[valid] = vals
+    if chunk.logical.startswith("decimal("):
+        p, s = _parse_decimal(chunk.logical)
+        return _int_to_decimal(full, valid, bool(chunk.num_nulls), p, s)
     out = pa.array(full, mask=~valid if chunk.num_nulls else None)
     if chunk.logical == "timestamp_us":
         return out.cast(pa.timestamp("us"))

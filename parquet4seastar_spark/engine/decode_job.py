@@ -48,13 +48,18 @@ _PA_TYPES = {
 
 def _spark_type(logical: str) -> str:
     if logical.startswith("list<") and logical.endswith(">"):
-        return f"array<{_SPARK_TYPES[logical[5:-1]]}>"
+        return f"array<{_spark_type(logical[5:-1])}>"
+    if logical.startswith("decimal("):
+        return logical  # 'decimal(p,s)' is valid Spark DDL as-is
     return _SPARK_TYPES[logical]
 
 
 def _pa_type(logical: str) -> pa.DataType:
     if logical.startswith("list<") and logical.endswith(">"):
-        return pa.list_(_PA_TYPES[logical[5:-1]])
+        return pa.list_(_pa_type(logical[5:-1]))
+    if logical.startswith("decimal("):
+        p, s = logical[8:-1].split(",")
+        return pa.decimal128(int(p), int(s))
     return _PA_TYPES[logical]
 
 

@@ -313,6 +313,36 @@ def test_list_dict_fallback_and_fsst():
     assert chunk.compressed_bytes < chunk.input_bytes
 
 
+@pytest.mark.parametrize(
+    "p,s,expected_ptype",
+    [(7, 2, "INT32"), (12, 2, "INT64"), (18, 0, "INT64"), (25, 4, "FIXED_LEN_BYTE_ARRAY"),
+     (38, 10, "FIXED_LEN_BYTE_ARRAY")],
+)
+def test_decimal_roundtrip_physical_mappings(p, s, expected_ptype):
+    # DECIMAL annotates INT32 (p<=9), INT64 (p<=18) or minimal-width FLBA
+    # big-endian two's complement (logical_type.cc:94-115)
+    from decimal import Decimal
+
+    import random
+
+    rnd = random.Random(7)
+    digits = p - s
+    vals = []
+    for i in range(500):
+        if i % 11 == 0:
+            vals.append(None)
+        else:
+            whole = rnd.randint(-(10**min(digits, 15) - 1), 10**min(digits, 15) - 1)
+            frac = rnd.randint(0, 10**s - 1) if s else 0
+            vals.append(Decimal(f"{whole}.{frac:0{s}d}" if s else str(whole)))
+    arr = pa.array(vals, type=pa.decimal128(p, s))
+    for policy in ["auto", "plain", "reference"]:
+        chunk = encode_chunk(arr, policy=policy, page_target_bytes=512)
+        assert chunk.ptype == expected_ptype
+        assert chunk.logical == f"decimal({p},{s})"
+        assert decode_chunk(chunk).to_pylist() == vals, policy
+
+
 def test_struct_roundtrip_mirrors_file_writer_test():
     # file_writer_test.cc:61-130 analogue: struct-of-primitives with nulls at
     # both levels; def stream distinguishes struct-NULL (0) / field-NULL (1)
