@@ -34,7 +34,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BENCH_DIR = os.environ.get("P4S_BENCH_DIR", "/tmp/p4s_bench")
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-ROWS = int(os.environ.get("P4S_BENCH_ROWS", "400000"))
+ROWS = int(os.environ.get("P4S_BENCH_ROWS", "800000"))  # ~790 MB content:
+# large enough that the ~4-5 s Spark fixed floor is <10% of the local[4]
+# wall, so job-level scaling efficiency reflects the engine (the kernel-level
+# sweep in BENCH/BASELINE.md scales ~1.0 through 16 procs)
 POLICY = os.environ.get("P4S_BENCH_POLICY", "auto")
 
 HEADLINE_QUERIES = [
