@@ -195,6 +195,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["roundtrip_lineitem"] = roundtrip_lineitem
 
+    # ---- real-Parquet container interop: encode -> PAR1 file (Thrift page
+    # headers + footer) -> read back with OUR reader -> identity oracle
+    def roundtrip_parquet_file(spark, sf_dir):
+        import tempfile
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from parquet4seastar_spark.codecs.pages import encode_chunk
+        from parquet4seastar_spark.codecs.parquet_file import (
+            ParquetFileReader,
+            write_parquet_file,
+        )
+
+        tbl = pq.read_table(f"{sf_dir}/documents.parquet")
+        cols = ["doc_id", "text", "lang", "n_chars"]
+        chunks = {
+            c: encode_chunk(tbl.column(c).combine_chunks(), policy="auto_fast")
+            for c in cols
+        }
+        with tempfile.TemporaryDirectory() as tmp:
+            path = f"{tmp}/docs.parquet"
+            write_parquet_file(path, chunks, tbl.num_rows)
+            r = ParquetFileReader(path)
+            arrays = {}
+            for c in cols:
+                a = r.read_column(c)
+                want = tbl.column(c).type
+                arrays[c] = a.cast(want) if a.type != want else a
+            out = pa.table(arrays)
+        return spark.createDataFrame(out.to_pandas())
+
+    q["roundtrip_parquet_file"] = roundtrip_parquet_file
+
     # ---- DECIMAL logical type: all three physical mappings
     # (p<=9 -> INT32, p<=18 -> INT64, else FLBA big-endian two's complement)
     def roundtrip_decimal(spark, sf_dir):
@@ -426,6 +460,7 @@ def oracle_sql() -> dict[str, str]:
     o["roundtrip_lineitem"] = (
         "SELECT l_orderkey, l_linenumber, l_extendedprice, l_returnflag FROM lineitem"
     )
+    o["roundtrip_parquet_file"] = "SELECT doc_id, text, lang, n_chars FROM documents"
     o["roundtrip_decimal"] = (
         "SELECT l_orderkey * 100 + l_linenumber AS rid, "
         "CAST(CAST(l_discount AS DECIMAL(7,2)) AS VARCHAR) AS disc_d7, "

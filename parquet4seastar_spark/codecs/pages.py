@@ -219,6 +219,35 @@ def _int_to_decimal(full: np.ndarray, valid: np.ndarray, has_nulls: bool, p: int
     )
 
 
+def _varbin_to_decimal(
+    full_lens: np.ndarray, payload: np.ndarray, valid: np.ndarray, has_nulls: bool, p: int, s: int
+) -> pa.Array:
+    """DECIMAL on BYTE_ARRAY physical (4th mapping, logical_type.cc:94-115):
+    variable-length big-endian two's complement -> decimal128."""
+    n = len(full_lens)
+    if (full_lens > 16).any():
+        raise ValueError("BYTE_ARRAY decimal wider than 16 bytes")
+    be16 = np.zeros((n, 16), dtype=np.uint8)
+    total = int(full_lens.sum())
+    if total:
+        starts = np.zeros(n, dtype=np.int64)
+        starts[1:] = np.cumsum(full_lens)[:-1]
+        rows = np.repeat(np.arange(n, dtype=np.int64), full_lens)
+        rel = np.arange(total, dtype=np.int64) - np.repeat(starts, full_lens)
+        cols = rel + np.repeat(16 - full_lens, full_lens)
+        be16[rows, cols] = payload
+        neg = np.zeros(n, dtype=bool)
+        nz = full_lens > 0
+        neg[nz] = payload[starts[nz]] >= 128
+        pad = np.arange(16)[None, :] < (16 - full_lens)[:, None]
+        be16[pad & neg[:, None]] = 255
+    le16 = be16[:, ::-1]
+    validity = pa.py_buffer(np.packbits(valid, bitorder="little").tobytes()) if has_nulls else None
+    return pa.Array.from_buffers(
+        pa.decimal128(p, s), n, [validity, pa.py_buffer(np.ascontiguousarray(le16).tobytes())]
+    )
+
+
 def _flba_to_decimal(full: np.ndarray, valid: np.ndarray, has_nulls: bool, p: int, s: int) -> pa.Array:
     n, w = full.shape
     be16 = np.empty((n, 16), dtype=np.uint8)
@@ -1063,6 +1092,9 @@ def decode_chunk(chunk: EncodedChunk, *, _collect_levels: list | None = None) ->
         payload = np.concatenate(payload_parts) if payload_parts else np.zeros(0, dtype=np.uint8)
         full_lens = np.zeros(n, dtype=np.int64)
         full_lens[valid] = lens
+        if chunk.logical.startswith("decimal("):
+            p, s = _parse_decimal(chunk.logical)
+            return _varbin_to_decimal(full_lens, payload, valid, bool(chunk.num_nulls), p, s)
         offsets = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(full_lens, out=offsets[1:])
         validity = pa.py_buffer(np.packbits(valid, bitorder="little").tobytes()) if chunk.num_nulls else None
@@ -1152,7 +1184,9 @@ def _decode_list_chunk(chunk: EncodedChunk) -> pa.Array:
         def_, c2 = decode_levels_v1(memoryview(raw)[c1:], max_def, page.num_values)
         body = memoryview(raw)[c1 + c2 :]
         nn = int((def_ == max_def).sum())
-        if nn != page.num_non_null:
+        # num_non_null == -1: unknown (pages from a standard parquet file,
+        # whose DataPageHeader carries only the level count)
+        if page.num_non_null >= 0 and nn != page.num_non_null:
             raise ValueError(
                 f"list page value count mismatch: {nn} != {page.num_non_null}"
             )

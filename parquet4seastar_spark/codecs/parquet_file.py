@@ -1,0 +1,427 @@
+"""Real Apache Parquet container interop: PAR1 writer/reader.
+
+The engine's primary storage is the pages+lineage DataFrame (SURVEY.md
+§2.3), but this module closes the container gap: a minimal single-row-group
+.parquet writer/reader speaking the standard wire format --
+
+- writer: PAR1 magic, V1 data pages with Thrift PageHeaders, optional PLAIN
+  dictionary page per chunk, Thrift FileMetaData footer + u32 length + PAR1
+  (file_writer.hh:84-107 magic at :100, flush_row_group :122-155, footer
+  :157-175).  Output is readable by any parquet reader (pyarrow-verified in
+  tests).
+- reader: footer parse (file_reader.cc:28-64, rejects encrypted 'PARE'),
+  schema tree walk with Dremel level computation (reader_schema.cc:34-93),
+  incremental Thrift PageHeader scan per chunk (column_chunk_reader.cc:27-50),
+  decode through the same codec kernels as the pages table.  Reads the
+  reference's own golden fixtures (tests/test_data/alltypes/,
+  cql_reader_alltypes_test.cc:32-94).
+
+Field ids follow the public parquet.thrift (vendored by the reference as
+doc/parquet/parquet.thrift).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .pages import EncodedChunk, Page, decode_chunk
+from .thrift_compact import (
+    CT_BINARY,
+    CT_I32,
+    CT_STRUCT,
+    CompactReader,
+    CompactWriter,
+)
+
+MAGIC = b"PAR1"
+
+# parquet.thrift Type enum
+PHYSICAL = ["BOOLEAN", "INT32", "INT64", "INT96", "FLOAT", "DOUBLE", "BYTE_ARRAY", "FIXED_LEN_BYTE_ARRAY"]
+PHYS_ID = {name: i for i, name in enumerate(PHYSICAL)}
+
+# parquet.thrift Encoding enum
+ENCODINGS = {
+    "PLAIN": 0,
+    "PLAIN_DICTIONARY": 2,
+    "RLE": 3,
+    "BIT_PACKED": 4,
+    "DELTA_BINARY_PACKED": 5,
+    "DELTA_LENGTH_BYTE_ARRAY": 6,
+    "DELTA_BYTE_ARRAY": 7,
+    "RLE_DICTIONARY": 8,
+    "BYTE_STREAM_SPLIT": 9,
+}
+ENC_NAME = {v: k for k, v in ENCODINGS.items()}
+
+# ConvertedType enum (subset we annotate)
+CONVERTED = {"string": 0, "date": 6, "timestamp_us": 10, "decimal": 5}
+
+_STANDARD_ENCODINGS = {
+    "PLAIN", "RLE_DICTIONARY", "DELTA_BINARY_PACKED", "DELTA_LENGTH_BYTE_ARRAY", "RLE",
+    "BYTE_STREAM_SPLIT",
+}
+
+
+# ---------------------------------------------------------------------------
+# writer
+
+
+def _schema_elements(w: CompactWriter, name: str, chunk: EncodedChunk) -> int:
+    """Write the SchemaElement(s) for one column; returns element count."""
+
+    def elem(ename, *, ptype=None, type_length=0, repetition=None, num_children=None,
+             converted=None, precision=None, scale=None):
+        w.elem_struct_begin()
+        if ptype is not None:
+            w.field_i32(1, PHYS_ID[ptype])
+        if type_length:
+            w.field_i32(2, type_length)
+        if repetition is not None:
+            w.field_i32(3, repetition)  # 0 REQUIRED, 1 OPTIONAL, 2 REPEATED
+        w.field_string(4, ename)
+        if num_children is not None:
+            w.field_i32(5, num_children)
+        if converted is not None:
+            w.field_i32(6, converted)
+        if scale is not None:
+            w.field_i32(7, scale)
+        if precision is not None:
+            w.field_i32(8, precision)
+        w.end_struct()
+
+    logical = chunk.logical
+    conv = prec = scale = None
+    elem_logical = logical[5:-1] if logical.startswith("list<") else logical
+    if elem_logical.startswith("decimal("):
+        p, s = elem_logical[8:-1].split(",")
+        conv, prec, scale = CONVERTED["decimal"], int(p), int(s)
+    elif elem_logical in CONVERTED:
+        conv = CONVERTED[elem_logical]
+
+    if chunk.max_rep == 0:
+        elem(
+            name,
+            ptype=chunk.ptype,
+            type_length=chunk.type_length,
+            repetition=1 if (chunk.max_def or 0) > 0 else 0,
+            converted=conv,
+            precision=prec,
+            scale=scale,
+        )
+        return 1
+    # standard 3-level LIST (writer_schema.cc:30-134)
+    elem(name, repetition=1 if chunk.nullable else 0, num_children=1, converted=3)  # LIST
+    elem("list", repetition=2, num_children=1)
+    elem(
+        "element",
+        ptype=chunk.ptype,
+        type_length=chunk.type_length,
+        repetition=1 if chunk.elem_nullable else 0,
+        converted=conv,
+        precision=prec,
+        scale=scale,
+    )
+    return 3
+
+
+def _page_header(page: Page, max_rep: int) -> bytes:
+    w = CompactWriter()
+    if page.kind == "dict":
+        w.field_i32(1, 2)  # PageType DICTIONARY_PAGE
+        w.field_i32(2, page.uncompressed_size)
+        w.field_i32(3, page.compressed_size)
+        w.begin_field_struct(7)  # dictionary_page_header
+        w.field_i32(1, page.num_values)
+        w.field_i32(2, ENCODINGS["PLAIN"])
+        w.field_bool(3, False)  # is_sorted
+        w.end_struct()
+    else:
+        w.field_i32(1, 0)  # PageType DATA_PAGE
+        w.field_i32(2, page.uncompressed_size)
+        w.field_i32(3, page.compressed_size)
+        w.begin_field_struct(5)  # data_page_header
+        w.field_i32(1, page.num_values)
+        w.field_i32(2, ENCODINGS[page.encoding])
+        w.field_i32(3, ENCODINGS["RLE"])  # definition_level_encoding
+        w.field_i32(4, ENCODINGS["RLE"])  # repetition_level_encoding
+        w.end_struct()
+    return w.finish()
+
+
+def write_parquet_file(path: str, chunks: dict[str, EncodedChunk], num_rows: int) -> None:
+    """Write one row group of pre-encoded chunks as a standard .parquet file.
+
+    Chunks must be uncompressed (parquet GZIP framing differs from our zlib
+    layer) and use standard encodings (FSST is ours alone -- re-encode with
+    policy 'auto_fast'/'reference' for interop output).
+    """
+    for name, c in chunks.items():
+        if c.compression != "uncompressed":
+            raise ValueError(f"{name}: interop writer requires uncompressed chunks")
+        bad = set(c.encodings) - _STANDARD_ENCODINGS
+        if bad:
+            raise ValueError(f"{name}: non-standard encodings {bad} (FSST is not parquet)")
+        if c.num_rows != num_rows:
+            raise ValueError(f"{name}: row count {c.num_rows} != {num_rows}")
+
+    out = bytearray(MAGIC)
+    col_meta: list[tuple[str, EncodedChunk, int, int, int]] = []  # name, chunk, dict_off, data_off, total
+    for name, c in chunks.items():
+        dict_off = 0
+        data_off = 0
+        start = len(out)
+        for page in c.pages:
+            off = len(out)
+            if page.kind == "dict":
+                dict_off = off
+            elif data_off == 0:
+                data_off = off
+            out += _page_header(page, c.max_rep)
+            out += page.data
+        col_meta.append((name, c, dict_off, data_off, len(out) - start))
+
+    footer = CompactWriter()
+    footer.field_i32(1, 1)  # version (parquet 2.0 semantics, file_writer.hh)
+    n_elems = 1 + sum(3 if c.max_rep else 1 for _, c, *_ in col_meta)
+    footer.begin_field_list(2, CT_STRUCT, n_elems)
+    footer.elem_struct_begin()  # root
+    footer.field_string(4, "schema")
+    footer.field_i32(5, len(col_meta))
+    footer.end_struct()
+    for name, c, *_ in col_meta:
+        _schema_elements(footer, name, c)
+    footer.field_i64(3, num_rows)
+    footer.begin_field_list(4, CT_STRUCT, 1)  # row_groups
+    footer.elem_struct_begin()
+    footer.begin_field_list(1, CT_STRUCT, len(col_meta))  # columns
+    for name, c, dict_off, data_off, total in col_meta:
+        footer.elem_struct_begin()  # ColumnChunk
+        footer.field_i64(2, data_off)  # file_offset
+        footer.begin_field_struct(3)  # ColumnMetaData
+        footer.field_i32(1, PHYS_ID[c.ptype])
+        encs = sorted({ENCODINGS[p.encoding] for p in c.pages} | {ENCODINGS["RLE"]})
+        footer.begin_field_list(2, CT_I32, len(encs))
+        for e in encs:
+            footer.elem_i32(e)
+        path_parts = [name] if c.max_rep == 0 else [name, "list", "element"]
+        footer.begin_field_list(3, CT_BINARY, len(path_parts))
+        for p_ in path_parts:
+            footer.elem_binary(p_.encode())
+        footer.field_i32(4, 0)  # codec UNCOMPRESSED
+        # num_values in parquet = number of LEVEL entries in the chunk
+        footer.field_i64(5, sum(p.num_values for p in c.pages if p.kind == "data"))
+        footer.field_i64(6, total)  # total_uncompressed_size
+        footer.field_i64(7, total)  # total_compressed_size
+        footer.field_i64(9, data_off)
+        if dict_off:
+            footer.field_i64(11, dict_off)
+        footer.end_struct()
+        footer.end_struct()
+    footer.field_i64(2, sum(t for *_, t in col_meta))  # total_byte_size
+    footer.field_i64(3, num_rows)
+    footer.end_struct()  # RowGroup
+    footer.field_string(6, "parquet4seastar_spark")
+    meta_bytes = footer.finish()
+    out += meta_bytes
+    out += struct.pack("<I", len(meta_bytes))
+    out += MAGIC
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
+# ---------------------------------------------------------------------------
+# reader
+
+
+@dataclass
+class LeafColumn:
+    path: tuple[str, ...]
+    ptype: str
+    type_length: int
+    max_def: int
+    max_rep: int
+    outer_optional: bool  # repetition of the first-level field
+    elem_optional: bool  # leaf's own OPTIONAL flag (lists)
+    converted: int | None
+    precision: int | None
+    scale: int | None
+    chunk_meta: dict = field(default_factory=dict)
+
+
+class ParquetFileReader:
+    """Minimal standard-parquet reader: footer, schema walk, page scan,
+    decode via the engine's codec kernels."""
+
+    def __init__(self, path: str):
+        with open(path, "rb") as f:
+            self.buf = f.read()
+        if self.buf[:4] != MAGIC or self.buf[-4:] != MAGIC:
+            if self.buf[-4:] == b"PARE":
+                raise ValueError("encrypted parquet (PARE) not supported")
+            raise ValueError("not a parquet file (bad magic)")
+        (meta_len,) = struct.unpack_from("<I", self.buf, len(self.buf) - 8)
+        meta_start = len(self.buf) - 8 - meta_len
+        self.meta = CompactReader(self.buf, meta_start).read_struct()
+        self.num_rows = self.meta[3]
+        self.leaves = self._walk_schema(self.meta[2])
+        row_groups = self.meta[4]
+        if len(row_groups) != 1:
+            raise ValueError(f"only single-row-group files supported ({len(row_groups)} groups)")
+        cols = row_groups[0][1]
+        # columns appear in leaf order per the spec; match by position (some
+        # writers -- including the reference's fixture generator -- emit
+        # inaccurate path_in_schema labels)
+        if len(cols) != len(self.leaves):
+            raise ValueError(f"{len(cols)} column chunks != {len(self.leaves)} schema leaves")
+        for leaf, c in zip(self.leaves, cols):
+            leaf.chunk_meta = c[3]
+
+    @staticmethod
+    def _walk_schema(elements: list[dict]) -> list[LeafColumn]:
+        """Flat SchemaElement list -> leaves with Dremel levels
+        (reader_schema.cc:34-93: REPEATED => ++def,++rep; OPTIONAL => ++def)."""
+        leaves: list[LeafColumn] = []
+        pos = [1]  # skip root
+
+        def walk(def_lvl: int, rep_lvl: int, path: tuple, depth: int, outer_opt: bool):
+            el = elements[pos[0]]
+            pos[0] += 1
+            rep = el.get(3, 0)
+            name = el[4].decode()
+            d, r = def_lvl, rep_lvl
+            if rep == 1:
+                d += 1
+            elif rep == 2:
+                d += 1
+                r += 1
+            if depth == 0:
+                outer_opt = rep == 1
+            n_children = el.get(5)
+            if n_children:
+                for _ in range(n_children):
+                    walk(d, r, path + (name,), depth + 1, outer_opt)
+            else:
+                leaves.append(
+                    LeafColumn(
+                        path=path + (name,),
+                        ptype=PHYSICAL[el[1]],
+                        type_length=el.get(2, 0),
+                        max_def=d,
+                        max_rep=r,
+                        outer_optional=outer_opt,
+                        elem_optional=rep == 1,
+                        converted=el.get(6),
+                        precision=el.get(8),
+                        scale=el.get(7),
+                    )
+                )
+
+        root_children = elements[0].get(5, 0)
+        for _ in range(root_children):
+            walk(0, 0, (), 0, False)
+        return leaves
+
+    def column(self, name_or_path) -> LeafColumn:
+        if isinstance(name_or_path, str):
+            matches = [l for l in self.leaves if l.path[0] == name_or_path]
+            if len(matches) != 1:
+                raise KeyError(f"column {name_or_path}: {len(matches)} leaves")
+            return matches[0]
+        return next(l for l in self.leaves if l.path == tuple(name_or_path))
+
+    def _logical(self, leaf: LeafColumn) -> str:
+        if leaf.converted == 5 and leaf.precision is not None:
+            base = f"decimal({leaf.precision},{leaf.scale})"
+        elif leaf.ptype == "BYTE_ARRAY":
+            base = "string" if leaf.converted in (0, 4, 19) else "binary"
+        elif leaf.ptype == "INT96":
+            base = "flba"  # read INT96 as opaque 12-byte values
+        elif leaf.ptype == "FIXED_LEN_BYTE_ARRAY":
+            base = "flba"
+        elif leaf.converted == 6:
+            base = "date"
+        elif leaf.converted == 10:
+            base = "timestamp_us"
+        else:
+            base = {"BOOLEAN": "bool", "INT32": "int32", "INT64": "int64",
+                    "FLOAT": "float", "DOUBLE": "double"}[leaf.ptype]
+        return f"list<{base}>" if leaf.max_rep else base
+
+    def read_column(self, name_or_path):
+        """Decode one leaf column to an arrow array (flat or list<...>)."""
+        leaf = self.column(name_or_path)
+        if leaf.max_rep > 1:
+            raise ValueError(f"{leaf.path}: nested repetition depth {leaf.max_rep} unsupported")
+        cm = leaf.chunk_meta
+        if not cm:
+            raise ValueError(f"{leaf.path}: no column chunk in row group")
+        if cm[4] != 0:
+            raise ValueError(f"{leaf.path}: compressed chunks unsupported (codec {cm[4]})")
+        ptype = "FIXED_LEN_BYTE_ARRAY" if leaf.ptype == "INT96" else leaf.ptype
+        type_length = 12 if leaf.ptype == "INT96" else leaf.type_length
+        num_values = cm[5]
+        pos = cm.get(11) or cm[9]  # dictionary_page_offset ?? data_page_offset
+        pages: list[Page] = []
+        seen_values = 0
+        while seen_values < num_values:
+            r = CompactReader(self.buf, pos)
+            ph = r.read_struct()
+            data_start = r.pos
+            size = ph[3]
+            data = self.buf[data_start : data_start + size]
+            pos = data_start + size
+            if ph[1] == 2:  # DICTIONARY_PAGE
+                dph = ph[7]
+                if ENC_NAME[dph[2]] not in ("PLAIN", "PLAIN_DICTIONARY"):
+                    raise ValueError("non-PLAIN dictionary page")
+                pages.append(Page("dict", "PLAIN", dph[1], dph[1], ph[2], ph[3], data))
+                continue
+            if ph[1] != 0:
+                raise ValueError(f"unsupported page type {ph[1]} (V2 pages not written by V1 files)")
+            dp = ph[5]
+            enc = ENC_NAME[dp[2]]
+            if enc == "PLAIN_DICTIONARY":
+                enc = "RLE_DICTIONARY"
+            pages.append(Page("data", enc, dp[1], -1, ph[2], ph[3], data))
+            seen_values += dp[1]
+
+        logical = self._logical(leaf)
+        chunk = EncodedChunk(
+            ptype=ptype,
+            logical=logical,
+            nullable=(leaf.outer_optional if leaf.max_rep else leaf.max_def > 0),
+            num_rows=-1,  # filled below
+            num_nulls=1,  # force validity reconstruction from def levels
+            cardinality=0,
+            encodings=sorted({p.encoding for p in pages if p.kind == "data"}),
+            compression="uncompressed",
+            type_length=type_length,
+            max_def=leaf.max_def,
+            max_rep=leaf.max_rep,
+            elem_nullable=leaf.elem_optional if leaf.max_rep else False,
+            pages=pages,
+        )
+        # row count: flat -> level entries; list -> count of rep==0 entries,
+        # which decode validates internally; precompute via a cheap pass
+        if leaf.max_rep == 0:
+            chunk.num_rows = sum(p.num_values for p in pages if p.kind == "data")
+        else:
+            chunk.num_rows = self._count_rows(chunk)
+        return decode_chunk(chunk)
+
+    @staticmethod
+    def _count_rows(chunk: EncodedChunk) -> int:
+        from .levels import decode_levels_v1
+        from .pages import _decompress
+
+        rows = 0
+        for page in chunk.pages:
+            if page.kind != "data":
+                continue
+            raw = _decompress(page.data, chunk.compression)
+            rep, _ = decode_levels_v1(raw, chunk.max_rep, page.num_values)
+            rows += int((rep == 0).sum())
+        return rows
