@@ -195,6 +195,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["roundtrip_lineitem"] = roundtrip_lineitem
 
+    # ---- struct-of-primitives through the engine (per-field leaf chunks
+    # with merged Dremel def levels; reassembled on decode)
+    def roundtrip_struct(spark, sf_dir):
+        from parquet4seastar_spark.engine.decode_job import decode_table
+        from parquet4seastar_spark.engine.encode_job import encode_table
+
+        src = _docs(spark, sf_dir).select(
+            F.col("doc_id").alias("row_id"),
+            F.struct("lang", "n_chars").alias("meta"),
+            "source",
+        )
+        enc = encode_table(
+            src, columns=["meta"], policy="auto", salt_col="source", num_partitions=2,
+            salt_target_rows=2000,
+        )
+        return decode_table(enc, ["meta"]).select(
+            F.col("row_id").alias("doc_id"),
+            F.col("meta.lang").alias("lang"),
+            F.col("meta.n_chars").alias("n_chars"),
+        )
+
+    q["roundtrip_struct"] = roundtrip_struct
+
     # ---- real-Parquet container interop: encode -> PAR1 file (Thrift page
     # headers + footer) -> read back with OUR reader -> identity oracle
     def roundtrip_parquet_file(spark, sf_dir):
@@ -460,6 +483,7 @@ def oracle_sql() -> dict[str, str]:
     o["roundtrip_lineitem"] = (
         "SELECT l_orderkey, l_linenumber, l_extendedprice, l_returnflag FROM lineitem"
     )
+    o["roundtrip_struct"] = "SELECT doc_id, lang, n_chars FROM documents"
     o["roundtrip_parquet_file"] = "SELECT doc_id, text, lang, n_chars FROM documents"
     o["roundtrip_decimal"] = (
         "SELECT l_orderkey * 100 + l_linenumber AS rid, "

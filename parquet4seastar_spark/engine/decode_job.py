@@ -17,7 +17,7 @@ from __future__ import annotations
 import pyarrow as pa
 from pyspark.sql import DataFrame, functions as F
 
-from ..codecs.pages import EncodedChunk, Page, decode_chunk
+from ..codecs.pages import EncodedChunk, Page, decode_chunk, decode_struct_chunk
 
 _SPARK_TYPES = {
     "string": "string",
@@ -122,24 +122,44 @@ def decode_table(
     ``kind='chunk'`` lineage rows (one row per chunk, payload column never
     touched) -- not from a scan of the page rows.
     """
-    pages = encoded.filter((F.col("kind") == "page") & F.col("column").isin(["row_id", *columns]))
+    # struct columns are stored as '<col>.<idx>.<field>' leaf chunks
+    name_filter = F.col("column").isin(["row_id", *columns])
+    for c in columns:
+        name_filter = name_filter | F.col("column").startswith(f"{c}.")
+    pages = encoded.filter((F.col("kind") == "page") & name_filter)
 
     if schema is None:
         schema = {
             r["column"]: r["logical"]
-            for r in encoded.filter(
-                (F.col("kind") == "chunk") & F.col("column").isin(["row_id", *columns])
-            )
+            for r in encoded.filter((F.col("kind") == "chunk") & name_filter)
             .select("column", "logical")
             .distinct()
             .collect()
         }
-    missing = [c for c in ["row_id", *columns] if c not in schema]
-    if missing:
-        raise ValueError(f"columns not present in encoded table: {missing}")
-    out_schema = ", ".join(
-        ["row_id long"] + [f"`{c}` {_spark_type(schema[c])}" for c in columns]
-    )
+    # requested column -> None (scalar leaf) or ordered [(leaf, field, logical)]
+    members: dict[str, list[tuple[str, str, str]] | None] = {}
+    for c in columns:
+        if c in schema:
+            members[c] = None
+        else:
+            m = []
+            for leaf in schema:
+                if leaf.startswith(f"{c}."):
+                    _, idx, fname = leaf.split(".", 2)
+                    m.append((int(idx), leaf, fname))
+            if not m:
+                raise ValueError(f"column not present in encoded table: {c}")
+            members[c] = [(leaf, fname, schema[leaf]) for _, leaf, fname in sorted(m)]
+    if "row_id" not in schema:
+        raise ValueError("row_id column not present in encoded table")
+
+    def _spark_col_type(c: str) -> str:
+        if members[c] is None:
+            return _spark_type(schema[c])
+        inner = ", ".join(f"`{f}`: {_spark_type(lg)}" for _, f, lg in members[c])
+        return f"struct<{inner}>"
+
+    out_schema = ", ".join(["row_id long"] + [f"`{c}` {_spark_col_type(c)}" for c in columns])
     cols = columns
     logicals = schema
 
@@ -154,8 +174,15 @@ def decode_table(
         out_arrays = [decode_chunk(_rebuild_chunk(tbl, by_col["row_id"])).cast(pa.int64())]
         names = ["row_id"]
         for c in cols:
-            arr = decode_chunk(_rebuild_chunk(tbl, by_col[c]))
-            target = _pa_type(logicals[c])
+            if members[c] is None:
+                arr = decode_chunk(_rebuild_chunk(tbl, by_col[c]))
+                target = _pa_type(logicals[c])
+            else:
+                field_chunks = {
+                    fname: _rebuild_chunk(tbl, by_col[leaf]) for leaf, fname, _ in members[c]
+                }
+                arr = decode_struct_chunk(field_chunks)
+                target = pa.struct([(f, _pa_type(lg)) for _, f, lg in members[c]])
             if arr.type != target:
                 arr = arr.cast(target)
             out_arrays.append(arr)

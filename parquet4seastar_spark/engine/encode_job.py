@@ -33,7 +33,7 @@ import pandas as pd
 import pyarrow as pa
 from pyspark.sql import DataFrame, functions as F
 
-from ..codecs.pages import encode_chunk
+from ..codecs.pages import encode_chunk, encode_struct_chunk
 
 ENCODED_SCHEMA = (
     "kind string, part_key string, chunk_id string, column string, chunk_seq int, "
@@ -162,6 +162,7 @@ def _encode_partition_factory(
 
         def _encode_chunk_rows(tbl: pa.Table, part_key: str, seq: int) -> pa.RecordBatch:
             rows = []
+            leaf_chunks: list[tuple[str, object]] = []
             for col in ["row_id", *columns]:
                 arr = tbl.column(col).combine_chunks()
                 if fixed_len and col in fixed_len:
@@ -171,13 +172,31 @@ def _encode_partition_factory(
                 # row_id gets int auto-selection regardless of the value
                 # policy (sequential ids -> DBP ~free; random ids -> PLAIN)
                 cpolicy = "auto" if col == "row_id" else policy
-                chunk = encode_chunk(
-                    arr,
-                    policy=cpolicy,
-                    page_target_bytes=page_target_bytes,
-                    compression=compression,
-                    nullable=arr.null_count > 0,
-                )
+                if pa.types.is_struct(arr.type):
+                    # struct-of-primitives: one leaf chunk per field, named
+                    # '<col>.<idx>.<field>' so decode can reassemble in order
+                    fchunks = encode_struct_chunk(
+                        arr,
+                        policy=cpolicy,
+                        page_target_bytes=page_target_bytes,
+                        compression=compression,
+                    )
+                    for i, (fname, fchunk) in enumerate(fchunks.items()):
+                        leaf_chunks.append((f"{col}.{i}.{fname}", fchunk))
+                else:
+                    leaf_chunks.append(
+                        (
+                            col,
+                            encode_chunk(
+                                arr,
+                                policy=cpolicy,
+                                page_target_bytes=page_target_bytes,
+                                compression=compression,
+                                nullable=arr.null_count > 0,
+                            ),
+                        )
+                    )
+            for col, chunk in leaf_chunks:
                 chunk_id = hashlib.sha1(f"{part_key}|{col}|{seq}".encode()).hexdigest()[:20]
                 for pi, page in enumerate(chunk.pages):
                     rows.append(
