@@ -266,7 +266,11 @@ def _compress(data: bytes, compression: str) -> bytes:
         return data
     if compression == "gzip":
         return zlib.compress(data, 6)
-    raise ValueError(f"unsupported compression: {compression} (reference also has SNAPPY; no binding here)")
+    if compression == "snappy":
+        from .snappy_py import snappy_compress
+
+        return snappy_compress(bytes(data))
+    raise ValueError(f"unsupported compression: {compression}")
 
 
 def _decompress(data: bytes, compression: str) -> bytes:
@@ -274,6 +278,10 @@ def _decompress(data: bytes, compression: str) -> bytes:
         return data
     if compression == "gzip":
         return zlib.decompress(data)
+    if compression == "snappy":
+        from .snappy_py import snappy_decompress
+
+        return snappy_decompress(data)
     raise ValueError(f"unsupported compression: {compression}")
 
 

@@ -154,13 +154,18 @@ def _page_header(page: Page, max_rep: int) -> bytes:
 def write_parquet_file(path: str, chunks: dict[str, EncodedChunk], num_rows: int) -> None:
     """Write one row group of pre-encoded chunks as a standard .parquet file.
 
-    Chunks must be uncompressed (parquet GZIP framing differs from our zlib
-    layer) and use standard encodings (FSST is ours alone -- re-encode with
-    policy 'auto_fast'/'reference' for interop output).
+    Chunks must be uncompressed or snappy-compressed (parquet GZIP framing
+    differs from our zlib layer) and use standard encodings (FSST is ours
+    alone -- re-encode with policy 'auto_fast'/'reference' for interop
+    output).
     """
+    codec_ids = {"uncompressed": 0, "snappy": 1}
     for name, c in chunks.items():
-        if c.compression != "uncompressed":
-            raise ValueError(f"{name}: interop writer requires uncompressed chunks")
+        if c.compression not in codec_ids:
+            raise ValueError(
+                f"{name}: interop writer supports uncompressed/snappy chunks "
+                f"(parquet GZIP framing differs from our zlib layer)"
+            )
         bad = set(c.encodings) - _STANDARD_ENCODINGS
         if bad:
             raise ValueError(f"{name}: non-standard encodings {bad} (FSST is not parquet)")
@@ -210,7 +215,7 @@ def write_parquet_file(path: str, chunks: dict[str, EncodedChunk], num_rows: int
         footer.begin_field_list(3, CT_BINARY, len(path_parts))
         for p_ in path_parts:
             footer.elem_binary(p_.encode())
-        footer.field_i32(4, 0)  # codec UNCOMPRESSED
+        footer.field_i32(4, codec_ids[c.compression])
         # num_values in parquet = number of LEVEL entries in the chunk
         footer.field_i64(5, sum(p.num_values for p in c.pages if p.kind == "data"))
         footer.field_i64(6, total)  # total_uncompressed_size
@@ -358,8 +363,9 @@ class ParquetFileReader:
         cm = leaf.chunk_meta
         if not cm:
             raise ValueError(f"{leaf.path}: no column chunk in row group")
-        if cm[4] != 0:
-            raise ValueError(f"{leaf.path}: compressed chunks unsupported (codec {cm[4]})")
+        codec = {0: "uncompressed", 1: "snappy"}.get(cm[4])
+        if codec is None:
+            raise ValueError(f"{leaf.path}: unsupported compression codec id {cm[4]}")
         ptype = "FIXED_LEN_BYTE_ARRAY" if leaf.ptype == "INT96" else leaf.ptype
         type_length = 12 if leaf.ptype == "INT96" else leaf.type_length
         num_values = cm[5]
@@ -397,7 +403,7 @@ class ParquetFileReader:
             num_nulls=1,  # force validity reconstruction from def levels
             cardinality=0,
             encodings=sorted({p.encoding for p in pages if p.kind == "data"}),
-            compression="uncompressed",
+            compression=codec,
             type_length=type_length,
             max_def=leaf.max_def,
             max_rep=leaf.max_rep,

@@ -134,6 +134,48 @@ def test_write_parquet_list_column(tmp_path):
     assert out.to_pylist() == tbl.column("embedding").combine_chunks().to_pylist()
 
 
+def test_snappy_codec_roundtrip():
+    import os
+
+    from parquet4seastar_spark.codecs.snappy_py import snappy_compress, snappy_decompress
+
+    for data in [b"", b"a", b"hello world" * 1000, os.urandom(65536), bytes(65536)]:
+        assert snappy_decompress(snappy_compress(data)) == data
+
+
+def test_read_pyarrow_snappy_file(tmp_path):
+    # pyarrow's real snappy encoder emits copy tags (incl. overlapping runs);
+    # our pure-python decoder must reproduce them exactly
+    tbl = pq.read_table("/root/testdata/sf0.01/documents.parquet")
+    path = str(tmp_path / "snappy.parquet")
+    pq.write_table(tbl, path, compression="snappy", use_dictionary=False,
+                   data_page_version="1.0", row_group_size=10**6)
+    r = ParquetFileReader(path)
+    for col in ["doc_id", "text", "lang", "n_chars"]:
+        out = r.read_column(col)
+        a = tbl.column(col).combine_chunks()
+        if out.type != a.type:
+            out = out.cast(a.type)
+        assert out.to_pylist() == a.to_pylist(), col
+
+
+def test_write_snappy_file_pyarrow_reads(tmp_path):
+    tbl = pq.read_table("/root/testdata/sf0.01/documents.parquet")
+    chunks = {
+        c: encode_chunk(tbl.column(c).combine_chunks(), policy="auto_fast", compression="snappy")
+        for c in ["doc_id", "text", "lang"]
+    }
+    path = str(tmp_path / "ours_snappy.parquet")
+    write_parquet_file(path, chunks, tbl.num_rows)
+    back = pq.read_table(path)
+    for c in chunks:
+        a = tbl.column(c).combine_chunks()
+        b = back.column(c).combine_chunks()
+        if b.type != a.type:
+            b = b.cast(a.type)
+        assert b.equals(a), c
+
+
 def test_write_parquet_rejects_fsst(tmp_path):
     arr = pa.array(["for i in range(10): pass\n" + str(i % 3) for i in range(3000)])
     chunk = encode_chunk(arr, policy="FSST")
