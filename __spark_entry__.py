@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ("roundtrip_dict_lang", ["lang", "source"], "dict"),
         ("roundtrip_fsst_text", ["text"], "FSST"),
         ("roundtrip_dlba_text", ["text"], "DELTA_LENGTH_BYTE_ARRAY"),
+        ("roundtrip_dba_source", ["source"], "DELTA_BYTE_ARRAY"),
         ("roundtrip_dbp_ints", ["n_chars"], "DELTA_BINARY_PACKED"),
         ("roundtrip_reference_policy", ["text", "lang", "n_chars"], "reference"),
         ("roundtrip_auto_fast", ["text", "source"], "auto_fast"),
@@ -472,6 +473,7 @@ def oracle_sql() -> dict[str, str]:
     o["roundtrip_dict_lang"] = "SELECT doc_id, lang, source FROM documents"
     o["roundtrip_fsst_text"] = "SELECT doc_id, text FROM documents"
     o["roundtrip_dlba_text"] = "SELECT doc_id, text FROM documents"
+    o["roundtrip_dba_source"] = "SELECT doc_id, source FROM documents"
     o["roundtrip_dbp_ints"] = "SELECT doc_id, n_chars FROM documents"
     o["roundtrip_reference_policy"] = "SELECT doc_id, text, lang, n_chars FROM documents"
     o["roundtrip_auto_fast"] = "SELECT doc_id, text, source FROM documents"

@@ -199,6 +199,87 @@ def delta_byte_array_decode(buf, n: int | None = None) -> list[bytes]:
     return out
 
 
+def delta_byte_array_encode(lengths: np.ndarray, payload, max_prefix: int = 64) -> bytes:
+    """DELTA_BYTE_ARRAY (front coding): DBP(prefix lengths) + DLBA(suffixes).
+
+    The reference is decode-only here (src/encoding.cc:296-362 has no
+    encoder); we add the write side.  Prefixes are computed VECTORIZED over
+    a padded (n, max_prefix) byte matrix -- consecutive-row equality,
+    cumulative AND, row sum -- capping shared prefixes at ``max_prefix``
+    bytes (spec-valid: a shorter-than-maximal prefix is still a correct
+    encoding, it just stores a longer suffix).
+    """
+    lengths = np.ascontiguousarray(lengths, dtype=np.int64)
+    payload = np.frombuffer(payload, dtype=np.uint8) if isinstance(payload, (bytes, memoryview)) else payload
+    n = len(lengths)
+    if n == 0:
+        return dbp_encode(np.zeros(0, dtype=np.int32), 4) + dlba_encode(
+            np.zeros(0, dtype=np.int32), b""
+        )
+    starts = np.zeros(n, dtype=np.int64)
+    starts[1:] = np.cumsum(lengths)[:-1]
+    k = int(min(max(int(lengths.max()), 1), max_prefix))
+    mat = np.zeros((n, k), dtype=np.uint8)
+    take = np.minimum(lengths, k)
+    total_take = int(take.sum())
+    if total_take:
+        rows = np.repeat(np.arange(n, dtype=np.int64), take)
+        rel = np.arange(total_take, dtype=np.int64) - np.repeat(np.cumsum(take) - take, take)
+        mat[rows, rel] = payload[np.repeat(starts, take) + rel]
+    prefix = np.zeros(n, dtype=np.int64)
+    if n > 1:
+        eq = mat[1:] == mat[:-1]
+        prefix[1:] = np.cumprod(eq, axis=1).sum(axis=1)
+        prefix[1:] = np.minimum(prefix[1:], np.minimum(lengths[1:], lengths[:-1]))
+    suffix_lens = lengths - prefix
+    total_suffix = int(suffix_lens.sum())
+    if total_suffix:
+        s_base = np.repeat(starts + prefix, suffix_lens)
+        s_rel = np.arange(total_suffix, dtype=np.int64) - np.repeat(
+            np.cumsum(suffix_lens) - suffix_lens, suffix_lens
+        )
+        suffix_payload = payload[s_base + s_rel].tobytes()
+    else:
+        suffix_payload = b""
+    return dbp_encode(prefix.astype(np.int32), 4) + dlba_encode(
+        suffix_lens.astype(np.int32), suffix_payload
+    )
+
+
+def delta_byte_array_decode_components(buf, n: int | None = None) -> tuple[np.ndarray, bytes]:
+    """Decode to (lengths int64[n], concatenated payload bytes).
+
+    Front coding is inherently sequential (each value borrows its prefix
+    from the previous); the loop copies whole slices, not bytes.
+    """
+    prefix_lens, pos = dbp_decode(buf, 4)
+    suffix_lens, suffixes = dlba_decode(memoryview(buf)[pos:])
+    if len(prefix_lens) != len(suffix_lens):
+        raise ValueError("DELTA_BYTE_ARRAY: prefix/suffix count mismatch")
+    if n is not None and len(prefix_lens) != n:
+        raise ValueError("DELTA_BYTE_ARRAY: wrong value count")
+    m = len(prefix_lens)
+    lengths = prefix_lens.astype(np.int64) + suffix_lens.astype(np.int64)
+    out = bytearray(int(lengths.sum()))
+    offsets = np.zeros(m + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    spos = 0
+    prev_start = 0
+    for i in range(m):
+        p = int(prefix_lens[i])
+        s = int(suffix_lens[i])
+        o = int(offsets[i])
+        if i == 0 and p:
+            raise ValueError("DELTA_BYTE_ARRAY: first value has a prefix")
+        if p > offsets[i] - prev_start and i:
+            raise ValueError("DELTA_BYTE_ARRAY: prefix longer than previous value")
+        out[o : o + p] = out[prev_start : prev_start + p]
+        out[o + p : o + p + s] = suffixes[spos : spos + s]
+        spos += s
+        prev_start = o
+    return lengths, bytes(out)
+
+
 def byte_stream_split_encode(values: np.ndarray) -> bytes:
     """Interleave: stream k holds byte k of every value."""
     v = np.ascontiguousarray(values)

@@ -304,6 +304,8 @@ def _encode_values(encoding: str, ptype: str, values, lengths=None, payload=None
         return delta.dbp_encode(values, nbytes)
     if encoding == "DELTA_LENGTH_BYTE_ARRAY":
         return delta.dlba_encode(lengths.astype(np.int32), payload.tobytes())
+    if encoding == "DELTA_BYTE_ARRAY":
+        return delta.delta_byte_array_encode(lengths, payload)
     if encoding == "FSST":
         # symbol table trained once per chunk and shared across pages
         # (training costs ~60-90ms; per-page training caps throughput)
@@ -337,6 +339,9 @@ def _decode_values(encoding: str, ptype: str, buf, n: int, dict_ctx=None, type_l
         return vals
     if encoding == "DELTA_LENGTH_BYTE_ARRAY":
         lengths, payload = delta.dlba_decode(buf, n)
+        return lengths.astype(np.int64), np.frombuffer(payload, dtype=np.uint8)
+    if encoding == "DELTA_BYTE_ARRAY":
+        lengths, payload = delta.delta_byte_array_decode_components(buf, n)
         return lengths.astype(np.int64), np.frombuffer(payload, dtype=np.uint8)
     if encoding == "FSST":
         lengths, pos = delta.dbp_decode(buf, 4)
@@ -838,7 +843,7 @@ def _plan_codecs(policy, ptype, n, valid, values, lengths, payload, page_ends, n
     if policy == "plain":
         return (["PLAIN"] * n_pages, *no_dict)
 
-    if policy in ("PLAIN", "DELTA_BINARY_PACKED", "DELTA_LENGTH_BYTE_ARRAY", "FSST", "RLE", "BYTE_STREAM_SPLIT"):
+    if policy in ("PLAIN", "DELTA_BINARY_PACKED", "DELTA_LENGTH_BYTE_ARRAY", "DELTA_BYTE_ARRAY", "FSST", "RLE", "BYTE_STREAM_SPLIT"):
         return ([policy] * n_pages, *no_dict)
 
     if policy in ("dict", "RLE_DICTIONARY"):
@@ -991,6 +996,35 @@ def _auto_plan(ptype, n, values, lengths, payload, page_ends, nn_page_ends, allo
             start = end
         candidates["DELTA_LENGTH_BYTE_ARRAY"] = size
         plans["DELTA_LENGTH_BYTE_ARRAY"] = (["DELTA_LENGTH_BYTE_ARRAY"] * n_pages, *no_dict[:-1], None)
+        # DELTA_BYTE_ARRAY (front coding): wins on sorted/shared-prefix data
+        # (paths, URLs, sorted keys).  Gate on a cheap consecutive-pair
+        # prefix sample so random text skips the extra encode pass.
+        if allow_fsst and nn >= 8:
+            k = min(nn - 1, 256)
+            idx = np.linspace(0, nn - 2, num=k, dtype=np.int64)
+            offs = np.zeros(nn + 1, dtype=np.int64)
+            np.cumsum(lengths, out=offs[1:])
+            cmp_len = np.minimum(np.minimum(lengths[idx], lengths[idx + 1]), 16)
+            tot = int(cmp_len.sum())
+            if tot:
+                rel = np.arange(tot, dtype=np.int64) - np.repeat(np.cumsum(cmp_len) - cmp_len, cmp_len)
+                a = payload[np.repeat(offs[:-1][idx], cmp_len) + rel]
+                b = payload[np.repeat(offs[:-1][idx + 1], cmp_len) + rel]
+                eq = a == b
+                # mean leading-equality run per sampled pair (loop is over
+                # the <=256 samples, not the data)
+                segs = np.split(eq, np.cumsum(cmp_len)[:-1])
+                mean_prefix = float(
+                    np.mean([int(np.cumprod(s).sum()) if len(s) else 0 for s in segs])
+                )
+                if mean_prefix >= 4.0:
+                    bodies = _candidate_bodies(
+                        "DELTA_BYTE_ARRAY", ptype, values, lengths, payload, nn_page_ends
+                    )
+                    candidates["DELTA_BYTE_ARRAY"] = sum(map(len, bodies))
+                    plans["DELTA_BYTE_ARRAY"] = (
+                        ["DELTA_BYTE_ARRAY"] * n_pages, *no_dict[:-1], bodies
+                    )
         # FSST: estimate from a sample; only fully encode if promising
         sample = payload[: 1 << 15]
         if allow_fsst and len(sample) >= 1024:

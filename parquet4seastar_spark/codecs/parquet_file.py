@@ -60,8 +60,8 @@ ENC_NAME = {v: k for k, v in ENCODINGS.items()}
 CONVERTED = {"string": 0, "date": 6, "timestamp_us": 10, "decimal": 5}
 
 _STANDARD_ENCODINGS = {
-    "PLAIN", "RLE_DICTIONARY", "DELTA_BINARY_PACKED", "DELTA_LENGTH_BYTE_ARRAY", "RLE",
-    "BYTE_STREAM_SPLIT",
+    "PLAIN", "RLE_DICTIONARY", "DELTA_BINARY_PACKED", "DELTA_LENGTH_BYTE_ARRAY",
+    "DELTA_BYTE_ARRAY", "RLE", "BYTE_STREAM_SPLIT",
 }
 
 

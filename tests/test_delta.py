@@ -132,6 +132,33 @@ def test_delta_byte_array_decode_golden():
     assert out == [b"aaaaa", b"aabbbbbb", b"aabbccccccc", b"aabbccdddddddd"]
 
 
+def test_delta_byte_array_encode_roundtrip():
+    # write side is ours (the reference is decode-only); verify against the
+    # existing decoder and on adversarial shapes
+    import numpy as np
+
+    from parquet4seastar_spark.codecs.delta import (
+        delta_byte_array_decode,
+        delta_byte_array_decode_components,
+        delta_byte_array_encode,
+    )
+
+    cases = [
+        [b"apple", b"applesauce", b"applet", b"banana", b"band"],
+        [b"", b"", b"x"],
+        [b"same"] * 100,
+        [bytes([i % 7]) * (i % 30) for i in range(500)],  # long shared runs
+        [],
+    ]
+    for vals in cases:
+        lengths = np.array([len(v) for v in vals], dtype=np.int64)
+        payload = b"".join(vals)
+        enc = delta_byte_array_encode(lengths, payload)
+        assert delta_byte_array_decode(enc, len(vals)) == vals
+        lens2, pl2 = delta_byte_array_decode_components(enc, len(vals))
+        assert lens2.tolist() == lengths.tolist() and pl2 == payload
+
+
 def test_byte_stream_split_roundtrip():
     # byte_stream_split_test.cc:29-102 semantics: K de-interleaved streams
     f = np.array([1.5, -2.25, 3.75], dtype=np.float32)

@@ -134,6 +134,18 @@ def test_write_parquet_list_column(tmp_path):
     assert out.to_pylist() == tbl.column("embedding").combine_chunks().to_pylist()
 
 
+def test_write_delta_byte_array_pyarrow_reads(tmp_path):
+    # front-coded column in a real parquet file, decoded by pyarrow
+    vals = sorted(f"src/app/module_{i // 50:04d}/file_{i:06d}.py" for i in range(3000))
+    arr = pa.array(vals, type=pa.string())
+    chunk = encode_chunk(arr, policy="DELTA_BYTE_ARRAY")
+    path = str(tmp_path / "dba.parquet")
+    write_parquet_file(path, {"path": chunk}, len(vals))
+    back = pq.read_table(path).column("path").combine_chunks()
+    assert back.cast(pa.string()).to_pylist() == vals
+    assert ParquetFileReader(path).read_column("path").cast(pa.string()).to_pylist() == vals
+
+
 def test_snappy_codec_roundtrip():
     import os
 
