@@ -219,6 +219,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["roundtrip_struct"] = roundtrip_struct
 
+    # ---- map<string,string> through the engine (key/value list chunks with
+    # shared offsets, standard parquet MAP level geometry)
+    def roundtrip_map(spark, sf_dir):
+        from parquet4seastar_spark.engine.decode_job import decode_table
+        from parquet4seastar_spark.engine.encode_job import encode_table
+
+        src = _docs(spark, sf_dir).select(
+            F.col("doc_id").alias("row_id"),
+            F.create_map(
+                F.lit("lang"), F.col("lang"), F.lit("src"), F.col("source")
+            ).alias("props"),
+            "source",
+        )
+        enc = encode_table(
+            src, columns=["props"], policy="auto", salt_col="source", num_partitions=2,
+            salt_target_rows=2000,
+        )
+        # project map lookups: scalar columns give the oracle a stable shape
+        return decode_table(enc, ["props"]).select(
+            F.col("row_id").alias("doc_id"),
+            F.element_at("props", "lang").alias("lang_v"),
+            F.element_at("props", "src").alias("src_v"),
+        )
+
+    q["roundtrip_map"] = roundtrip_map
+
     # ---- real-Parquet container interop: encode -> PAR1 file (Thrift page
     # headers + footer) -> read back with OUR reader -> identity oracle
     def roundtrip_parquet_file(spark, sf_dir):
@@ -486,6 +512,7 @@ def oracle_sql() -> dict[str, str]:
         "SELECT l_orderkey, l_linenumber, l_extendedprice, l_returnflag FROM lineitem"
     )
     o["roundtrip_struct"] = "SELECT doc_id, lang, n_chars FROM documents"
+    o["roundtrip_map"] = "SELECT doc_id, lang AS lang_v, source AS src_v FROM documents"
     o["roundtrip_parquet_file"] = "SELECT doc_id, text, lang, n_chars FROM documents"
     o["roundtrip_decimal"] = (
         "SELECT l_orderkey * 100 + l_linenumber AS rid, "

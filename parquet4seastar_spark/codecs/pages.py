@@ -1373,3 +1373,71 @@ def decode_struct_chunk(chunks: dict[str, EncodedChunk]) -> pa.StructArray:
         names.append(name)
     mask = None if bool(struct_valid.all()) else pa.array(~struct_valid)
     return pa.StructArray.from_arrays(fields, names, mask=mask)
+
+
+# ---------------------------------------------------------------------------
+# map columns: the standard 3-level MAP group (writer_schema.cc map path;
+# assembly record_reader.hh:311-336).  A map<k,v> column is stored as TWO
+# list chunks sharing the map's offsets: keys (elements REQUIRED, so
+# max_def = outer_opt + 1) and values (elements OPTIONAL, max_def =
+# outer_opt + 2) -- exactly the level geometry parquet gives MAP leaves.
+
+
+def encode_map_chunk(
+    arr: pa.Array,
+    *,
+    policy: str = "auto",
+    page_target_bytes: int = 1 << 20,
+    compression: str = "uncompressed",
+) -> dict[str, EncodedChunk]:
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not pa.types.is_map(arr.type):
+        raise TypeError(f"expected map array, got {arr.type}")
+    n = len(arr)
+    offs = np.frombuffer(
+        arr.buffers()[1], dtype=np.int32, count=n + 1, offset=arr.offset * 4
+    ).astype(np.int64)
+    base = int(offs[0]) if n else 0
+    total = int(offs[-1]) - base if n else 0
+    rel = (offs - base).astype(np.int32) if n else np.zeros(1, dtype=np.int32)
+    mask = None
+    if arr.null_count:
+        mask = pa.array(~np.asarray(arr.is_valid()))
+    keys = arr.keys.slice(base, total)
+    items = arr.items.slice(base, total)
+    out = {}
+    for name, child in (("key", keys), ("value", items)):
+        lst = pa.ListArray.from_arrays(pa.array(rel), child, mask=mask)
+        out[name] = _encode_list_chunk(
+            lst,
+            policy=policy,
+            page_target_bytes=page_target_bytes,
+            compression=compression,
+            nullable=arr.null_count > 0,
+        )
+    return out
+
+
+def decode_map_chunk(key_chunk: EncodedChunk, value_chunk: EncodedChunk) -> pa.Array:
+    """Reassemble map<k,v> from its key/value list chunks (shared offsets)."""
+    karr = decode_chunk(key_chunk)
+    varr = decode_chunk(value_chunk)
+    if len(karr) != len(varr):
+        raise ValueError("map key/value row counts differ")
+    n = len(karr)
+    koffs = np.frombuffer(karr.buffers()[1], dtype=np.int32, count=n + 1, offset=karr.offset * 4)
+    t = pa.map_(karr.type.value_type, varr.type.value_type)
+    kv = pa.StructArray.from_arrays(
+        [karr.flatten(), varr.flatten()], fields=[t.key_field, t.item_field]
+    )
+    validity = None
+    if karr.null_count:
+        validity = pa.py_buffer(
+            np.packbits(np.asarray(karr.is_valid()), bitorder="little").tobytes()
+        )
+    # null rows may carry non-monotonic garbage offsets in karr? no: our list
+    # decoder emits length-0 runs for null rows, so offsets stay canonical
+    return pa.Array.from_buffers(
+        t, n, [validity, pa.py_buffer(np.ascontiguousarray(koffs).tobytes())], children=[kv]
+    )

@@ -17,7 +17,13 @@ from __future__ import annotations
 import pyarrow as pa
 from pyspark.sql import DataFrame, functions as F
 
-from ..codecs.pages import EncodedChunk, Page, decode_chunk, decode_struct_chunk
+from ..codecs.pages import (
+    EncodedChunk,
+    Page,
+    decode_chunk,
+    decode_map_chunk,
+    decode_struct_chunk,
+)
 
 _SPARK_TYPES = {
     "string": "string",
@@ -136,11 +142,14 @@ def decode_table(
             .distinct()
             .collect()
         }
-    # requested column -> None (scalar leaf) or ordered [(leaf, field, logical)]
-    members: dict[str, list[tuple[str, str, str]] | None] = {}
+    # requested column -> None (scalar leaf), 'map', or ordered struct
+    # members [(leaf, field, logical)]
+    members: dict[str, list[tuple[str, str, str]] | str | None] = {}
     for c in columns:
         if c in schema:
             members[c] = None
+        elif f"{c}.#key" in schema and f"{c}.#value" in schema:
+            members[c] = "map"
         else:
             m = []
             for leaf in schema:
@@ -153,9 +162,16 @@ def decode_table(
     if "row_id" not in schema:
         raise ValueError("row_id column not present in encoded table")
 
+    def _elem(logical: str) -> str:
+        return logical[5:-1] if logical.startswith("list<") else logical
+
     def _spark_col_type(c: str) -> str:
         if members[c] is None:
             return _spark_type(schema[c])
+        if members[c] == "map":
+            kt = _spark_type(_elem(schema[f"{c}.#key"]))
+            vt = _spark_type(_elem(schema[f"{c}.#value"]))
+            return f"map<{kt}, {vt}>"
         inner = ", ".join(f"`{f}`: {_spark_type(lg)}" for _, f, lg in members[c])
         return f"struct<{inner}>"
 
@@ -177,6 +193,15 @@ def decode_table(
             if members[c] is None:
                 arr = decode_chunk(_rebuild_chunk(tbl, by_col[c]))
                 target = _pa_type(logicals[c])
+            elif members[c] == "map":
+                arr = decode_map_chunk(
+                    _rebuild_chunk(tbl, by_col[f"{c}.#key"]),
+                    _rebuild_chunk(tbl, by_col[f"{c}.#value"]),
+                )
+                target = pa.map_(
+                    _pa_type(_elem(logicals[f"{c}.#key"])),
+                    _pa_type(_elem(logicals[f"{c}.#value"])),
+                )
             else:
                 field_chunks = {
                     fname: _rebuild_chunk(tbl, by_col[leaf]) for leaf, fname, _ in members[c]

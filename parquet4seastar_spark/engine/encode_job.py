@@ -33,7 +33,7 @@ import pandas as pd
 import pyarrow as pa
 from pyspark.sql import DataFrame, functions as F
 
-from ..codecs.pages import encode_chunk, encode_struct_chunk
+from ..codecs.pages import encode_chunk, encode_map_chunk, encode_struct_chunk
 
 ENCODED_SCHEMA = (
     "kind string, part_key string, chunk_id string, column string, chunk_seq int, "
@@ -183,6 +183,16 @@ def _encode_partition_factory(
                     )
                     for i, (fname, fchunk) in enumerate(fchunks.items()):
                         leaf_chunks.append((f"{col}.{i}.{fname}", fchunk))
+                elif pa.types.is_map(arr.type):
+                    # map<k,v>: key/value list chunks sharing the map offsets
+                    mchunks = encode_map_chunk(
+                        arr,
+                        policy=cpolicy,
+                        page_target_bytes=page_target_bytes,
+                        compression=compression,
+                    )
+                    leaf_chunks.append((f"{col}.#key", mchunks["key"]))
+                    leaf_chunks.append((f"{col}.#value", mchunks["value"]))
                 else:
                     leaf_chunks.append(
                         (

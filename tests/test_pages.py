@@ -365,6 +365,22 @@ def test_struct_roundtrip_mirrors_file_writer_test():
         assert out.to_pylist() == arr.to_pylist(), policy
 
 
+def test_map_chunk_roundtrip():
+    # map<k,v> via key/value list chunks with shared offsets; level geometry
+    # matches the parquet MAP group (key REQUIRED, value OPTIONAL)
+    from parquet4seastar_spark.codecs.pages import decode_map_chunk, encode_map_chunk
+
+    vals = [{"a": 1, "b": 2}, None, {}, {"c": 3}, {"d": None}] * 100
+    arr = pa.array(vals, type=pa.map_(pa.string(), pa.int64()))
+    for policy in ["auto", "plain", "reference"]:
+        chunks = encode_map_chunk(arr, policy=policy, page_target_bytes=256)
+        assert chunks["key"].max_def == 2 and not chunks["key"].elem_nullable
+        assert chunks["value"].max_def == 3 and chunks["value"].elem_nullable
+        out = decode_map_chunk(chunks["key"], chunks["value"])
+        out.validate(full=True)
+        assert out.to_pylist() == arr.to_pylist(), policy
+
+
 def test_levels_v2_and_bit_packed():
     from parquet4seastar_spark.codecs.levels import (
         decode_levels_bit_packed,
