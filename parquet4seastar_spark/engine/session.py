@@ -24,6 +24,13 @@ def get_spark(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    # executor python workers must be able to import this package no matter
+    # the caller's cwd (the spark-submit equivalent would be --py-files);
+    # local-mode workers inherit the driver environment, so extend PYTHONPATH
+    pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{pkg_root}{os.pathsep}{pp}" if pp else pkg_root
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)

@@ -113,6 +113,28 @@ def test_brute_force_topk_self_first(spark, embeddings):
     assert first == {0: 0, 1: 1, 2: 2}  # each vector is its own nearest
 
 
+def test_lsh_topk_recall_measured(spark, embeddings):
+    # round-1 gap: LSH recall was never measured.  With 4-bit buckets each
+    # query scores ~1/16 of the corpus; self is always found and recall@5
+    # vs brute force must clear a floor (deterministic: fixed seed).
+    from parquet4seastar_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    q = embeddings.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = brute_force_topk(embeddings, q, k=5).collect()
+    approx = lsh_topk(embeddings, q, k=5, bits=4).collect()
+    ex, ap = {}, {}
+    for r in exact:
+        ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx:
+        ap.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(ex[qid] & ap.get(qid, set())) for qid in ex)
+    recall = hits / sum(len(v) for v in ex.values())
+    assert all(qid in ap.get(qid, set()) for qid in ex)  # self always found
+    assert recall >= 0.2, recall  # 1/16 corpus scored; floor is conservative
+
+
 def test_lsh_topk_contains_self(spark, embeddings):
     from parquet4seastar_spark.operators.similarity import lsh_topk
 

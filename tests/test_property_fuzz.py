@@ -62,3 +62,44 @@ def test_int_chunk_roundtrip_fuzz(vals):
     arr = pa.array(vals, type=pa.int64())
     chunk = encode_chunk(arr, policy="auto", page_target_bytes=256)
     assert decode_chunk(chunk).to_pylist() == vals
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(st.one_of(st.none(), st.floats(allow_nan=False, width=32)), max_size=12),
+        ),
+        max_size=150,
+    ),
+    st.sampled_from(["auto", "plain", "reference"]),
+)
+def test_list_chunk_roundtrip_fuzz(vals, policy):
+    # nested Dremel path: null lists, empty lists, null elements
+    arr = pa.array(vals, type=pa.list_(pa.float32()))
+    chunk = encode_chunk(arr, policy=policy, page_target_bytes=128)
+    assert decode_chunk(chunk).to_pylist() == arr.to_pylist()
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.binary(max_size=40), max_size=200))
+def test_delta_byte_array_roundtrip_fuzz(vals):
+    from parquet4seastar_spark.codecs.delta import (
+        delta_byte_array_decode_components,
+        delta_byte_array_encode,
+    )
+
+    lengths = np.array([len(v) for v in vals], dtype=np.int64)
+    payload = b"".join(vals)
+    enc = delta_byte_array_encode(lengths, payload)
+    lens2, pl2 = delta_byte_array_decode_components(enc, len(vals))
+    assert lens2.tolist() == lengths.tolist() and pl2 == payload
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.binary(max_size=8000))
+def test_snappy_roundtrip_fuzz(data):
+    from parquet4seastar_spark.codecs.snappy_py import snappy_compress, snappy_decompress
+
+    assert snappy_decompress(snappy_compress(data)) == data

@@ -49,6 +49,33 @@ _CQL_TYPES = {
 }
 
 
+def _cql_type(logical: str) -> str:
+    """logical -> CQL type, incl. nested lists and decimals
+    (cql_reader.cc:325-400 renders the same shapes)."""
+    if logical.startswith("list<") and logical.endswith(">"):
+        return f"list<{_cql_type(logical[5:-1])}>"
+    if logical.startswith("decimal("):
+        return "decimal"
+    return _CQL_TYPES[logical]
+
+
+def _cql_value(v, logical: str) -> str:
+    if v is None:
+        return "null"
+    if logical.startswith("list<"):
+        inner = logical[5:-1]
+        return "[" + ", ".join(_cql_value(x, inner) for x in v) + "]"
+    if logical in ("string",):
+        return "'" + str(v).replace("'", "''") + "'"
+    if logical in ("binary", "flba"):
+        return "0x" + bytes(v).hex()
+    if logical == "timestamp_us":
+        return "'" + v.isoformat() + "'"
+    if logical == "bool":
+        return "true" if v else "false"
+    return str(v)
+
+
 def cmd_encode(args):
     import pyspark.sql.functions as F
 
@@ -118,25 +145,11 @@ def cmd_dump_cql(args):
         for r in enc.filter(F.col("kind") == "chunk").select("column", "logical").distinct().collect()
     }
     cols = ["row_id", *columns]
-    ddl_cols = ", ".join(f"{c} {_CQL_TYPES[logicals[c]]}" for c in cols)
+    ddl_cols = ", ".join(f"{c} {_cql_type(logicals[c])}" for c in cols)
     print(f"CREATE TABLE {args.table} ({ddl_cols}, PRIMARY KEY ({args.pk}));")
     rows = decode_table(enc, columns).orderBy("row_id").limit(args.limit).collect()
     for r in rows:
-        vals = []
-        for c in cols:
-            v = r[c]
-            if v is None:
-                vals.append("null")
-            elif logicals[c] in ("string",):
-                vals.append("'" + str(v).replace("'", "''") + "'")
-            elif logicals[c] in ("binary", "flba"):
-                vals.append("0x" + bytes(v).hex())
-            elif logicals[c] == "timestamp_us":
-                vals.append("'" + v.isoformat() + "'")
-            elif logicals[c] == "bool":
-                vals.append("true" if v else "false")
-            else:
-                vals.append(str(v))
+        vals = [_cql_value(r[c], logicals[c]) for c in cols]
         print(f"INSERT INTO {args.table} ({', '.join(cols)}) VALUES ({', '.join(vals)});")
     spark.stop()
 
