@@ -1004,7 +1004,7 @@ def _auto_plan(ptype, n, values, lengths, payload, page_ends, nn_page_ends, allo
             idx = np.linspace(0, nn - 2, num=k, dtype=np.int64)
             offs = np.zeros(nn + 1, dtype=np.int64)
             np.cumsum(lengths, out=offs[1:])
-            cmp_len = np.minimum(np.minimum(lengths[idx], lengths[idx + 1]), 16)
+            cmp_len = np.minimum(np.minimum(lengths[idx], lengths[idx + 1]), 64)
             tot = int(cmp_len.sum())
             if tot:
                 rel = np.arange(tot, dtype=np.int64) - np.repeat(np.cumsum(cmp_len) - cmp_len, cmp_len)
@@ -1017,7 +1017,10 @@ def _auto_plan(ptype, n, values, lengths, payload, page_ends, nn_page_ends, allo
                 mean_prefix = float(
                     np.mean([int(np.cumprod(s).sum()) if len(s) else 0 for s in segs])
                 )
-                if mean_prefix >= 4.0:
+                mean_len = float(np.mean(lengths[idx])) or 1.0
+                # front coding must promise real savings: long values with a
+                # short shared header (e.g. source text) skip the extra pass
+                if mean_prefix >= 4.0 and mean_prefix >= 0.25 * mean_len:
                     bodies = _candidate_bodies(
                         "DELTA_BYTE_ARRAY", ptype, values, lengths, payload, nn_page_ends
                     )
