@@ -487,6 +487,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_encode_smoke"] = stream_encode_smoke
 
+    def stream_dedup_smoke(spark, sf_dir):
+        """Arbitrary-stateful streaming (applyInPandasWithState): cross-batch
+        exact dedup; duplicates planted in a second micro-batch are dropped
+        by the persisted seen-fingerprint state."""
+        import tempfile
+
+        from parquet4seastar_spark.engine.streaming import stream_dedup
+
+        with tempfile.TemporaryDirectory() as tmp:
+            docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("row_id"), "text")
+            docs.coalesce(1).write.parquet(f"{tmp}/in")
+            docs.select(F.col("row_id") + 1000000, "text").coalesce(1).write.mode(
+                "append"
+            ).parquet(f"{tmp}/in")
+            stream = (
+                spark.readStream.schema("row_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{tmp}/in")
+            )
+            qry = (
+                stream_dedup(stream)
+                .writeStream.format("memory")
+                .queryName("p4s_stream_dedup")
+                .outputMode("append")
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            qry.awaitTermination()
+            return spark.sql(
+                "select count(*) as n_unique from p4s_stream_dedup"
+            ).localCheckpoint()
+
+    q["stream_dedup_smoke"] = stream_dedup_smoke
+
     return q
 
 

@@ -63,6 +63,61 @@ def stream_encode(
     return writer.start()
 
 
+def stream_dedup(
+    docs_stream: DataFrame,
+    key_col: str = "text",
+    id_col: str = "row_id",
+    n_state_shards: int = 64,
+):
+    """Custom stateful streaming operator: cross-micro-batch exact dedup.
+
+    Emits only the FIRST occurrence of each ``key_col`` value across the
+    whole stream.  State = the set of seen 64-bit fingerprints, sharded by
+    a hash prefix group (``n_state_shards`` state keys -> state shards
+    scale with parallelism; each shard's state is one long array, not
+    per-row entries).  Implemented with applyInPandasWithState -- the
+    arbitrary-stateful shape Structured Streaming provides for operators
+    the built-in aggregations can't express.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_fields = docs_stream.schema.fields
+    out_ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields)
+    out_cols = [f.name for f in out_fields]
+
+    hashed = docs_stream.withColumn("_fp", F.xxhash64(key_col)).withColumn(
+        "_g", F.pmod(F.col("_fp"), F.lit(n_state_shards)).cast("int")
+    )
+
+    def dedup_group(key, pdfs, state: "GroupState"):
+        seen = np.array(state.get[0], dtype=np.int64) if state.exists else np.zeros(0, np.int64)
+        outs = []
+        for pdf in pdfs:
+            fp = pdf["_fp"].to_numpy(dtype=np.int64)
+            # first occurrence within the batch AND not seen in prior batches
+            _, first_idx = np.unique(fp, return_index=True)
+            keep = np.zeros(len(fp), dtype=bool)
+            keep[first_idx] = True
+            keep &= ~np.isin(fp, seen)
+            if keep.any():
+                outs.append(pdf.loc[keep, out_cols])
+                seen = np.union1d(seen, fp[keep])
+        state.update((seen.tolist(),))
+        if outs:
+            yield pd.concat(outs)
+
+    return hashed.groupBy("_g").applyInPandasWithState(
+        dedup_group,
+        outputStructType=out_ddl,
+        stateStructType="seen array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "1 hour",

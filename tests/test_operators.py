@@ -229,6 +229,43 @@ def test_embedding_near_dups_bucket_cap(spark, embeddings):
     assert embedding_near_dups(both, threshold=0.9, max_bucket_size=1).count() == 0
 
 
+def test_stream_dedup_stateful(spark, tmp_path):
+    """applyInPandasWithState dedup: duplicates arriving in LATER
+    micro-batches are dropped via the persisted seen-fingerprint state."""
+    import pyspark.sql.functions as F
+
+    from parquet4seastar_spark.engine.streaming import stream_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").alias("row_id"), "text"
+    ).limit(100).cache()
+    src = str(tmp_path / "in")
+    # batch 1: originals; batch 2: the same texts under different ids
+    docs.coalesce(1).write.parquet(src)
+    docs.select(F.col("row_id") + 100000, "text").coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("row_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stream_dedup(stream, key_col="text", id_col="row_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select * from dedup_out")
+    n_distinct = docs.select("text").distinct().count()
+    assert got.count() == n_distinct
+    # every surviving row is a first occurrence (original ids only, since
+    # batch order is file order)
+    assert got.filter(F.col("row_id") >= 100000).count() == 0
+
+
 def test_ivf_topk_recall(spark, embeddings):
     from parquet4seastar_spark.operators.similarity import brute_force_topk, ivf_topk
 
