@@ -125,7 +125,10 @@ def encode_bench(
                 policy=policy,
                 num_partitions=cpus * 2,
                 chunk_target_bytes=16 << 20,
-                salt_target_bytes=16 << 20,
+                # row-count salting: sizes the salt buckets from a key-column
+                # scan only (byte mode re-reads the full value column first
+                # -- a job-sized extra pass at 100 TB)
+                salt_target_rows=16384,
             )
             agg = enc.filter(F.col("kind") == "chunk").agg(
                 F.sum("input_bytes").alias("in_b"), F.sum("compressed_size").alias("out_b")
@@ -179,7 +182,7 @@ def main():
     if not os.path.exists(enc_path):
         encode_table(
             spark16.read.parquet(data_path), policy=POLICY, num_partitions=32,
-            chunk_target_bytes=16 << 20, salt_target_bytes=16 << 20,
+            chunk_target_bytes=16 << 20, salt_target_rows=16384,
         ).write.parquet(enc_path)
     enc_df = spark16.read.parquet(enc_path)
     best_dec = None
