@@ -196,6 +196,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["roundtrip_lineitem"] = roundtrip_lineitem
 
+    # ---- stats-based chunk skipping: prune by lineage min/max, decode only
+    # surviving chunks, exact filter after (beyond the reference, which
+    # never writes statistics)
+    def pruned_scan(spark, sf_dir):
+        from parquet4seastar_spark.engine.decode_job import decode_table, prune_chunks
+        from parquet4seastar_spark.engine.encode_job import encode_table
+
+        src = _docs(spark, sf_dir).select(
+            F.col("doc_id").alias("row_id"),
+            "n_chars",
+            F.floor(F.col("n_chars") / 200).cast("string").alias("bucket"),
+        )
+        enc = encode_table(
+            src, columns=["n_chars"], salt_col="bucket", num_partitions=4,
+            salt_target_rows=2000, size_col="bucket",
+        )
+        pruned = prune_chunks(enc, "n_chars", gt=300)
+        return (
+            decode_table(pruned, ["n_chars"])
+            .filter(F.col("n_chars") > 300)
+            .select(F.col("row_id").alias("doc_id"), "n_chars")
+        )
+
+    q["pruned_scan"] = pruned_scan
+
     # ---- struct-of-primitives through the engine (per-field leaf chunks
     # with merged Dremel def levels; reassembled on decode)
     def roundtrip_struct(spark, sf_dir):
@@ -547,6 +572,7 @@ def oracle_sql() -> dict[str, str]:
         "SELECT l_orderkey, l_linenumber, l_extendedprice, l_returnflag FROM lineitem"
     )
     o["roundtrip_struct"] = "SELECT doc_id, lang, n_chars FROM documents"
+    o["pruned_scan"] = "SELECT doc_id, n_chars FROM documents WHERE n_chars > 300"
     o["roundtrip_map"] = "SELECT doc_id, lang AS lang_v, source AS src_v FROM documents"
     o["roundtrip_parquet_file"] = "SELECT doc_id, text, lang, n_chars FROM documents"
     o["roundtrip_decimal"] = (

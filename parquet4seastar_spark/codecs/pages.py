@@ -98,6 +98,14 @@ class EncodedChunk:
     max_def: int = -1  # -1: derive from `nullable` (flat back-compat)
     max_rep: int = 0
     elem_nullable: bool = False
+    # chunk statistics for scan pruning (beyond the reference: it never
+    # writes ColumnMetaData statistics).  Numeric bounds are ulp-widened so
+    # double storage stays conservative; byte bounds are 16-byte prefixes
+    # with the upper bound truncate-and-incremented (parquet-style).
+    stat_min_num: float | None = None
+    stat_max_num: float | None = None
+    stat_min_bin: bytes | None = None
+    stat_max_bin: bytes | None = None
 
     @property
     def total_size(self) -> int:
@@ -391,6 +399,45 @@ def _train_chunk_table(payload):
     return fsst.train_symbol_table(np.ascontiguousarray(payload[: 1 << 16]))
 
 
+def _chunk_stats(chunk: EncodedChunk, ptype: str, values, lengths, payload) -> None:
+    """Fill conservative min/max stats from the non-null flat values."""
+    if ptype in _FIXED_DTYPES and values is not None and len(values):
+        lo = float(values.min())
+        hi = float(values.max())
+        # double can't represent every int64: widen one ulp each way so the
+        # stored bounds always contain the true range
+        chunk.stat_min_num = float(np.nextafter(lo, -np.inf))
+        chunk.stat_max_num = float(np.nextafter(hi, np.inf))
+    elif ptype == "BYTE_ARRAY" and lengths is not None and len(lengths):
+        offs = np.zeros(len(lengths) + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offs[1:])
+        k = min(16, int(lengths.max()))
+        mat = np.zeros((len(lengths), k), dtype=np.uint8)
+        take = np.minimum(lengths, k)
+        tot = int(take.sum())
+        if tot:
+            rows = np.repeat(np.arange(len(lengths), dtype=np.int64), take)
+            rel = np.arange(tot, dtype=np.int64) - np.repeat(np.cumsum(take) - take, take)
+            mat[rows, rel] = payload[np.repeat(offs[:-1], take) + rel]
+        # zero-padded fixed-width rows sort like raw byte-lexicographic
+        # prefixes; lexsort over the byte columns gives min/max rows
+        order = np.lexsort(tuple(mat[:, j] for j in reversed(range(k))))
+        lo_i = int(order[0])
+        hi_i = int(order[-1])
+        # lower bound: a prefix of some value is <= that value <= the rest
+        chunk.stat_min_bin = mat[lo_i, : min(k, int(lengths[lo_i]))].tobytes()
+        # upper bound: ALWAYS truncate-and-increment (strictly greater than
+        # every value sharing the prefix -- covers embedded-NUL ties and
+        # >16-byte values alike); an all-0xFF prefix can't increment -> no
+        # upper stat, never prune on that side
+        hi_prefix = bytearray(mat[hi_i, : min(k, int(lengths[hi_i]))])
+        for j in range(len(hi_prefix) - 1, -1, -1):
+            if hi_prefix[j] != 0xFF:
+                hi_prefix[j] += 1
+                chunk.stat_max_bin = bytes(hi_prefix[: j + 1])
+                break
+
+
 def _plain_size(ptype: str, n: int, lengths=None, type_length: int = 0) -> int:
     if ptype == "BYTE_ARRAY":
         return int(lengths.sum()) + 4 * n
@@ -511,6 +558,7 @@ def encode_chunk(
         max_rep=0,
     )
     chunk.sha256 = chunk_sha256(ptype, valid, values, lengths, payload)
+    _chunk_stats(chunk, ptype, values, lengths, payload)
 
     plan = _plan_codecs(
         policy, ptype, n, valid, values, lengths, payload, page_ends, nn_page_ends
@@ -685,6 +733,7 @@ def _encode_list_chunk(
         elem_nullable=elem_nullable,
     )
     chunk.sha256 = list_chunk_sha256(ptype, row_valid, lengths_per_row, elem_valid, values, lengths, payload)
+    _chunk_stats(chunk, ptype, values, lengths, payload)  # leaf-element stats
 
     plan = _plan_codecs(policy, ptype, n, None, values, lengths, payload, page_ends, nn_page_ends)
     per_page_enc, dict_page_bytes, codes, cardinality, card_by_page, cached_bodies = plan

@@ -117,6 +117,60 @@ def _rebuild_chunk(tbl: pa.Table, idxs: list[int]) -> EncodedChunk:
     return chunk
 
 
+def prune_chunks(
+    encoded: DataFrame,
+    column: str,
+    *,
+    gt=None,
+    ge=None,
+    lt=None,
+    le=None,
+    eq=None,
+) -> DataFrame:
+    """Stats-based chunk skipping (beyond the reference: it never writes
+    ColumnMetaData statistics).
+
+    Drops every (part_key, chunk_seq) group whose ``column`` chunk min/max
+    range provably cannot satisfy the predicate -- the other columns' pages
+    for those rows go with it.  Pruning is CONSERVATIVE (stats are
+    ulp-widened doubles / truncate-and-incremented byte prefixes): decode
+    output must still be filtered exactly; this only avoids decoding chunks
+    that cannot match.  At 100 TB this is the difference between decoding
+    every page and touching only the value-range-relevant ones.
+    """
+    ch = encoded.filter((F.col("kind") == "chunk") & (F.col("column") == column))
+    is_bin = isinstance(eq if eq is not None else (gt if gt is not None else (ge if ge is not None else (lt if lt is not None else le))), (str, bytes))
+    lo_col = F.col("stat_min_bin") if is_bin else F.col("stat_min_num")
+    hi_col = F.col("stat_max_bin") if is_bin else F.col("stat_max_num")
+
+    def _lit(v):
+        if isinstance(v, str):
+            return F.encode(F.lit(v), "utf-8")
+        if isinstance(v, bytes):
+            return F.lit(v)
+        return F.lit(float(v))
+
+    # a chunk SURVIVES unless its stats prove no row can match; missing
+    # stats always survive
+    cond = F.lit(True)
+    if gt is not None:
+        cond = cond & (hi_col.isNull() | (hi_col > _lit(gt)))
+    if ge is not None:
+        cond = cond & (hi_col.isNull() | (hi_col >= _lit(ge)))
+    if lt is not None:
+        cond = cond & (lo_col.isNull() | (lo_col < _lit(lt)))
+    if le is not None:
+        cond = cond & (lo_col.isNull() | (lo_col <= _lit(le)))
+    if eq is not None:
+        cond = (
+            cond
+            & (lo_col.isNull() | (lo_col <= _lit(eq)))
+            & (hi_col.isNull() | (hi_col >= _lit(eq)))
+        )
+    keep = ch.filter(cond).select("part_key", "chunk_seq").distinct()
+    return encoded.join(F.broadcast(keep), ["part_key", "chunk_seq"], "left_semi")
+
+
 def decode_table(
     encoded: DataFrame, columns: list[str], *, schema: dict[str, str] | None = None
 ) -> DataFrame:

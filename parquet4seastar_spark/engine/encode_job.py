@@ -42,7 +42,8 @@ ENCODED_SCHEMA = (
     "ptype string, logical string, nullable boolean, num_rows long, num_nulls long, "
     "cardinality long, encodings string, compression string, type_length int, "
     "input_bytes long, encoded_bytes long, sha256 string, n_pages int, "
-    "max_def int, max_rep int, elem_nullable boolean"
+    "max_def int, max_rep int, elem_nullable boolean, "
+    "stat_min_num double, stat_max_num double, stat_min_bin binary, stat_max_bin binary"
 )
 
 DATA_COLUMNS = ["repo", "path", "commit", "lang", "content"]
@@ -124,6 +125,10 @@ def _out_schema_pa() -> pa.Schema:
                 ("max_def", pa.int32()),
                 ("max_rep", pa.int32()),
                 ("elem_nullable", pa.bool_()),
+                ("stat_min_num", pa.float64()),
+                ("stat_max_num", pa.float64()),
+                ("stat_min_bin", pa.binary()),
+                ("stat_max_bin", pa.binary()),
             ]
         )
     return _OUT_SCHEMA_PA
@@ -240,6 +245,10 @@ def _encode_partition_factory(
                             "max_def": chunk.max_def,
                             "max_rep": chunk.max_rep,
                             "elem_nullable": chunk.elem_nullable,
+                            "stat_min_num": None,
+                            "stat_max_num": None,
+                            "stat_min_bin": None,
+                            "stat_max_bin": None,
                         }
                     )
                 rows.append(
@@ -273,6 +282,10 @@ def _encode_partition_factory(
                         "max_def": chunk.max_def,
                         "max_rep": chunk.max_rep,
                         "elem_nullable": chunk.elem_nullable,
+                        "stat_min_num": chunk.stat_min_num,
+                        "stat_max_num": chunk.stat_max_num,
+                        "stat_min_bin": chunk.stat_min_bin,
+                        "stat_max_bin": chunk.stat_max_bin,
                     }
                 )
             schema = _out_schema_pa()

@@ -11,6 +11,45 @@ from parquet4seastar_spark.engine.encode_job import encode_table, salted_reparti
 from parquet4seastar_spark.engine.generator import generate_source_repos
 
 
+def test_chunk_stats_pruning(spark):
+    import pyspark.sql.functions as F
+
+    from parquet4seastar_spark.engine.decode_job import decode_table, prune_chunks
+    from parquet4seastar_spark.engine.encode_job import encode_table
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # cluster chunks by value range so stats have pruning power
+    src = docs.select(
+        F.col("doc_id").alias("row_id"),
+        "n_chars",
+        F.floor(F.col("n_chars") / 200).cast("string").alias("bucket"),
+    )
+    enc = encode_table(
+        src, columns=["n_chars"], salt_col="bucket", num_partitions=4,
+        salt_target_rows=1000, size_col="bucket",
+    ).cache()
+    thr = 400
+    pruned = prune_chunks(enc, "n_chars", gt=thr)
+    assert pruned.count() < enc.count()  # chunks actually skipped
+    got = decode_table(pruned, ["n_chars"]).filter(F.col("n_chars") > thr)
+    exp = src.filter(F.col("n_chars") > thr)
+    assert got.count() == exp.count()
+    j = got.join(exp.select("row_id", F.col("n_chars").alias("e")), "row_id")
+    assert j.filter(F.col("n_chars") != F.col("e")).count() == 0
+    # string stats: equality prune on a low-cardinality clustered column
+    src2 = docs.select(F.col("doc_id").alias("row_id"), "lang")
+    enc2 = encode_table(
+        src2, columns=["lang"], salt_col="lang", num_partitions=4,
+        salt_target_rows=1000, size_col="lang",
+    ).cache()
+    pruned2 = prune_chunks(enc2, "lang", eq="en")
+    assert pruned2.count() < enc2.count()
+    got2 = decode_table(pruned2, ["lang"]).filter(F.col("lang") == "en")
+    assert got2.count() == docs.filter(F.col("lang") == "en").count()
+    enc.unpersist()
+    enc2.unpersist()
+
+
 def test_engine_array_column_roundtrip(spark):
     import pyspark.sql.functions as F
 
