@@ -388,6 +388,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- text operators
     q["token_counts"] = lambda spark, sf_dir: text.token_counts(_docs(spark, sf_dir))
+    q["token_counts_bpe"] = lambda spark, sf_dir: text.token_counts_bpe(_docs(spark, sf_dir))
+    q["stopword_stats"] = lambda spark, sf_dir: text.stopword_stats(_docs(spark, sf_dir))
     q["quality_scores"] = lambda spark, sf_dir: text.quality_scores(_docs(spark, sf_dir))
     q["language_id"] = lambda spark, sf_dir: text.language_id(_docs(spark, sf_dir))
     q["fingerprints"] = lambda spark, sf_dir: text.fingerprints(_docs(spark, sf_dir))
@@ -591,6 +593,22 @@ def oracle_sql() -> dict[str, str]:
     o["token_counts"] = (
         "SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens, "
         "length(text) AS n_chars_obs FROM documents"
+    )
+    from parquet4seastar_spark.operators.text import BPE_PATTERN, STOPWORDS
+
+    o["token_counts_bpe"] = (
+        f"SELECT doc_id, len(regexp_extract_all(text, ' ?[\\p{{L}}]+| ?[\\p{{N}}]+|"
+        f" ?[^\\s\\p{{L}}\\p{{N}}]+|\\s+')) AS n_bpe_tokens, "
+        "len(regexp_split_to_array(trim(text), '\\s+')) AS n_word_tokens FROM documents"
+    )
+    stop_sum = " + ".join(
+        f"(len(regexp_split_to_array(lower(text), '\\b{w}\\b')) - 1)" for w in STOPWORDS
+    )
+    o["stopword_stats"] = (
+        f"SELECT doc_id, ({stop_sum}) AS n_stopwords, "
+        "len(regexp_split_to_array(trim(text), '\\s+')) AS n_word_tokens, "
+        f"CAST(floor(({stop_sum}) * 100 / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1)) AS BIGINT)"
+        " AS stopword_pct FROM documents"
     )
     o["quality_scores"] = (
         "SELECT doc_id, length(text) AS n_chars_q, "

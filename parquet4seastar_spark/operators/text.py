@@ -30,6 +30,46 @@ def token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer regex: letter runs, digit runs, punctuation runs
+# (each with an optional leading space) and whitespace runs -- the GPT-2
+# pattern family minus lookahead, so the exact same regex runs in RE2
+# (DuckDB) and Java (Spark) for the oracle
+BPE_PATTERN = r" ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def token_counts_bpe(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_bpe_tokens, n_word_tokens): BPE-ish regex pre-tokenization
+    vs whitespace tokens -- the token-budget estimate an LLM-data pipeline
+    carries per document."""
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(BPE_PATTERN)).alias("n_bpe_tokens"),
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_word_tokens"),
+    )
+
+
+STOPWORDS = ["the", "and", "of", "to", "in", "a", "is", "for", "on", "with"]
+
+
+def stopword_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_stopwords, n_word_tokens, stopword_pct): stopword density,
+    the classic natural-language-vs-junk quality signal.  Integer percent
+    keeps the oracle hash float-free."""
+    low = F.lower(F.col("text"))
+    n_stop = None
+    for w in STOPWORDS:
+        c = F.size(F.split(low, rf"\b{w}\b")) - 1
+        n_stop = c if n_stop is None else n_stop + c
+    n_words = F.size(F.split(F.trim("text"), r"\s+"))
+    return docs.select(
+        "doc_id",
+        n_stop.alias("n_stopwords"),
+        n_words.alias("n_word_tokens"),
+        # explicit floor: DuckDB's double->int cast rounds, Spark's truncates
+        F.floor(n_stop * 100 / F.greatest(n_words, F.lit(1))).cast("long").alias("stopword_pct"),
+    )
+
+
 def quality_scores(docs: DataFrame) -> DataFrame:
     """Integer quality signals: alpha/digit/punct/space char counts plus a
     simple length bucket.  Integer outputs keep the DuckDB oracle hash-exact
