@@ -372,6 +372,10 @@ class ParquetFileReader:
         pos = cm.get(11) or cm[9]  # dictionary_page_offset ?? data_page_offset
         pages: list[Page] = []
         seen_values = 0
+        # pages decompress HERE (uniformly, incl. V2 re-framing below), so
+        # the assembled chunk is always 'uncompressed'
+        from .pages import _decompress
+
         while seen_values < num_values:
             r = CompactReader(self.buf, pos)
             ph = r.read_struct()
@@ -383,15 +387,26 @@ class ParquetFileReader:
                 dph = ph[7]
                 if ENC_NAME[dph[2]] not in ("PLAIN", "PLAIN_DICTIONARY"):
                     raise ValueError("non-PLAIN dictionary page")
-                pages.append(Page("dict", "PLAIN", dph[1], dph[1], ph[2], ph[3], data))
+                raw = _decompress(data, codec)
+                pages.append(Page("dict", "PLAIN", dph[1], dph[1], len(raw), len(raw), raw))
+                continue
+            if ph[1] == 3:  # DATA_PAGE_V2 (column_chunk_reader.cc:80-111)
+                dp2 = ph[8]
+                enc = ENC_NAME[dp2[4]]
+                if enc == "PLAIN_DICTIONARY":
+                    enc = "RLE_DICTIONARY"
+                raw = self._reframe_v2_page(data, dp2, leaf, codec)
+                pages.append(Page("data", enc, dp2[1], -1, len(raw), len(raw), raw))
+                seen_values += dp2[1]
                 continue
             if ph[1] != 0:
-                raise ValueError(f"unsupported page type {ph[1]} (V2 pages not written by V1 files)")
+                raise ValueError(f"unsupported page type {ph[1]}")
             dp = ph[5]
             enc = ENC_NAME[dp[2]]
             if enc == "PLAIN_DICTIONARY":
                 enc = "RLE_DICTIONARY"
-            pages.append(Page("data", enc, dp[1], -1, ph[2], ph[3], data))
+            raw = _decompress(data, codec)
+            pages.append(Page("data", enc, dp[1], -1, len(raw), len(raw), raw))
             seen_values += dp[1]
 
         logical = self._logical(leaf)
@@ -403,7 +418,7 @@ class ParquetFileReader:
             num_nulls=1,  # force validity reconstruction from def levels
             cardinality=0,
             encodings=sorted({p.encoding for p in pages if p.kind == "data"}),
-            compression=codec,
+            compression="uncompressed",
             type_length=type_length,
             max_def=leaf.max_def,
             max_rep=leaf.max_rep,
@@ -417,6 +432,31 @@ class ParquetFileReader:
         else:
             chunk.num_rows = self._count_rows(chunk)
         return decode_chunk(chunk)
+
+    @staticmethod
+    def _reframe_v2_page(data: bytes, dp2: dict, leaf: LeafColumn, codec: str) -> bytes:
+        """V2 data page -> our V1 layout ([u32+rep][u32+def][values], raw).
+
+        V2 layout (column_chunk_reader.cc:80-111): rep levels (RLE, no
+        length prefix) + def levels (RLE, no prefix) + values; LEVELS are
+        never compressed, values are iff is_compressed (field 7, default
+        true).
+        """
+        from .pages import _decompress
+
+        rep_len = dp2.get(6, 0)
+        def_len = dp2.get(5, 0)
+        levels_end = rep_len + def_len
+        values = data[levels_end:]
+        if dp2.get(7, True) and codec != "uncompressed":
+            values = _decompress(values, codec)
+        out = bytearray()
+        if leaf.max_rep:
+            out += struct.pack("<I", rep_len) + data[:rep_len]
+        if leaf.max_def:
+            out += struct.pack("<I", def_len) + data[rep_len:levels_end]
+        out += values
+        return bytes(out)
 
     @staticmethod
     def _count_rows(chunk: EncodedChunk) -> int:

@@ -146,6 +146,29 @@ def test_write_delta_byte_array_pyarrow_reads(tmp_path):
     assert ParquetFileReader(path).read_column("path").cast(pa.string()).to_pylist() == vals
 
 
+@pytest.mark.parametrize("comp", ["none", "snappy"])
+def test_read_v2_data_pages(tmp_path, comp):
+    # V2 page layout (reference reads both: column_chunk_reader.cc:80-111):
+    # unprefixed RLE levels + separately-compressed values
+    tbl = pq.read_table("/root/testdata/sf0.01/documents.parquet")
+    path = str(tmp_path / "v2.parquet")
+    pq.write_table(tbl, path, compression=comp, use_dictionary=False,
+                   data_page_version="2.0", row_group_size=10**6)
+    r = ParquetFileReader(path)
+    for col in ["doc_id", "text", "lang", "n_chars"]:
+        out = r.read_column(col)
+        a = tbl.column(col).combine_chunks()
+        if out.type != a.type:
+            out = out.cast(a.type)
+        assert out.to_pylist() == a.to_pylist(), col
+    emb = pq.read_table("/root/testdata/sf0.01/embeddings.parquet")
+    path2 = str(tmp_path / "v2emb.parquet")
+    pq.write_table(emb.select(["vec_id", "embedding"]), path2, compression=comp,
+                   use_dictionary=False, data_page_version="2.0", row_group_size=10**6)
+    out = ParquetFileReader(path2).read_column("embedding")
+    assert out.to_pylist() == emb.column("embedding").combine_chunks().to_pylist()
+
+
 def test_snappy_codec_roundtrip():
     import os
 
