@@ -26,6 +26,7 @@ import struct
 from dataclasses import dataclass, field
 
 import numpy as np
+import pyarrow as pa
 
 from .pages import EncodedChunk, Page, decode_chunk
 from .thrift_compact import (
@@ -151,83 +152,103 @@ def _page_header(page: Page, max_rep: int) -> bytes:
     return w.finish()
 
 
-def write_parquet_file(path: str, chunks: dict[str, EncodedChunk], num_rows: int) -> None:
-    """Write one row group of pre-encoded chunks as a standard .parquet file.
+def write_parquet_file(
+    path: str,
+    chunks: "dict[str, EncodedChunk] | list[dict[str, EncodedChunk]]",
+    num_rows: int | list[int],
+) -> None:
+    """Write pre-encoded chunks as a standard .parquet file.
 
-    Chunks must be uncompressed or snappy-compressed (parquet GZIP framing
-    differs from our zlib layer) and use standard encodings (FSST is ours
-    alone -- re-encode with policy 'auto_fast'/'reference' for interop
-    output).
+    ``chunks``/``num_rows`` may be a single row group (dict/int) or a list
+    of row groups (file_writer flush_row_group per entry,
+    file_writer.hh:122-155).  Chunks must be uncompressed or
+    snappy-compressed (parquet GZIP framing differs from our zlib layer)
+    and use standard encodings (FSST is ours alone -- re-encode with policy
+    'auto_fast'/'reference' for interop output).
     """
+    groups = chunks if isinstance(chunks, list) else [chunks]
+    group_rows = num_rows if isinstance(num_rows, list) else [num_rows]
+    if len(groups) != len(group_rows) or not groups:
+        raise ValueError("chunks and num_rows must list the same row groups")
+    schema_cols = list(groups[0].keys())
     codec_ids = {"uncompressed": 0, "snappy": 1}
-    for name, c in chunks.items():
-        if c.compression not in codec_ids:
-            raise ValueError(
-                f"{name}: interop writer supports uncompressed/snappy chunks "
-                f"(parquet GZIP framing differs from our zlib layer)"
-            )
-        bad = set(c.encodings) - _STANDARD_ENCODINGS
-        if bad:
-            raise ValueError(f"{name}: non-standard encodings {bad} (FSST is not parquet)")
-        if c.num_rows != num_rows:
-            raise ValueError(f"{name}: row count {c.num_rows} != {num_rows}")
+    for g, nrows in zip(groups, group_rows):
+        if list(g.keys()) != schema_cols:
+            raise ValueError("all row groups must share one column set/order")
+        for name, c in g.items():
+            if c.compression not in codec_ids:
+                raise ValueError(
+                    f"{name}: interop writer supports uncompressed/snappy chunks "
+                    f"(parquet GZIP framing differs from our zlib layer)"
+                )
+            bad = set(c.encodings) - _STANDARD_ENCODINGS
+            if bad:
+                raise ValueError(f"{name}: non-standard encodings {bad} (FSST is not parquet)")
+            if c.num_rows != nrows:
+                raise ValueError(f"{name}: row count {c.num_rows} != {nrows}")
 
     out = bytearray(MAGIC)
-    col_meta: list[tuple[str, EncodedChunk, int, int, int]] = []  # name, chunk, dict_off, data_off, total
-    for name, c in chunks.items():
-        dict_off = 0
-        data_off = 0
-        start = len(out)
-        for page in c.pages:
-            off = len(out)
-            if page.kind == "dict":
-                dict_off = off
-            elif data_off == 0:
-                data_off = off
-            out += _page_header(page, c.max_rep)
-            out += page.data
-        col_meta.append((name, c, dict_off, data_off, len(out) - start))
+    # per group: [(name, chunk, dict_off, data_off, total_bytes)]
+    group_meta: list[list[tuple[str, EncodedChunk, int, int, int]]] = []
+    for g in groups:
+        col_meta = []
+        for name, c in g.items():
+            dict_off = 0
+            data_off = 0
+            start = len(out)
+            for page in c.pages:
+                off = len(out)
+                if page.kind == "dict":
+                    dict_off = off
+                elif data_off == 0:
+                    data_off = off
+                out += _page_header(page, c.max_rep)
+                out += page.data
+            col_meta.append((name, c, dict_off, data_off, len(out) - start))
+        group_meta.append(col_meta)
 
     footer = CompactWriter()
     footer.field_i32(1, 1)  # version (parquet 2.0 semantics, file_writer.hh)
-    n_elems = 1 + sum(3 if c.max_rep else 1 for _, c, *_ in col_meta)
+    first = group_meta[0]
+    n_elems = 1 + sum(3 if c.max_rep else 1 for _, c, *_ in first)
     footer.begin_field_list(2, CT_STRUCT, n_elems)
     footer.elem_struct_begin()  # root
     footer.field_string(4, "schema")
-    footer.field_i32(5, len(col_meta))
+    footer.field_i32(5, len(first))
     footer.end_struct()
-    for name, c, *_ in col_meta:
+    for name, c, *_ in first:
         _schema_elements(footer, name, c)
-    footer.field_i64(3, num_rows)
-    footer.begin_field_list(4, CT_STRUCT, 1)  # row_groups
-    footer.elem_struct_begin()
-    footer.begin_field_list(1, CT_STRUCT, len(col_meta))  # columns
-    for name, c, dict_off, data_off, total in col_meta:
-        footer.elem_struct_begin()  # ColumnChunk
-        footer.field_i64(2, data_off)  # file_offset
-        footer.begin_field_struct(3)  # ColumnMetaData
-        footer.field_i32(1, PHYS_ID[c.ptype])
-        encs = sorted({ENCODINGS[p.encoding] for p in c.pages} | {ENCODINGS["RLE"]})
-        footer.begin_field_list(2, CT_I32, len(encs))
-        for e in encs:
-            footer.elem_i32(e)
-        path_parts = [name] if c.max_rep == 0 else [name, "list", "element"]
-        footer.begin_field_list(3, CT_BINARY, len(path_parts))
-        for p_ in path_parts:
-            footer.elem_binary(p_.encode())
-        footer.field_i32(4, codec_ids[c.compression])
-        # num_values in parquet = number of LEVEL entries in the chunk
-        footer.field_i64(5, sum(p.num_values for p in c.pages if p.kind == "data"))
-        footer.field_i64(6, total)  # total_uncompressed_size
-        footer.field_i64(7, total)  # total_compressed_size
-        footer.field_i64(9, data_off)
-        if dict_off:
-            footer.field_i64(11, dict_off)
-        footer.end_struct()
-        footer.end_struct()
-    footer.field_i64(2, sum(t for *_, t in col_meta))  # total_byte_size
-    footer.field_i64(3, num_rows)
-    footer.end_struct()  # RowGroup
+    footer.field_i64(3, sum(group_rows))
+    footer.begin_field_list(4, CT_STRUCT, len(group_meta))  # row_groups
+    for col_meta, nrows in zip(group_meta, group_rows):
+        footer.elem_struct_begin()
+        footer.begin_field_list(1, CT_STRUCT, len(col_meta))  # columns
+        for name, c, dict_off, data_off, total in col_meta:
+            footer.elem_struct_begin()  # ColumnChunk
+            footer.field_i64(2, data_off)  # file_offset
+            footer.begin_field_struct(3)  # ColumnMetaData
+            footer.field_i32(1, PHYS_ID[c.ptype])
+            encs = sorted({ENCODINGS[p.encoding] for p in c.pages} | {ENCODINGS["RLE"]})
+            footer.begin_field_list(2, CT_I32, len(encs))
+            for e in encs:
+                footer.elem_i32(e)
+            path_parts = [name] if c.max_rep == 0 else [name, "list", "element"]
+            footer.begin_field_list(3, CT_BINARY, len(path_parts))
+            for p_ in path_parts:
+                footer.elem_binary(p_.encode())
+            footer.field_i32(4, codec_ids[c.compression])
+            # num_values in parquet = number of LEVEL entries in the chunk
+            footer.field_i64(5, sum(p.num_values for p in c.pages if p.kind == "data"))
+            footer.field_i64(6, total)  # total_uncompressed_size
+            footer.field_i64(7, total)  # total_compressed_size
+            footer.field_i64(9, data_off)
+            if dict_off:
+                footer.field_i64(11, dict_off)
+            footer.end_struct()
+            footer.end_struct()
+        footer.field_i64(2, sum(t for *_, t in col_meta))  # total_byte_size
+        footer.field_i64(3, nrows)
+        footer.end_struct()  # RowGroup
     footer.field_string(6, "parquet4seastar_spark")
     meta_bytes = footer.finish()
     out += meta_bytes
@@ -273,16 +294,17 @@ class ParquetFileReader:
         self.num_rows = self.meta[3]
         self.leaves = self._walk_schema(self.meta[2])
         row_groups = self.meta[4]
-        if len(row_groups) != 1:
-            raise ValueError(f"only single-row-group files supported ({len(row_groups)} groups)")
-        cols = row_groups[0][1]
         # columns appear in leaf order per the spec; match by position (some
         # writers -- including the reference's fixture generator -- emit
         # inaccurate path_in_schema labels)
-        if len(cols) != len(self.leaves):
-            raise ValueError(f"{len(cols)} column chunks != {len(self.leaves)} schema leaves")
-        for leaf, c in zip(self.leaves, cols):
-            leaf.chunk_meta = c[3]
+        self._groups: list[list[dict]] = []
+        for rg in row_groups:
+            cols = rg[1]
+            if len(cols) != len(self.leaves):
+                raise ValueError(f"{len(cols)} column chunks != {len(self.leaves)} schema leaves")
+            self._groups.append([c[3] for c in cols])
+        for i, leaf in enumerate(self.leaves):
+            leaf.chunk_meta = self._groups[0][i]
 
     @staticmethod
     def _walk_schema(elements: list[dict]) -> list[LeafColumn]:
@@ -356,11 +378,16 @@ class ParquetFileReader:
         return f"list<{base}>" if leaf.max_rep else base
 
     def read_column(self, name_or_path):
-        """Decode one leaf column to an arrow array (flat or list<...>)."""
+        """Decode one leaf column to an arrow array (flat or list<...>),
+        concatenated across all row groups."""
         leaf = self.column(name_or_path)
+        idx = self.leaves.index(leaf)
+        parts = [self._read_group_column(leaf, g[idx]) for g in self._groups]
+        return parts[0] if len(parts) == 1 else pa.concat_arrays(parts)
+
+    def _read_group_column(self, leaf: LeafColumn, cm: dict):
         if leaf.max_rep > 1:
             raise ValueError(f"{leaf.path}: nested repetition depth {leaf.max_rep} unsupported")
-        cm = leaf.chunk_meta
         if not cm:
             raise ValueError(f"{leaf.path}: no column chunk in row group")
         codec = {0: "uncompressed", 1: "snappy"}.get(cm[4])

@@ -146,6 +146,51 @@ def test_write_delta_byte_array_pyarrow_reads(tmp_path):
     assert ParquetFileReader(path).read_column("path").cast(pa.string()).to_pylist() == vals
 
 
+def test_multi_row_group_write_and_read(tmp_path):
+    tbl = pq.read_table("/root/testdata/sf0.01/documents.parquet")
+    cols = ["doc_id", "text", "lang"]
+    groups, rows = [], []
+    for lo, hi in [(0, 200), (200, 350), (350, 500)]:
+        sl = tbl.slice(lo, hi - lo)
+        groups.append(
+            {c: encode_chunk(sl.column(c).combine_chunks(), policy="auto_fast") for c in cols}
+        )
+        rows.append(hi - lo)
+    path = str(tmp_path / "multi.parquet")
+    write_parquet_file(path, groups, rows)
+    back = pq.read_table(path)
+    assert back.num_rows == 500
+    for c in cols:
+        a = tbl.column(c).combine_chunks()
+        b = back.column(c).combine_chunks()
+        if b.type != a.type:
+            b = b.cast(a.type)
+        assert b.equals(a), c
+    r = ParquetFileReader(path)
+    assert len(r._groups) == 3
+    for c in cols:
+        out = r.read_column(c)
+        a = tbl.column(c).combine_chunks()
+        if out.type != a.type:
+            out = out.cast(a.type)
+        assert out.to_pylist() == a.to_pylist(), c
+
+
+def test_read_pyarrow_multi_row_group(tmp_path):
+    tbl = pq.read_table("/root/testdata/sf0.01/documents.parquet")
+    path = str(tmp_path / "parg.parquet")
+    pq.write_table(tbl, path, compression="snappy", use_dictionary=False,
+                   row_group_size=120, data_page_version="1.0")
+    r = ParquetFileReader(path)
+    assert len(r._groups) > 1
+    for c in ["doc_id", "text", "lang", "n_chars"]:
+        out = r.read_column(c)
+        a = tbl.column(c).combine_chunks()
+        if out.type != a.type:
+            out = out.cast(a.type)
+        assert out.to_pylist() == a.to_pylist(), c
+
+
 @pytest.mark.parametrize("comp", ["none", "snappy"])
 def test_read_v2_data_pages(tmp_path, comp):
     # V2 page layout (reference reads both: column_chunk_reader.cc:80-111):
