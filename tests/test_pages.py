@@ -365,6 +365,42 @@ def test_struct_roundtrip_mirrors_file_writer_test():
         assert out.to_pylist() == arr.to_pylist(), policy
 
 
+def test_sliced_nested_arrays_roundtrip():
+    # arrow slices carry parent offsets; every nested path must rebase them
+    from decimal import Decimal
+
+    from parquet4seastar_spark.codecs.pages import (
+        decode_map_chunk,
+        decode_struct_chunk,
+        encode_map_chunk,
+        encode_struct_chunk,
+    )
+
+    sarr = pa.array(
+        [{"a": i, "b": str(i)} if i % 3 else None for i in range(100)],
+        type=pa.struct([("a", pa.int64()), ("b", pa.string())]),
+    ).slice(10, 50)
+    assert decode_struct_chunk(encode_struct_chunk(sarr)).to_pylist() == sarr.to_pylist()
+
+    marr = pa.array(
+        [{f"k{i}": i} if i % 4 else None for i in range(100)],
+        type=pa.map_(pa.string(), pa.int64()),
+    ).slice(7, 60)
+    ch = encode_map_chunk(marr)
+    assert decode_map_chunk(ch["key"], ch["value"]).to_pylist() == marr.to_pylist()
+
+    larr = pa.array(
+        [[float(i), float(i + 1)] if i % 5 else None for i in range(100)],
+        type=pa.list_(pa.float64()),
+    ).slice(3, 80)
+    assert decode_chunk(encode_chunk(larr)).to_pylist() == larr.to_pylist()
+
+    darr = pa.array(
+        [Decimal(f"{i}.25") if i % 2 else None for i in range(100)], type=pa.decimal128(10, 2)
+    ).slice(5, 60)
+    assert decode_chunk(encode_chunk(darr)).to_pylist() == darr.to_pylist()
+
+
 def test_map_chunk_roundtrip():
     # map<k,v> via key/value list chunks with shared offsets; level geometry
     # matches the parquet MAP group (key REQUIRED, value OPTIONAL)
