@@ -304,6 +304,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["roundtrip_parquet_file"] = roundtrip_parquet_file
 
+    # ---- distributed export sink: engine chunks -> standard .parquet files
+    # (one per chunk group) -> read back by SPARK'S OWN parquet reader
+    def export_parquet_roundtrip(spark, sf_dir):
+        import tempfile
+
+        from parquet4seastar_spark.engine.encode_job import encode_table
+        from parquet4seastar_spark.engine.export import export_parquet_files
+
+        src = _docs_src(spark, sf_dir)
+        enc = encode_table(
+            src, columns=["text", "lang", "n_chars"], policy="auto_fast",
+            salt_col="source", num_partitions=4, salt_target_rows=2000,
+        )
+        with tempfile.TemporaryDirectory() as tmp:
+            export_parquet_files(enc, ["text", "lang", "n_chars"], f"{tmp}/out").count()
+            return (
+                spark.read.parquet(f"{tmp}/out")
+                .select(F.col("row_id").alias("doc_id"), "text", "lang", "n_chars")
+                .localCheckpoint()
+            )
+
+    q["export_parquet_roundtrip"] = export_parquet_roundtrip
+
     # ---- DECIMAL logical type: all three physical mappings
     # (p<=9 -> INT32, p<=18 -> INT64, else FLBA big-endian two's complement)
     def roundtrip_decimal(spark, sf_dir):
@@ -577,6 +600,7 @@ def oracle_sql() -> dict[str, str]:
     o["pruned_scan"] = "SELECT doc_id, n_chars FROM documents WHERE n_chars > 300"
     o["roundtrip_map"] = "SELECT doc_id, lang AS lang_v, source AS src_v FROM documents"
     o["roundtrip_parquet_file"] = "SELECT doc_id, text, lang, n_chars FROM documents"
+    o["export_parquet_roundtrip"] = "SELECT doc_id, text, lang, n_chars FROM documents"
     o["roundtrip_decimal"] = (
         "SELECT l_orderkey * 100 + l_linenumber AS rid, "
         "CAST(CAST(l_discount AS DECIMAL(7,2)) AS VARCHAR) AS disc_d7, "

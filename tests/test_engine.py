@@ -11,6 +11,43 @@ from parquet4seastar_spark.engine.encode_job import encode_table, salted_reparti
 from parquet4seastar_spark.engine.generator import generate_source_repos
 
 
+def test_export_parquet_files_spark_reads(spark, tmp_path):
+    """The export sink writes standard .parquet per chunk group; Spark's own
+    parquet reader (a fully independent implementation) reads it back."""
+    import pyspark.sql.functions as F
+
+    from parquet4seastar_spark.engine.encode_job import encode_table
+    from parquet4seastar_spark.engine.export import export_parquet_files
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.col("doc_id").alias("row_id"), "text", "lang", "n_chars", "source"
+    )
+    enc = encode_table(
+        docs, columns=["text", "lang", "n_chars"], policy="auto_fast",
+        salt_col="source", num_partitions=2, salt_target_rows=2000,
+    )
+    out_dir = str(tmp_path / "export")
+    manifest = export_parquet_files(enc, ["text", "lang", "n_chars"], out_dir).collect()
+    assert sum(r["num_rows"] for r in manifest) == docs.count()
+    back = spark.read.parquet(out_dir)
+    assert back.count() == docs.count()
+    j = docs.join(
+        back.select(
+            "row_id",
+            F.col("text").alias("t2"),
+            F.col("lang").alias("l2"),
+            F.col("n_chars").alias("n2"),
+        ),
+        "row_id",
+    )
+    bad = j.filter(
+        ~F.col("text").eqNullSafe(F.col("t2"))
+        | ~F.col("lang").eqNullSafe(F.col("l2"))
+        | ~F.col("n_chars").eqNullSafe(F.col("n2"))
+    )
+    assert bad.count() == 0 and j.count() == docs.count()
+
+
 def test_chunk_stats_pruning(spark):
     import pyspark.sql.functions as F
 
