@@ -412,6 +412,10 @@ def _chunk_stats(chunk: EncodedChunk, ptype: str, values, lengths, payload) -> N
         offs = np.zeros(len(lengths) + 1, dtype=np.int64)
         np.cumsum(lengths, out=offs[1:])
         k = min(16, int(lengths.max()))
+        if k == 0:  # every value is the empty string: exact degenerate bounds
+            chunk.stat_min_bin = b""
+            chunk.stat_max_bin = b""
+            return
         mat = np.zeros((len(lengths), k), dtype=np.uint8)
         take = np.minimum(lengths, k)
         tot = int(take.sum())
