@@ -327,6 +327,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["export_parquet_roundtrip"] = export_parquet_roundtrip
 
+    def lineage_audit(spark, sf_dir):
+        """Self-contained integrity audit: decode every chunk, recompute the
+        content sha256, compare to lineage (rows-only: chunk counts depend
+        on partitioning).  All rows must report n_bad = 0."""
+        from parquet4seastar_spark.engine.encode_job import encode_table
+        from parquet4seastar_spark.engine.verify import audit_lineage
+
+        enc = encode_table(
+            _docs_src(spark, sf_dir), columns=["text", "lang", "n_chars"],
+            policy="auto", salt_col="source", num_partitions=4,
+        )
+        return (
+            audit_lineage(enc)
+            .groupBy("column")
+            .agg(
+                F.count(F.lit(1)).alias("n_chunks"),
+                F.sum(F.when(F.col("ok"), 0).otherwise(1)).alias("n_bad"),
+            )
+        )
+
+    q["lineage_audit"] = lineage_audit
+
     # ---- DECIMAL logical type: all three physical mappings
     # (p<=9 -> INT32, p<=18 -> INT64, else FLBA big-endian two's complement)
     def roundtrip_decimal(spark, sf_dir):

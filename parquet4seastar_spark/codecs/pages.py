@@ -1497,3 +1497,37 @@ def decode_map_chunk(key_chunk: EncodedChunk, value_chunk: EncodedChunk) -> pa.A
     return pa.Array.from_buffers(
         t, n, [validity, pa.py_buffer(np.ascontiguousarray(koffs).tobytes())], children=[kv]
     )
+
+
+def chunk_content_sha(arr: pa.Array) -> str:
+    """Canonical content sha256 of an arrow array -- byte-identical to the
+    sha256 encode_chunk records in lineage for the same values.  Used by the
+    lineage audit (decode -> recompute -> compare) to detect bit rot or
+    page corruption without the source table."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+        ptype, _ = pa_ptype(arr)
+        n = len(arr)
+        row_valid = np.ones(n, dtype=bool) if arr.null_count == 0 else np.asarray(arr.is_valid())
+        lvl = pa.compute.list_value_length(arr)
+        lengths_per_row = np.asarray(lvl.fill_null(0) if arr.null_count else lvl).astype(np.int64)
+        leaf = arr.flatten()
+        elem_valid = (
+            np.ones(len(leaf), dtype=bool) if leaf.null_count == 0 else np.asarray(leaf.is_valid())
+        )
+        nn_leaf = leaf.drop_null() if leaf.null_count else leaf
+        values, lengths, payload, _, _ = _leaf_components(nn_leaf, ptype)
+        return list_chunk_sha256(ptype, row_valid, lengths_per_row, elem_valid, values, lengths, payload)
+    ptype, logical = pa_ptype(arr)
+    if logical == "timestamp_us":
+        arr = arr.cast(pa.int64())
+    elif logical == "date":
+        arr = arr.cast(pa.int32())
+    elif logical.startswith("decimal("):
+        arr = _decimal_to_physical(arr, ptype)
+    n = len(arr)
+    valid = np.ones(n, dtype=bool) if arr.null_count == 0 else np.asarray(arr.is_valid())
+    nn_arr = arr.drop_null() if arr.null_count else arr
+    values, lengths, payload, _, _ = _leaf_components(nn_arr, ptype)
+    return chunk_sha256(ptype, valid, values, lengths, payload)

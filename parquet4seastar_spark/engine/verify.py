@@ -38,6 +38,64 @@ def roundtrip_verify(source: DataFrame, encoded: DataFrame, columns: list[str]) 
     return totals
 
 
+def audit_lineage(encoded: DataFrame) -> DataFrame:
+    """Self-contained integrity audit: decode every chunk, recompute its
+    content sha256 and compare against the lineage -- detects bit rot /
+    page corruption WITHOUT the source table.  Returns one row per chunk:
+    (part_key, chunk_seq, column, ok, stored_sha, recomputed_sha).
+
+    Scale shape: the same single (part_key, chunk_seq) shuffle as decode;
+    each group audits independently.
+    """
+    import pyarrow as pa
+
+    from ..codecs.pages import chunk_content_sha, decode_chunk
+    from .decode_job import _rebuild_chunk
+
+    def audit_group(tbl: pa.Table) -> pa.Table:
+        from parquet4seastar_spark import _alloc
+
+        _alloc.tune_allocator()
+        tbl = tbl.combine_chunks()
+        kinds = tbl.column("kind").to_pylist()
+        names = tbl.column("column").to_pylist()
+        by_col: dict[str, list[int]] = {}
+        stored: dict[str, str] = {}
+        for i, (k, c) in enumerate(zip(kinds, names)):
+            if k == "page":
+                by_col.setdefault(c, []).append(i)
+            elif k == "chunk":
+                stored[c] = tbl.column("sha256")[i].as_py()
+        part_key = tbl.column("part_key")[0].as_py()
+        chunk_seq = int(tbl.column("chunk_seq")[0].as_py())
+        cols, oks, st, rec = [], [], [], []
+        for c, sha in stored.items():
+            recomputed = chunk_content_sha(decode_chunk(_rebuild_chunk(tbl, by_col[c])))
+            cols.append(c)
+            st.append(sha)
+            rec.append(recomputed)
+            oks.append(recomputed == sha)
+        n = len(cols)
+        return pa.table(
+            {
+                "part_key": pa.array([part_key] * n, type=pa.string()),
+                "chunk_seq": pa.array([chunk_seq] * n, type=pa.int32()),
+                "column": pa.array(cols, type=pa.string()),
+                "ok": pa.array(oks, type=pa.bool_()),
+                "stored_sha": pa.array(st, type=pa.string()),
+                "recomputed_sha": pa.array(rec, type=pa.string()),
+            }
+        )
+
+    return encoded.groupBy("part_key", "chunk_seq").applyInArrow(
+        audit_group,
+        schema=(
+            "part_key string, chunk_seq int, column string, ok boolean, "
+            "stored_sha string, recomputed_sha string"
+        ),
+    )
+
+
 def lineage_table(encoded: DataFrame) -> DataFrame:
     """The chunk-summary rows = per-partition lineage/metrics."""
     return encoded.filter(F.col("kind") == "chunk").select(

@@ -11,6 +11,38 @@ from parquet4seastar_spark.engine.encode_job import encode_table, salted_reparti
 from parquet4seastar_spark.engine.generator import generate_source_repos
 
 
+def test_audit_lineage_detects_corruption(spark):
+    import pyspark.sql.functions as F
+
+    from parquet4seastar_spark.engine.encode_job import encode_table
+    from parquet4seastar_spark.engine.verify import audit_lineage
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.col("doc_id").alias("row_id"), "text", "n_chars", "source"
+    )
+    enc = encode_table(
+        docs, columns=["text", "n_chars"], policy="plain", salt_col="source",
+        num_partitions=2, salt_target_rows=2000,
+    ).cache()
+    clean = audit_lineage(enc)
+    assert clean.filter(~F.col("ok")).count() == 0
+    assert clean.count() > 0
+    # flip one byte inside a PLAIN data page payload: decode still succeeds
+    # but the recomputed content sha must diverge from the lineage
+    import pandas as pd
+
+    pdf = enc.toPandas()
+    target = pdf[(pdf["kind"] == "page") & (pdf["column"] == "n_chars")].index[0]
+    blob = bytearray(pdf.at[target, "data"])
+    blob[-1] ^= 0xFF
+    pdf.at[target, "data"] = bytes(blob)
+    corrupted = spark.createDataFrame(pdf, schema=enc.schema)
+    bad = audit_lineage(corrupted).filter(~F.col("ok"))
+    assert bad.count() >= 1
+    assert {r["column"] for r in bad.collect()} == {"n_chars"}
+    enc.unpersist()
+
+
 def test_export_parquet_files_spark_reads(spark, tmp_path):
     """The export sink writes standard .parquet per chunk group; Spark's own
     parquet reader (a fully independent implementation) reads it back."""

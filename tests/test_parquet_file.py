@@ -256,6 +256,33 @@ def test_write_snappy_file_pyarrow_reads(tmp_path):
         assert b.equals(a), c
 
 
+def test_reader_rejects_corrupt_containers(tmp_path):
+    # error-path parity with the reference's footer checks
+    # (file_reader.cc:28-64: magic check, encrypted 'PARE' rejection)
+    import struct as _s
+
+    good = str(tmp_path / "good.parquet")
+    arr = pa.array([1, 2, 3], type=pa.int64())
+    write_parquet_file(good, {"x": encode_chunk(arr, policy="plain")}, 3)
+    blob = open(good, "rb").read()
+
+    bad_magic = str(tmp_path / "bad_magic.parquet")
+    open(bad_magic, "wb").write(b"XXXX" + blob[4:])
+    with pytest.raises(ValueError, match="magic"):
+        ParquetFileReader(bad_magic)
+
+    pare = str(tmp_path / "pare.parquet")
+    open(pare, "wb").write(blob[:-4] + b"PARE")
+    with pytest.raises(ValueError, match="encrypted"):
+        ParquetFileReader(pare)
+
+    truncated = str(tmp_path / "trunc.parquet")
+    # footer length pointing past the file start
+    open(truncated, "wb").write(blob[:-8] + _s.pack("<I", 2**30) + b"PAR1")
+    with pytest.raises(Exception):
+        ParquetFileReader(truncated)
+
+
 def test_write_parquet_rejects_fsst(tmp_path):
     arr = pa.array(["for i in range(10): pass\n" + str(i % 3) for i in range(3000)])
     chunk = encode_chunk(arr, policy="FSST")
