@@ -46,11 +46,14 @@ HEADLINE_QUERIES = [
     "roundtrip_dbp_ints",
     "roundtrip_reference_policy",
     "roundtrip_lineitem",
+    "roundtrip_embeddings",
     "dedup_exact",
     "dedup_minhash_lsh",
     "token_counts",
     "language_id",
     "ann_bruteforce_topk",
+    "embedding_near_dups",
+    "pruned_scan",
 ]
 
 
