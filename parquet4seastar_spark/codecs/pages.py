@@ -402,6 +402,10 @@ def _train_chunk_table(payload):
 def _chunk_stats(chunk: EncodedChunk, ptype: str, values, lengths, payload) -> None:
     """Fill conservative min/max stats from the non-null flat values."""
     if ptype in _FIXED_DTYPES and values is not None and len(values):
+        # NaN would poison min/max (and NaN bounds make every range test
+        # false -> wrong pruning): skip stats when any value is NaN
+        if values.dtype.kind == "f" and bool(np.isnan(values).any()):
+            return
         lo = float(values.min())
         hi = float(values.max())
         # double can't represent every int64: widen one ulp each way so the
@@ -428,8 +432,13 @@ def _chunk_stats(chunk: EncodedChunk, ptype: str, values, lengths, payload) -> N
         order = np.lexsort(tuple(mat[:, j] for j in reversed(range(k))))
         lo_i = int(order[0])
         hi_i = int(order[-1])
-        # lower bound: a prefix of some value is <= that value <= the rest
-        chunk.stat_min_bin = mat[lo_i, : min(k, int(lengths[lo_i]))].tobytes()
+        # lower bound: a prefix of some value is <= that value <= the rest.
+        # Zero padding can TIE a longer value containing NUL bytes with a
+        # shorter one (b'a\x00' vs b'a'); take the shortest tied length so
+        # the stored prefix is <= every tied value too.
+        ties = (mat == mat[lo_i]).all(axis=1)
+        min_len = int(np.minimum(lengths[ties], k).min())
+        chunk.stat_min_bin = mat[lo_i, :min_len].tobytes()
         # upper bound: ALWAYS truncate-and-increment (strictly greater than
         # every value sharing the prefix -- covers embedded-NUL ties and
         # >16-byte values alike); an all-0xFF prefix can't increment -> no
@@ -665,6 +674,13 @@ def _encode_list_chunk(
     if nullable is None:
         nullable = num_nulls > 0
     leaf = arr.flatten()  # elements of non-null lists, row order
+    elem_logical = logical[5:-1]
+    if elem_logical == "timestamp_us":
+        leaf = leaf.cast(pa.int64())
+    elif elem_logical == "date":
+        leaf = leaf.cast(pa.int32())
+    elif elem_logical.startswith("decimal("):
+        leaf = _decimal_to_physical(leaf, ptype)
     elem_nullable = leaf.null_count > 0
     max_def, d_empty = _list_level_geometry(nullable, elem_nullable)
     max_rep = 1
@@ -1249,7 +1265,18 @@ _ELEM_PA_TYPES = {
     "bool": pa.bool_(),
     "string": pa.string(),
     "binary": pa.binary(),
+    "timestamp_us": pa.timestamp("us"),
+    "date": pa.date32(),
 }
+
+
+def _elem_pa_type(elem_logical: str, type_length: int) -> pa.DataType:
+    if elem_logical.startswith("decimal("):
+        p, s = _parse_decimal(elem_logical)
+        return pa.decimal128(p, s)
+    if elem_logical == "flba":
+        return pa.binary(type_length)
+    return _ELEM_PA_TYPES[elem_logical]
 
 
 def _decode_list_chunk(chunk: EncodedChunk) -> pa.Array:
@@ -1330,14 +1357,34 @@ def _decode_list_chunk(chunk: EncodedChunk) -> pa.Array:
         payload = np.concatenate(payload_parts) if payload_parts else np.zeros(0, dtype=np.uint8)
         full_lens = np.zeros(n_elems, dtype=np.int64)
         full_lens[elem_valid] = lens
-        offsets = np.zeros(n_elems + 1, dtype=np.int64)
-        np.cumsum(full_lens, out=offsets[1:])
-        leaf = pa.Array.from_buffers(
-            pa.large_binary(),
-            n_elems,
-            [elem_validity, pa.py_buffer(offsets.tobytes()), pa.py_buffer(payload.tobytes())],
+        if elem_logical.startswith("decimal("):
+            p, s = _parse_decimal(elem_logical)
+            leaf = _varbin_to_decimal(full_lens, payload, elem_valid, chunk.elem_nullable, p, s)
+        else:
+            offsets = np.zeros(n_elems + 1, dtype=np.int64)
+            np.cumsum(full_lens, out=offsets[1:])
+            leaf = pa.Array.from_buffers(
+                pa.large_binary(),
+                n_elems,
+                [elem_validity, pa.py_buffer(offsets.tobytes()), pa.py_buffer(payload.tobytes())],
+            )
+            leaf = leaf.cast(pa.large_string()).cast(pa.string()) if elem_logical == "string" else leaf.cast(pa.binary())
+    elif ptype == "FIXED_LEN_BYTE_ARRAY":
+        k = chunk.type_length
+        vals = (
+            np.concatenate(fixed_parts).reshape(-1, k)
+            if fixed_parts
+            else np.zeros((0, k), dtype=np.uint8)
         )
-        leaf = leaf.cast(pa.large_string()).cast(pa.string()) if elem_logical == "string" else leaf.cast(pa.binary())
+        full = np.zeros((n_elems, k), dtype=np.uint8)
+        full[elem_valid] = vals
+        if elem_logical.startswith("decimal("):
+            p, s = _parse_decimal(elem_logical)
+            leaf = _flba_to_decimal(full, elem_valid, chunk.elem_nullable, p, s)
+        else:
+            leaf = pa.Array.from_buffers(
+                pa.binary(k), n_elems, [elem_validity, pa.py_buffer(full.tobytes())]
+            )
     elif ptype == "BOOLEAN":
         vals = (
             np.concatenate([np.asarray(p, dtype=bool) for p in fixed_parts])
@@ -1351,8 +1398,12 @@ def _decode_list_chunk(chunk: EncodedChunk) -> pa.Array:
         vals = np.concatenate(fixed_parts) if fixed_parts else np.zeros(0, dtype=_FIXED_DTYPES[ptype])
         full = np.zeros(n_elems, dtype=_FIXED_DTYPES[ptype])
         full[elem_valid] = vals
-        leaf = pa.array(full, mask=~elem_valid if chunk.elem_nullable else None)
-    target = _ELEM_PA_TYPES[elem_logical]
+        if elem_logical.startswith("decimal("):
+            p, s = _parse_decimal(elem_logical)
+            leaf = _int_to_decimal(full, elem_valid, chunk.elem_nullable, p, s)
+        else:
+            leaf = pa.array(full, mask=~elem_valid if chunk.elem_nullable else None)
+    target = _elem_pa_type(elem_logical, chunk.type_length)
     if leaf.type != target:
         leaf = leaf.cast(target)
 
@@ -1383,6 +1434,14 @@ def encode_struct_chunk(
         arr = arr.combine_chunks()
     if not pa.types.is_struct(arr.type):
         raise TypeError(f"expected struct array, got {arr.type}")
+    for f in arr.type:
+        if pa.types.is_nested(f.type):
+            # a nested field would silently drop the struct-level def stream
+            # (encode_chunk's list path ignores the override) and produce
+            # chunks decode_struct_chunk cannot reassemble -- fail fast
+            raise TypeError(
+                f"struct field '{f.name}': only primitive fields supported, got {f.type}"
+            )
     n = len(arr)
     struct_valid = (
         np.ones(n, dtype=bool) if arr.null_count == 0 else np.asarray(arr.is_valid())

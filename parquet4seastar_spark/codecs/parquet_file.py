@@ -176,6 +176,25 @@ def write_parquet_file(
         if list(g.keys()) != schema_cols:
             raise ValueError("all row groups must share one column set/order")
         for name, c in g.items():
+            # the SchemaElements come from group 0: every group must share
+            # its level geometry, or later groups' level streams would be
+            # misread (e.g. REQUIRED schema vs a def-prefixed page).  Pass
+            # nullable=True to encode_chunk for a column that is null-free
+            # in some slices but not others.
+            c0 = groups[0][name]
+            same = (
+                c.ptype == c0.ptype
+                and c.logical == c0.logical
+                and c.max_def == c0.max_def
+                and c.max_rep == c0.max_rep
+                and c.elem_nullable == c0.elem_nullable
+                and c.type_length == c0.type_length
+            )
+            if not same:
+                raise ValueError(
+                    f"{name}: row-group schema geometry differs from group 0 "
+                    f"(nullable/levels/type must match across groups)"
+                )
             if c.compression not in codec_ids:
                 raise ValueError(
                     f"{name}: interop writer supports uncompressed/snappy chunks "

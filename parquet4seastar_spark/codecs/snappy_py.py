@@ -78,9 +78,13 @@ def snappy_decompress(buf) -> bytes:
             lm1 = tag >> 2
             if lm1 >= 60:
                 nb = lm1 - 59
+                if pos + nb > blen:
+                    raise ValueError("snappy: truncated literal length")
                 lm1 = int.from_bytes(buf[pos : pos + nb], "little")
                 pos += nb
             length = lm1 + 1
+            if pos + length > blen or opos + length > n:
+                raise ValueError("snappy: literal overruns input or output")
             out[opos : opos + length] = buf[pos : pos + length]
             pos += length
             opos += length
@@ -99,6 +103,8 @@ def snappy_decompress(buf) -> bytes:
             pos += 4
         if offset == 0 or offset > opos:
             raise ValueError("snappy: copy offset out of range")
+        if opos + length > n:
+            raise ValueError("snappy: copy overruns output")
         start = opos - offset
         if offset >= length:
             out[opos : opos + length] = out[start : start + length]

@@ -167,6 +167,9 @@ def prune_chunks(
             & (lo_col.isNull() | (lo_col <= _lit(eq)))
             & (hi_col.isNull() | (hi_col >= _lit(eq)))
         )
+    # a typo'd / absent column would otherwise prune EVERYTHING silently
+    if ch.limit(1).count() == 0:
+        raise ValueError(f"prune_chunks: no chunks for column {column!r}")
     keep = ch.filter(cond).select("part_key", "chunk_seq").distinct()
     return encoded.join(F.broadcast(keep), ["part_key", "chunk_seq"], "left_semi")
 

@@ -72,10 +72,12 @@ def stream_dedup(
     """Custom stateful streaming operator: cross-micro-batch exact dedup.
 
     Emits only the FIRST occurrence of each ``key_col`` value across the
-    whole stream.  State = the set of seen 64-bit fingerprints, sharded by
-    a hash prefix group (``n_state_shards`` state keys -> state shards
-    scale with parallelism; each shard's state is one long array, not
-    per-row entries).  Implemented with applyInPandasWithState -- the
+    whole stream.  Keys are reduced to a 128-bit fingerprint (two
+    independently-salted xxhash64 values; collision odds ~2^-128, the
+    standard content-hash dedup contract at any realistic corpus size),
+    sharded by a hash prefix group (``n_state_shards`` state keys -> state
+    shards scale with parallelism; each shard's state is one long array,
+    not per-row entries).  Implemented with applyInPandasWithState -- the
     arbitrary-stateful shape Structured Streaming provides for operators
     the built-in aggregations can't express.
     """
@@ -88,24 +90,44 @@ def stream_dedup(
     out_ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields)
     out_cols = [f.name for f in out_fields]
 
-    hashed = docs_stream.withColumn("_fp", F.xxhash64(key_col)).withColumn(
-        "_g", F.pmod(F.col("_fp"), F.lit(n_state_shards)).cast("int")
+    hashed = (
+        docs_stream.withColumn("_fp", F.xxhash64(key_col))
+        .withColumn("_fp2", F.xxhash64(F.lit("p4s#2"), key_col))
+        .withColumn("_g", F.pmod(F.col("_fp"), F.lit(n_state_shards)).cast("int"))
     )
 
+    def _pair_member(fp: "np.ndarray", seen: "np.ndarray") -> "np.ndarray":
+        """Row-wise membership of (n,2) int64 keys in the (m,2) seen set
+        (np.unique(axis=0) row semantics -- exact integer compare)."""
+        if not len(seen):
+            return np.zeros(len(fp), dtype=bool)
+        both = np.concatenate([seen, fp])
+        _, inverse = np.unique(both, axis=0, return_inverse=True)
+        flags = np.zeros(inverse.max() + 1, dtype=bool)
+        flags[inverse[: len(seen)]] = True
+        return flags[inverse[len(seen) :]]
+
     def dedup_group(key, pdfs, state: "GroupState"):
-        seen = np.array(state.get[0], dtype=np.int64) if state.exists else np.zeros(0, np.int64)
+        # state = interleaved (fp, fp2) pairs: a (n, 2) 128-bit key matrix
+        seen = (
+            np.array(state.get[0], dtype=np.int64).reshape(-1, 2)
+            if state.exists
+            else np.zeros((0, 2), np.int64)
+        )
         outs = []
         for pdf in pdfs:
-            fp = pdf["_fp"].to_numpy(dtype=np.int64)
+            fp = np.column_stack(
+                [pdf["_fp"].to_numpy(dtype=np.int64), pdf["_fp2"].to_numpy(dtype=np.int64)]
+            )
             # first occurrence within the batch AND not seen in prior batches
-            _, first_idx = np.unique(fp, return_index=True)
+            _, first_idx = np.unique(fp, axis=0, return_index=True)
             keep = np.zeros(len(fp), dtype=bool)
             keep[first_idx] = True
-            keep &= ~np.isin(fp, seen)
+            keep &= ~_pair_member(fp, seen)
             if keep.any():
                 outs.append(pdf.loc[keep, out_cols])
-                seen = np.union1d(seen, fp[keep])
-        state.update((seen.tolist(),))
+                seen = np.concatenate([seen, fp[keep]])
+        state.update((seen.reshape(-1).tolist(),))
         if outs:
             yield pd.concat(outs)
 

@@ -179,9 +179,11 @@ def embedding_near_dups(
     buckets (e.g. a constant-vector pile-up) before the self-join so no
     bucket goes quadratic -- an explicit recall/cost knob, like LSH itself.
     """
+    # three subtrees consume the signatures (size table + both join sides):
+    # persist so the projection matmul runs once, not three times
     sig = banded_hyperplane_buckets(
         embeddings, bands=bands, bits=bits, seed=seed, id_col=id_col, vec_col=vec_col
-    )
+    ).persist()
     # bucket space is bands * 2^bits (tiny): the size table broadcasts
     sizes = sig.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_n"))
     sig = (

@@ -365,6 +365,46 @@ def test_struct_roundtrip_mirrors_file_writer_test():
         assert out.to_pylist() == arr.to_pylist(), policy
 
 
+def test_stats_nan_and_nul_edge_cases():
+    # review findings: NaN must not poison numeric stats; zero-padding ties
+    # (embedded NUL) must not raise the byte lower bound above the true min
+    arr = pa.array([1.0, float("nan"), 2.0], type=pa.float64())
+    c = encode_chunk(arr, policy="plain")
+    assert c.stat_min_num is None and c.stat_max_num is None
+    arr2 = pa.array([b"a\x00", b"a", b"zz"], type=pa.binary())
+    c2 = encode_chunk(arr2, policy="plain")
+    assert c2.stat_min_bin == b"a"  # not b'a\x00', which sorts above b'a'
+    assert c2.stat_max_bin > b"zz"  # truncate-and-increment upper bound
+
+
+@pytest.mark.parametrize(
+    "vals,typ",
+    [
+        ([[b"abcd", None], [b"efgh"]], pa.list_(pa.binary(4))),
+        ([[__import__("decimal").Decimal("1.50"), None]] * 5, pa.list_(pa.decimal128(7, 2))),
+        ([[__import__("decimal").Decimal("1.5000")] * 3] * 5, pa.list_(pa.decimal128(25, 4))),
+        ([[__import__("datetime").date(2024, 1, 2)]] * 4, pa.list_(pa.date32())),
+    ],
+)
+def test_list_exotic_element_types(vals, typ):
+    # review finding: encode accepted these but decode crashed (KeyError)
+    arr = pa.array(vals, type=typ)
+    chunk = encode_chunk(arr, policy="plain", page_target_bytes=64)
+    assert decode_chunk(chunk).to_pylist() == arr.to_pylist()
+
+
+def test_struct_rejects_nested_fields():
+    # review finding: a nested field silently lost the struct def stream
+    from parquet4seastar_spark.codecs.pages import encode_struct_chunk
+
+    arr = pa.array(
+        [{"a": 1, "tags": [1, 2]}],
+        type=pa.struct([("a", pa.int64()), ("tags", pa.list_(pa.int64()))]),
+    )
+    with pytest.raises(TypeError, match="primitive"):
+        encode_struct_chunk(arr)
+
+
 def test_sliced_nested_arrays_roundtrip():
     # arrow slices carry parent offsets; every nested path must rebase them
     from decimal import Decimal

@@ -256,6 +256,28 @@ def test_write_snappy_file_pyarrow_reads(tmp_path):
         assert b.equals(a), c
 
 
+def test_multi_row_group_rejects_geometry_mismatch(tmp_path):
+    # review finding: a column null-free in group 0 but nullable in group 1
+    # would write a REQUIRED schema over def-prefixed pages -> corrupt file
+    a0 = encode_chunk(pa.array([1, 2, 3], type=pa.int64()), policy="plain")
+    a1 = encode_chunk(pa.array([4, None, 6], type=pa.int64()), policy="plain")
+    with pytest.raises(ValueError, match="geometry"):
+        write_parquet_file(str(tmp_path / "x.parquet"), [{"x": a0}, {"x": a1}], [3, 3])
+    # explicit nullable=True on both slices is the supported shape
+    b0 = encode_chunk(pa.array([1, 2, 3], type=pa.int64()), policy="plain", nullable=True)
+    path = str(tmp_path / "ok.parquet")
+    write_parquet_file(path, [{"x": b0}, {"x": a1}], [3, 3])
+    assert pq.read_table(path).column("x").to_pylist() == [1, 2, 3, 4, None, 6]
+
+
+def test_snappy_rejects_truncated_stream():
+    from parquet4seastar_spark.codecs.snappy_py import snappy_compress, snappy_decompress
+
+    data = snappy_compress(b"hello world, hello world")
+    with pytest.raises(ValueError):
+        snappy_decompress(data[: len(data) - 3])
+
+
 def test_reader_rejects_corrupt_containers(tmp_path):
     # error-path parity with the reference's footer checks
     # (file_reader.cc:28-64: magic check, encrypted 'PARE' rejection)
