@@ -293,6 +293,7 @@ class LeafColumn:
     converted: int | None
     precision: int | None
     scale: int | None
+    logical_raw: dict | None = None  # parquet.thrift LogicalType union (field 10)
     chunk_meta: dict = field(default_factory=dict)
 
 
@@ -362,6 +363,7 @@ class ParquetFileReader:
                         converted=el.get(6),
                         precision=el.get(8),
                         scale=el.get(7),
+                        logical_raw=el.get(10),
                     )
                 )
 
