@@ -273,7 +273,10 @@ def _compress(data: bytes, compression: str) -> bytes:
     if compression == "uncompressed":
         return data
     if compression == "gzip":
-        return zlib.compress(data, 6)
+        # gzip FRAMING (wbits=31), the parquet GZIP codec's wire format --
+        # our pages and real .parquet files share one representation
+        co = zlib.compressobj(6, zlib.DEFLATED, 31)
+        return co.compress(bytes(data)) + co.flush()
     if compression == "snappy":
         from .snappy_py import snappy_compress
 
@@ -285,7 +288,9 @@ def _decompress(data: bytes, compression: str) -> bytes:
     if compression == "uncompressed":
         return data
     if compression == "gzip":
-        return zlib.decompress(data)
+        # wbits=47 auto-detects gzip or zlib frames (reads both the current
+        # format and pages written before the framing switch)
+        return zlib.decompress(bytes(data), 47)
     if compression == "snappy":
         from .snappy_py import snappy_decompress
 

@@ -171,7 +171,7 @@ def write_parquet_file(
     if len(groups) != len(group_rows) or not groups:
         raise ValueError("chunks and num_rows must list the same row groups")
     schema_cols = list(groups[0].keys())
-    codec_ids = {"uncompressed": 0, "snappy": 1}
+    codec_ids = {"uncompressed": 0, "snappy": 1, "gzip": 2}
     for g, nrows in zip(groups, group_rows):
         if list(g.keys()) != schema_cols:
             raise ValueError("all row groups must share one column set/order")
@@ -196,10 +196,7 @@ def write_parquet_file(
                     f"(nullable/levels/type must match across groups)"
                 )
             if c.compression not in codec_ids:
-                raise ValueError(
-                    f"{name}: interop writer supports uncompressed/snappy chunks "
-                    f"(parquet GZIP framing differs from our zlib layer)"
-                )
+                raise ValueError(f"{name}: unsupported compression {c.compression}")
             bad = set(c.encodings) - _STANDARD_ENCODINGS
             if bad:
                 raise ValueError(f"{name}: non-standard encodings {bad} (FSST is not parquet)")
@@ -411,7 +408,7 @@ class ParquetFileReader:
             raise ValueError(f"{leaf.path}: nested repetition depth {leaf.max_rep} unsupported")
         if not cm:
             raise ValueError(f"{leaf.path}: no column chunk in row group")
-        codec = {0: "uncompressed", 1: "snappy"}.get(cm[4])
+        codec = {0: "uncompressed", 1: "snappy", 2: "gzip"}.get(cm[4])
         if codec is None:
             raise ValueError(f"{leaf.path}: unsupported compression codec id {cm[4]}")
         ptype = "FIXED_LEN_BYTE_ARRAY" if leaf.ptype == "INT96" else leaf.ptype
