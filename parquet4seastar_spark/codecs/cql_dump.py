@@ -184,8 +184,37 @@ def parquet_to_cql(path: str, table: str = "parquet", pk: str = "row_number") ->
             fields.append((top, [leaf]))
 
     cols = []  # (name, cql_type, render_fn over row index)
+    udts: list[str] = []  # CREATE TYPE statements, numbered in encounter order
     for top, leaves in fields:
-        if len(leaves) == 2 and leaves[0].path[-1] == "key":  # map
+        if len(leaves[0].path) >= 4 and leaves[0].path[-1] != "key":
+            # list<struct<...>>: one leaf per struct field -> a UDT
+            # (cql_reader.cc:277-323 renders struct nodes as numbered UDTs)
+            udt_name = f"{table}_udt_{len(udts)}"
+            kinds = [_leaf_kind(l) for l in leaves]
+            udt_fields = ", ".join(
+                f'"{l.path[-1]}" {_CQL_TYPES[k]}' for l, k in zip(leaves, kinds)
+            )
+            udts.append(f'CREATE TYPE "{udt_name}" ({udt_fields});\n')
+            arrs = [r.read_column(l.path).to_pylist() for l in leaves]
+
+            def render_udt_list(i, arrs=arrs, kinds=kinds, leaves=leaves):
+                rows = [a[i] for a in arrs]
+                if rows[0] is None:
+                    return "null"
+                out_elems = []
+                for j in range(len(rows[0])):
+                    if rows[0][j] is None:  # null struct element
+                        out_elems.append("null")
+                    else:
+                        inner = ", ".join(
+                            f'"{l.path[-1]}": {_render(a[i][j], k, l)}'
+                            for l, k, a in zip(leaves, kinds, arrs)
+                        )
+                        out_elems.append("{" + inner + "}")
+                return "[" + ", ".join(out_elems) + "]"
+
+            cols.append((top, f'frozen<list<"{udt_name}">>', render_udt_list))
+        elif len(leaves) == 2 and leaves[0].path[-1] == "key":  # map
             kleaf, vleaf = leaves
             kkind, vkind = _leaf_kind(kleaf), _leaf_kind(vleaf)
             ktype, vtype = _CQL_TYPES[kkind], _CQL_TYPES[vkind]
@@ -225,6 +254,7 @@ def parquet_to_cql(path: str, table: str = "parquet", pk: str = "row_number") ->
             cols.append((top, _CQL_TYPES[kind], render_scalar))
 
     out = ["\n"]
+    out.extend(udts)
     ddl_cols = ", ".join(f'"{n}" {t}' for n, t, _ in cols)
     out.append(f'CREATE TABLE "{table}"("{pk}" bigint PRIMARY KEY, {ddl_cols});\n')
     names = ", ".join(f'"{n}"' for n, _, _ in cols)

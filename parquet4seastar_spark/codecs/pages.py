@@ -496,6 +496,7 @@ def encode_chunk(
     page_target_bytes: int = 1 << 20,
     compression: str = "uncompressed",
     nullable: bool | None = None,
+    elem_nullable: bool | None = None,
     _def_levels: np.ndarray | None = None,
     _max_def: int | None = None,
 ) -> EncodedChunk:
@@ -518,6 +519,7 @@ def encode_chunk(
             page_target_bytes=page_target_bytes,
             compression=compression,
             nullable=nullable,
+            elem_nullable=elem_nullable,
         )
     ptype, logical = pa_ptype(arr)
     if logical == "timestamp_us":
@@ -672,6 +674,7 @@ def _encode_list_chunk(
     page_target_bytes: int,
     compression: str,
     nullable: bool | None,
+    elem_nullable: bool | None = None,
 ) -> EncodedChunk:
     ptype, logical = pa_ptype(arr)
     n = len(arr)
@@ -686,7 +689,8 @@ def _encode_list_chunk(
         leaf = leaf.cast(pa.int32())
     elif elem_logical.startswith("decimal("):
         leaf = _decimal_to_physical(leaf, ptype)
-    elem_nullable = leaf.null_count > 0
+    if elem_nullable is None:
+        elem_nullable = leaf.null_count > 0
     max_def, d_empty = _list_level_geometry(nullable, elem_nullable)
     max_rep = 1
 

@@ -70,62 +70,104 @@ _STANDARD_ENCODINGS = {
 # writer
 
 
-def _schema_elements(w: CompactWriter, name: str, chunk: EncodedChunk) -> int:
-    """Write the SchemaElement(s) for one column; returns element count."""
+@dataclass
+class MapColumn:
+    """Container spec: map<k,v> written as the standard MAP group from its
+    key/value list chunks (codecs/pages.encode_map_chunk output)."""
 
-    def elem(ename, *, ptype=None, type_length=0, repetition=None, num_children=None,
-             converted=None, precision=None, scale=None):
-        w.elem_struct_begin()
-        if ptype is not None:
-            w.field_i32(1, PHYS_ID[ptype])
-        if type_length:
-            w.field_i32(2, type_length)
-        if repetition is not None:
-            w.field_i32(3, repetition)  # 0 REQUIRED, 1 OPTIONAL, 2 REPEATED
-        w.field_string(4, ename)
-        if num_children is not None:
-            w.field_i32(5, num_children)
-        if converted is not None:
-            w.field_i32(6, converted)
-        if scale is not None:
-            w.field_i32(7, scale)
-        if precision is not None:
-            w.field_i32(8, precision)
-        w.end_struct()
+    key: EncodedChunk
+    value: EncodedChunk
 
+
+@dataclass
+class StructListColumn:
+    """Container spec: list<struct<...>> from per-field list chunks sharing
+    offsets (fields with a null struct carry def = max_def - 1)."""
+
+    struct_name: str
+    fields: dict[str, EncodedChunk]
+
+
+def _emit_element(w: CompactWriter, ename, *, ptype=None, type_length=0, repetition=None,
+                  num_children=None, converted=None, precision=None, scale=None):
+    w.elem_struct_begin()
+    if ptype is not None:
+        w.field_i32(1, PHYS_ID[ptype])
+    if type_length:
+        w.field_i32(2, type_length)
+    if repetition is not None:
+        w.field_i32(3, repetition)  # 0 REQUIRED, 1 OPTIONAL, 2 REPEATED
+    w.field_string(4, ename)
+    if num_children is not None:
+        w.field_i32(5, num_children)
+    if converted is not None:
+        w.field_i32(6, converted)
+    if scale is not None:
+        w.field_i32(7, scale)
+    if precision is not None:
+        w.field_i32(8, precision)
+    w.end_struct()
+
+
+def _leaf_annotations(chunk: EncodedChunk):
     logical = chunk.logical
-    conv = prec = scale = None
     elem_logical = logical[5:-1] if logical.startswith("list<") else logical
     if elem_logical.startswith("decimal("):
         p, s = elem_logical[8:-1].split(",")
-        conv, prec, scale = CONVERTED["decimal"], int(p), int(s)
-    elif elem_logical in CONVERTED:
-        conv = CONVERTED[elem_logical]
+        return CONVERTED["decimal"], int(p), int(s)
+    return CONVERTED.get(elem_logical), None, None
 
+
+def _emit_leaf(w: CompactWriter, ename: str, chunk: EncodedChunk, repetition: int):
+    conv, prec, scale = _leaf_annotations(chunk)
+    _emit_element(
+        w, ename, ptype=chunk.ptype, type_length=chunk.type_length,
+        repetition=repetition, converted=conv, precision=prec, scale=scale,
+    )
+
+
+def _schema_elements(w: CompactWriter, name: str, spec) -> int:
+    """Write the SchemaElement(s) for one column spec; returns element count."""
+    if isinstance(spec, MapColumn):
+        # standard MAP group (writer_schema.cc map path)
+        _emit_element(w, name, repetition=1 if spec.key.nullable else 0, num_children=1, converted=1)
+        _emit_element(w, "key_value", repetition=2, num_children=2)
+        _emit_leaf(w, "key", spec.key, repetition=0)
+        _emit_leaf(w, "value", spec.value, repetition=1 if spec.value.elem_nullable else 0)
+        return 4
+    if isinstance(spec, StructListColumn):
+        any_chunk = next(iter(spec.fields.values()))
+        _emit_element(w, name, repetition=1 if any_chunk.nullable else 0, num_children=1, converted=3)
+        _emit_element(w, "list", repetition=2, num_children=1)
+        _emit_element(w, spec.struct_name, repetition=1, num_children=len(spec.fields))
+        for fname, c in spec.fields.items():
+            # field's own repetition: the struct's optionality already
+            # accounts for elem_nullable; fields here are REQUIRED
+            _emit_leaf(w, fname, c, repetition=0)
+        return 3 + len(spec.fields)
+    chunk = spec
     if chunk.max_rep == 0:
-        elem(
-            name,
-            ptype=chunk.ptype,
-            type_length=chunk.type_length,
-            repetition=1 if (chunk.max_def or 0) > 0 else 0,
-            converted=conv,
-            precision=prec,
-            scale=scale,
-        )
+        _emit_leaf(w, name, chunk, repetition=1 if (chunk.max_def or 0) > 0 else 0)
         return 1
     # standard 3-level LIST (writer_schema.cc:30-134)
-    elem(name, repetition=1 if chunk.nullable else 0, num_children=1, converted=3)  # LIST
-    elem("list", repetition=2, num_children=1)
-    elem(
-        "element",
-        ptype=chunk.ptype,
-        type_length=chunk.type_length,
-        repetition=1 if chunk.elem_nullable else 0,
-        converted=conv,
-        precision=prec,
-        scale=scale,
-    )
+    _emit_element(w, name, repetition=1 if chunk.nullable else 0, num_children=1, converted=3)
+    _emit_element(w, "list", repetition=2, num_children=1)
+    _emit_leaf(w, "element", chunk, repetition=1 if chunk.elem_nullable else 0)
     return 3
+
+
+def _column_leaves(name: str, spec) -> list[tuple[tuple[str, ...], EncodedChunk]]:
+    """Linearize a column spec into (path_in_schema, chunk) leaves."""
+    if isinstance(spec, MapColumn):
+        return [
+            ((name, "key_value", "key"), spec.key),
+            ((name, "key_value", "value"), spec.value),
+        ]
+    if isinstance(spec, StructListColumn):
+        return [((name, "list", spec.struct_name, f), c) for f, c in spec.fields.items()]
+    if spec.max_rep:
+        return [((name, "list", "element"), spec)]
+    return [((name,), spec)]
 
 
 def _page_header(page: Page, max_rep: int) -> bytes:
@@ -161,9 +203,10 @@ def write_parquet_file(
 
     ``chunks``/``num_rows`` may be a single row group (dict/int) or a list
     of row groups (file_writer flush_row_group per entry,
-    file_writer.hh:122-155).  Chunks must be uncompressed or
-    snappy-compressed (parquet GZIP framing differs from our zlib layer)
-    and use standard encodings (FSST is ours alone -- re-encode with policy
+    file_writer.hh:122-155).  Column specs are EncodedChunk (flat or list),
+    MapColumn (map<k,v> group) or StructListColumn (list<struct<...>>).
+    Compression: uncompressed / snappy / gzip per chunk; encodings must be
+    standard (FSST is ours alone -- re-encode with policy
     'auto_fast'/'reference' for interop output).
     """
     groups = chunks if isinstance(chunks, list) else [chunks]
@@ -172,18 +215,22 @@ def write_parquet_file(
         raise ValueError("chunks and num_rows must list the same row groups")
     schema_cols = list(groups[0].keys())
     codec_ids = {"uncompressed": 0, "snappy": 1, "gzip": 2}
+    # linearize each group's column specs into schema leaves
+    group_leaves: list[list[tuple[tuple[str, ...], EncodedChunk]]] = []
     for g, nrows in zip(groups, group_rows):
         if list(g.keys()) != schema_cols:
             raise ValueError("all row groups must share one column set/order")
-        for name, c in g.items():
+        leaves = [lf for name, spec in g.items() for lf in _column_leaves(name, spec)]
+        group_leaves.append(leaves)
+        for (lpath0, c0), (lpath, c) in zip(group_leaves[0], leaves):
             # the SchemaElements come from group 0: every group must share
             # its level geometry, or later groups' level streams would be
             # misread (e.g. REQUIRED schema vs a def-prefixed page).  Pass
-            # nullable=True to encode_chunk for a column that is null-free
-            # in some slices but not others.
-            c0 = groups[0][name]
+            # nullable=True (and elem_nullable=True where applicable) to
+            # encode_chunk for a column null-free in some slices only.
             same = (
-                c.ptype == c0.ptype
+                lpath == lpath0
+                and c.ptype == c0.ptype
                 and c.logical == c0.logical
                 and c.max_def == c0.max_def
                 and c.max_rep == c0.max_rep
@@ -192,23 +239,23 @@ def write_parquet_file(
             )
             if not same:
                 raise ValueError(
-                    f"{name}: row-group schema geometry differs from group 0 "
+                    f"{lpath}: row-group schema geometry differs from group 0 "
                     f"(nullable/levels/type must match across groups)"
                 )
             if c.compression not in codec_ids:
-                raise ValueError(f"{name}: unsupported compression {c.compression}")
+                raise ValueError(f"{lpath}: unsupported compression {c.compression}")
             bad = set(c.encodings) - _STANDARD_ENCODINGS
             if bad:
-                raise ValueError(f"{name}: non-standard encodings {bad} (FSST is not parquet)")
+                raise ValueError(f"{lpath}: non-standard encodings {bad} (FSST is not parquet)")
             if c.num_rows != nrows:
-                raise ValueError(f"{name}: row count {c.num_rows} != {nrows}")
+                raise ValueError(f"{lpath}: row count {c.num_rows} != {nrows}")
 
     out = bytearray(MAGIC)
-    # per group: [(name, chunk, dict_off, data_off, total_bytes)]
-    group_meta: list[list[tuple[str, EncodedChunk, int, int, int]]] = []
-    for g in groups:
+    # per group: [(path, chunk, dict_off, data_off, total_bytes)]
+    group_meta: list[list[tuple[tuple[str, ...], EncodedChunk, int, int, int]]] = []
+    for leaves in group_leaves:
         col_meta = []
-        for name, c in g.items():
+        for lpath, c in leaves:
             dict_off = 0
             data_off = 0
             start = len(out)
@@ -220,26 +267,28 @@ def write_parquet_file(
                     data_off = off
                 out += _page_header(page, c.max_rep)
                 out += page.data
-            col_meta.append((name, c, dict_off, data_off, len(out) - start))
+            col_meta.append((lpath, c, dict_off, data_off, len(out) - start))
         group_meta.append(col_meta)
 
     footer = CompactWriter()
     footer.field_i32(1, 1)  # version (parquet 2.0 semantics, file_writer.hh)
-    first = group_meta[0]
-    n_elems = 1 + sum(3 if c.max_rep else 1 for _, c, *_ in first)
+    first_group = groups[0]
+    n_elems = 1 + sum(
+        _schema_elements(CompactWriter(), n, s) for n, s in first_group.items()
+    )
     footer.begin_field_list(2, CT_STRUCT, n_elems)
     footer.elem_struct_begin()  # root
     footer.field_string(4, "schema")
-    footer.field_i32(5, len(first))
+    footer.field_i32(5, len(first_group))
     footer.end_struct()
-    for name, c, *_ in first:
-        _schema_elements(footer, name, c)
+    for n, s in first_group.items():
+        _schema_elements(footer, n, s)
     footer.field_i64(3, sum(group_rows))
     footer.begin_field_list(4, CT_STRUCT, len(group_meta))  # row_groups
     for col_meta, nrows in zip(group_meta, group_rows):
         footer.elem_struct_begin()
         footer.begin_field_list(1, CT_STRUCT, len(col_meta))  # columns
-        for name, c, dict_off, data_off, total in col_meta:
+        for path_parts, c, dict_off, data_off, total in col_meta:
             footer.elem_struct_begin()  # ColumnChunk
             footer.field_i64(2, data_off)  # file_offset
             footer.begin_field_struct(3)  # ColumnMetaData
@@ -248,7 +297,6 @@ def write_parquet_file(
             footer.begin_field_list(2, CT_I32, len(encs))
             for e in encs:
                 footer.elem_i32(e)
-            path_parts = [name] if c.max_rep == 0 else [name, "list", "element"]
             footer.begin_field_list(3, CT_BINARY, len(path_parts))
             for p_ in path_parts:
                 footer.elem_binary(p_.encode())
@@ -467,7 +515,15 @@ class ParquetFileReader:
             type_length=type_length,
             max_def=leaf.max_def,
             max_rep=leaf.max_rep,
-            elem_nullable=leaf.elem_optional if leaf.max_rep else False,
+            # derive element nullability from the LEVEL BUDGET, not the
+            # leaf's own flag: an optional struct wrapping a required field
+            # (list<struct>) contributes the extra def level the same way an
+            # optional element does
+            elem_nullable=(
+                leaf.max_def - (1 if leaf.outer_optional else 0) - 1 >= 1
+                if leaf.max_rep
+                else False
+            ),
             pages=pages,
         )
         # row count: flat -> level entries; list -> count of rep==0 entries,

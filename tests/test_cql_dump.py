@@ -65,3 +65,67 @@ CASES = [
 def test_parquet_to_cql_golden(name, golden):
     out = parquet_to_cql(f"{FIXTURE_DIR}/{name}.uncompressed.plain.parquet")
     assert out == golden, f"{name} CQL dump differs from the reference golden"
+
+
+# the reference's full end-to-end writer test (file_writer_test.cc:61-130):
+# nested map<string,int32> (RLE_DICTIONARY+GZIP key, PLAIN+SNAPPY value) and
+# list<struct<float,double>> with a NULL struct inside the list, written as
+# TWO row groups, then dumped to CQL -- golden from file_writer_test.cc:120-126
+FILE_WRITER_GOLDEN = """
+CREATE TYPE "parquet_udt_0" ("Struct field 1" float, "Struct field 2" double);
+CREATE TABLE "parquet"("row_number" bigint PRIMARY KEY, "Map" frozen<map<text, int>>, "List" frozen<list<"parquet_udt_0">>);
+INSERT INTO "parquet"("row_number", "Map", "List") VALUES(0, null, null);
+INSERT INTO "parquet"("row_number", "Map", "List") VALUES(1, {'key1': 1, 'key2': 1}, [null, {"Struct field 1": 1.000000e+00, "Struct field 2": 1.000000e+00}]);
+"""
+
+
+def test_file_writer_full_roundtrip_golden(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet4seastar_spark.codecs.pages import encode_chunk
+    from parquet4seastar_spark.codecs.parquet_file import (
+        MapColumn,
+        StructListColumn,
+        write_parquet_file,
+    )
+
+    def lchunk(vals, typ, policy="plain", compression="uncompressed", elem_nullable=None):
+        arr = pa.array(vals, type=pa.list_(typ))
+        return encode_chunk(
+            arr, policy=policy, compression=compression, nullable=True,
+            elem_nullable=elem_nullable,
+        )
+
+    def group(map_keys, map_vals, f1, f2):
+        return {
+            "Map": MapColumn(
+                key=lchunk(map_keys, pa.string(), policy="dict", compression="gzip",
+                           elem_nullable=False),
+                value=lchunk(map_vals, pa.int32(), policy="plain", compression="snappy",
+                             elem_nullable=False),
+            ),
+            "List": StructListColumn("Struct", {
+                "Struct field 1": lchunk(f1, pa.float32(), elem_nullable=True),
+                "Struct field 2": lchunk(f2, pa.float64(), elem_nullable=True),
+            }),
+        }
+
+    # row group 1: {Map: null, List: null}; row group 2: one row with a
+    # 2-entry map and [null struct, struct(1, 1)] (file_writer_test.cc:96-115)
+    g1 = group([None], [None], [None], [None])
+    g2 = group([["key1", "key2"]], [[1, 1]], [[None, 1.0]], [[None, 1.0]])
+    path = str(tmp_path / "full.parquet")
+    write_parquet_file(path, [g1, g2], [1, 1])
+
+    assert parquet_to_cql(path) == FILE_WRITER_GOLDEN
+
+    # independent cross-check: pyarrow reads the same nested structure
+    back = pq.read_table(path).to_pylist()
+    assert back == [
+        {"Map": None, "List": None},
+        {
+            "Map": [("key1", 1), ("key2", 1)],
+            "List": [None, {"Struct field 1": 1.0, "Struct field 2": 1.0}],
+        },
+    ]
