@@ -244,6 +244,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["roundtrip_struct"] = roundtrip_struct
 
+    # ---- array<struct> through the engine: token spans (the shape a
+    # tokenized-corpus table carries); decoded spans explode back to scalar
+    # rows so the oracle compares exact values
+    def roundtrip_token_spans(spark, sf_dir):
+        from parquet4seastar_spark.engine.decode_job import decode_table
+        from parquet4seastar_spark.engine.encode_job import encode_table
+
+        src = _docs(spark, sf_dir).select(
+            F.col("doc_id").alias("row_id"),
+            F.transform(
+                F.split(F.trim("text"), r"\s+"),
+                lambda x, i: F.struct(x.alias("tok"), i.cast("int").alias("pos")),
+            ).alias("spans"),
+            "source",
+        )
+        enc = encode_table(
+            src, columns=["spans"], policy="auto", salt_col="source", num_partitions=2,
+            salt_target_rows=2000,
+        )
+        dec = decode_table(enc, ["spans"])
+        return dec.select(
+            F.col("row_id").alias("doc_id"), F.explode("spans").alias("s")
+        ).select("doc_id", F.col("s.tok").alias("tok"), F.col("s.pos").alias("pos"))
+
+    q["roundtrip_token_spans"] = roundtrip_token_spans
+
     # ---- map<string,string> through the engine (key/value list chunks with
     # shared offsets, standard parquet MAP level geometry)
     def roundtrip_map(spark, sf_dir):
@@ -621,6 +647,12 @@ def oracle_sql() -> dict[str, str]:
     o["roundtrip_struct"] = "SELECT doc_id, lang, n_chars FROM documents"
     o["pruned_scan"] = "SELECT doc_id, n_chars FROM documents WHERE n_chars > 300"
     o["roundtrip_map"] = "SELECT doc_id, lang AS lang_v, source AS src_v FROM documents"
+    o["roundtrip_token_spans"] = (
+        "SELECT doc_id, u.tok AS tok, CAST(u.i - 1 AS INT) AS pos FROM ("
+        "SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok, "
+        "unnest(generate_series(1, len(regexp_split_to_array(trim(text), '\\s+')))) AS i "
+        "FROM documents) AS u(doc_id, tok, i)"
+    )
     o["roundtrip_parquet_file"] = "SELECT doc_id, text, lang, n_chars FROM documents"
     o["export_parquet_roundtrip"] = "SELECT doc_id, text, lang, n_chars FROM documents"
     o["roundtrip_decimal"] = (

@@ -1599,3 +1599,104 @@ def chunk_content_sha(arr: pa.Array) -> str:
     nn_arr = arr.drop_null() if arr.null_count else arr
     values, lengths, payload, _, _ = _leaf_components(nn_arr, ptype)
     return chunk_sha256(ptype, valid, values, lengths, payload)
+
+
+# ---------------------------------------------------------------------------
+# list<struct<...>> columns (token spans, annotated sequences): decomposed
+# into per-field LIST chunks sharing the outer offsets, with a null struct
+# element carried as def = max_def - 1 on every field (the same Dremel shape
+# the reference assembles in record_reader.hh:272-336).  Struct FIELDS must
+# be effectively required: a field null where its struct is present would
+# need a 4th def level -- rejected fail-fast.
+
+
+def encode_struct_list_chunk(
+    arr: pa.Array,
+    *,
+    policy: str = "auto",
+    page_target_bytes: int = 1 << 20,
+    compression: str = "uncompressed",
+) -> dict[str, EncodedChunk]:
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    if not (pa.types.is_list(t) or pa.types.is_large_list(t)) or not pa.types.is_struct(t.value_type):
+        raise TypeError(f"expected list<struct<...>>, got {t}")
+    leaf = arr.flatten()  # struct elements of non-null lists
+    struct_valid = (
+        np.ones(len(leaf), dtype=bool) if leaf.null_count == 0 else np.asarray(leaf.is_valid())
+    )
+    n = len(arr)
+    offs_width = 8 if pa.types.is_large_list(t) else 4
+    offs = np.frombuffer(
+        arr.buffers()[1],
+        dtype=np.int64 if offs_width == 8 else np.int32,
+        count=n + 1,
+        offset=arr.offset * offs_width,
+    ).astype(np.int32)
+    rel = offs - offs[0] if n else np.zeros(1, dtype=np.int32)
+    mask = pa.array(~np.asarray(arr.is_valid())) if arr.null_count else None
+    out: dict[str, EncodedChunk] = {}
+    for i, f in enumerate(t.value_type):
+        if pa.types.is_nested(f.type):
+            raise TypeError(f"list<struct> field '{f.name}': primitive fields only, got {f.type}")
+        fa = leaf.field(i)
+        f_valid = np.ones(len(leaf), dtype=bool) if fa.null_count == 0 else np.asarray(fa.is_valid())
+        if bool((struct_valid & ~f_valid).any()):
+            raise TypeError(
+                f"list<struct> field '{f.name}' has nulls where its struct is present "
+                f"(a 4th def level); make the field required or carry it separately"
+            )
+        # null struct elements become null list elements of this field
+        if not struct_valid.all():
+            import pyarrow.compute as pc
+
+            fa = pc.if_else(pa.array(struct_valid), fa, pa.nulls(len(leaf), fa.type))
+        flist = pa.ListArray.from_arrays(pa.array(rel), fa, mask=mask)
+        out[f.name] = _encode_list_chunk(
+            flist,
+            policy=policy,
+            page_target_bytes=page_target_bytes,
+            compression=compression,
+            nullable=arr.null_count > 0,
+            elem_nullable=True,
+        )
+    return out
+
+
+def decode_struct_list_chunk(chunks: dict[str, EncodedChunk]) -> pa.Array:
+    """Reassemble list<struct<...>> from per-field list chunks."""
+    names = list(chunks)
+    field_lists = {f: decode_chunk(c) for f, c in chunks.items()}
+    first = field_lists[names[0]]
+    n = len(first)
+    koffs = np.frombuffer(first.buffers()[1], dtype=np.int32, count=n + 1, offset=first.offset * 4)
+    flats = {f: fl.flatten() for f, fl in field_lists.items()}
+    # struct element validity: a null element in any field marks struct-null
+    ref = flats[names[0]]
+    struct_valid = (
+        np.ones(len(ref), dtype=bool) if ref.null_count == 0 else np.asarray(ref.is_valid())
+    )
+    kv_fields = []
+    for f in names:
+        fa = flats[f]
+        # drop the struct-null markers from field validity: fields are
+        # required, so values are non-null wherever the struct is present
+        kv_fields.append(fa)
+    struct_type = pa.struct([(f, flats[f].type) for f in names])
+    kv = pa.StructArray.from_arrays(
+        kv_fields,
+        fields=list(struct_type),
+        mask=pa.array(~struct_valid),
+    )
+    list_mask = None
+    if first.null_count:
+        list_mask = pa.py_buffer(
+            np.packbits(np.asarray(first.is_valid()), bitorder="little").tobytes()
+        )
+    return pa.Array.from_buffers(
+        pa.list_(pa.field("element", struct_type)),
+        n,
+        [list_mask, pa.py_buffer(np.ascontiguousarray(koffs).tobytes())],
+        children=[kv],
+    )

@@ -23,6 +23,7 @@ from ..codecs.pages import (
     decode_chunk,
     decode_map_chunk,
     decode_struct_chunk,
+    decode_struct_list_chunk,
 )
 
 _SPARK_TYPES = {
@@ -222,6 +223,10 @@ def decode_table(
     def _elem(logical: str) -> str:
         return logical[5:-1] if logical.startswith("list<") else logical
 
+    def _is_struct_list(c: str) -> bool:
+        m = members[c]
+        return isinstance(m, list) and all(lg.startswith("list<") for _, _, lg in m)
+
     def _spark_col_type(c: str) -> str:
         if members[c] is None:
             return _spark_type(schema[c])
@@ -229,6 +234,9 @@ def decode_table(
             kt = _spark_type(_elem(schema[f"{c}.#key"]))
             vt = _spark_type(_elem(schema[f"{c}.#value"]))
             return f"map<{kt}, {vt}>"
+        if _is_struct_list(c):
+            inner = ", ".join(f"`{f}`: {_spark_type(_elem(lg))}" for _, f, lg in members[c])
+            return f"array<struct<{inner}>>"
         inner = ", ".join(f"`{f}`: {_spark_type(lg)}" for _, f, lg in members[c])
         return f"struct<{inner}>"
 
@@ -258,6 +266,14 @@ def decode_table(
                 target = pa.map_(
                     _pa_type(_elem(logicals[f"{c}.#key"])),
                     _pa_type(_elem(logicals[f"{c}.#value"])),
+                )
+            elif _is_struct_list(c):
+                field_chunks = {
+                    fname: _rebuild_chunk(tbl, by_col[leaf]) for leaf, fname, _ in members[c]
+                }
+                arr = decode_struct_list_chunk(field_chunks)
+                target = pa.list_(
+                    pa.struct([(f, _pa_type(_elem(lg))) for _, f, lg in members[c]])
                 )
             else:
                 field_chunks = {

@@ -33,7 +33,12 @@ import pandas as pd
 import pyarrow as pa
 from pyspark.sql import DataFrame, functions as F
 
-from ..codecs.pages import encode_chunk, encode_map_chunk, encode_struct_chunk
+from ..codecs.pages import (
+    encode_chunk,
+    encode_map_chunk,
+    encode_struct_chunk,
+    encode_struct_list_chunk,
+)
 
 ENCODED_SCHEMA = (
     "kind string, part_key string, chunk_id string, column string, chunk_seq int, "
@@ -181,6 +186,20 @@ def _encode_partition_factory(
                     # struct-of-primitives: one leaf chunk per field, named
                     # '<col>.<idx>.<field>' so decode can reassemble in order
                     fchunks = encode_struct_chunk(
+                        arr,
+                        policy=cpolicy,
+                        page_target_bytes=page_target_bytes,
+                        compression=compression,
+                    )
+                    for i, (fname, fchunk) in enumerate(fchunks.items()):
+                        leaf_chunks.append((f"{col}.{i}.{fname}", fchunk))
+                elif (
+                    pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)
+                ) and pa.types.is_struct(arr.type.value_type):
+                    # list<struct<...>> (token spans): per-field list chunks,
+                    # '<col>.<idx>.<field>' with list< logicals marking the
+                    # list-of-struct reassembly on decode
+                    fchunks = encode_struct_list_chunk(
                         arr,
                         policy=cpolicy,
                         page_target_bytes=page_target_bytes,

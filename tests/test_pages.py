@@ -405,6 +405,36 @@ def test_struct_rejects_nested_fields():
         encode_struct_chunk(arr)
 
 
+def test_struct_list_chunk_roundtrip():
+    # list<struct<...>> (token spans): per-field list chunks, null struct
+    # elements at def = max_def - 1, fields required where struct present
+    from parquet4seastar_spark.codecs.pages import (
+        decode_struct_list_chunk,
+        encode_struct_list_chunk,
+    )
+
+    t = pa.list_(pa.struct([("tok", pa.string()), ("pos", pa.int32())]))
+    vals = [
+        [{"tok": "a", "pos": 0}, {"tok": "bb", "pos": 1}],
+        None,
+        [],
+        [None, {"tok": "c", "pos": 0}],
+    ] * 50
+    arr = pa.array(vals, type=t)
+    for policy in ["auto", "plain", "reference"]:
+        ch = encode_struct_list_chunk(arr, policy=policy, page_target_bytes=128)
+        out = decode_struct_list_chunk(ch)
+        out.validate(full=True)
+        assert out.to_pylist() == arr.to_pylist(), policy
+    # sliced input
+    sl = arr.slice(3, 120)
+    assert decode_struct_list_chunk(encode_struct_list_chunk(sl)).to_pylist() == sl.to_pylist()
+    # a field null where its struct is present needs a 4th level: reject
+    bad = pa.array([[{"tok": None, "pos": 1}]], type=t)
+    with pytest.raises(TypeError, match="4th def level"):
+        encode_struct_list_chunk(bad)
+
+
 def test_sliced_nested_arrays_roundtrip():
     # arrow slices carry parent offsets; every nested path must rebase them
     from decimal import Decimal
