@@ -244,6 +244,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["roundtrip_struct"] = roundtrip_struct
 
+    # ---- array<array<string>> through the engine (two repetition levels):
+    # sentence-split token groups; decoded structure canonicalized to one
+    # string per doc so the oracle compares exact nested content
+    def roundtrip_nested_lists(spark, sf_dir):
+        from parquet4seastar_spark.engine.decode_job import decode_table
+        from parquet4seastar_spark.engine.encode_job import encode_table
+
+        src = _docs(spark, sf_dir).select(
+            F.col("doc_id").alias("row_id"),
+            F.transform(
+                F.split("text", r"\. "), lambda s: F.split(F.trim(s), r"\s+")
+            ).alias("sents"),
+            "source",
+        )
+        enc = encode_table(
+            src, columns=["sents"], policy="auto", salt_col="source", num_partitions=2,
+            salt_target_rows=2000,
+        )
+        dec = decode_table(enc, ["sents"])
+        canon = F.array_join(
+            F.transform("sents", lambda x: F.array_join(x, ",")), "|"
+        )
+        return dec.select(F.col("row_id").alias("doc_id"), canon.alias("canon"))
+
+    q["roundtrip_nested_lists"] = roundtrip_nested_lists
+
     # ---- array<struct> through the engine: token spans (the shape a
     # tokenized-corpus table carries); decoded spans explode back to scalar
     # rows so the oracle compares exact values
@@ -647,6 +673,12 @@ def oracle_sql() -> dict[str, str]:
     o["roundtrip_struct"] = "SELECT doc_id, lang, n_chars FROM documents"
     o["pruned_scan"] = "SELECT doc_id, n_chars FROM documents WHERE n_chars > 300"
     o["roundtrip_map"] = "SELECT doc_id, lang AS lang_v, source AS src_v FROM documents"
+    o["roundtrip_nested_lists"] = (
+        "SELECT doc_id, array_to_string(list_transform("
+        "regexp_split_to_array(text, '\\. '), "
+        "s -> array_to_string(regexp_split_to_array(trim(s), '\\s+'), ',')), '|') AS canon "
+        "FROM documents"
+    )
     o["roundtrip_token_spans"] = (
         "SELECT doc_id, u.tok AS tok, CAST(u.i - 1 AS INT) AS pos FROM ("
         "SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok, "

@@ -115,11 +115,17 @@ class EncodedChunk:
 def pa_ptype(arr: pa.Array) -> tuple[str, str]:
     t = arr.type
     if pa.types.is_list(t) or pa.types.is_large_list(t):
-        # one level of repetition (standard parquet 3-level LIST,
+        # up to TWO levels of repetition (standard parquet 3-level LIST,
         # writer_schema.cc:30-134); ptype reports the LEAF physical type
         elem = t.value_type
-        if pa.types.is_list(elem) or pa.types.is_large_list(elem) or pa.types.is_nested(elem):
-            raise TypeError(f"only one nesting level supported, got {t}")
+        if pa.types.is_list(elem) or pa.types.is_large_list(elem):
+            inner = elem.value_type
+            if pa.types.is_nested(inner):
+                raise TypeError(f"nesting deeper than list<list<primitive>> unsupported: {t}")
+            elem_ptype, elem_logical = pa_ptype_scalar(inner)
+            return elem_ptype, f"list<list<{elem_logical}>>"
+        if pa.types.is_nested(elem):
+            raise TypeError(f"unsupported nested element type in {t}")
         elem_ptype, elem_logical = pa_ptype_scalar(elem)
         return elem_ptype, f"list<{elem_logical}>"
     return pa_ptype_scalar(t)
@@ -513,6 +519,15 @@ def encode_chunk(
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+        inner_t = arr.type.value_type
+        if pa.types.is_list(inner_t) or pa.types.is_large_list(inner_t):
+            return _encode_list2_chunk(
+                arr,
+                policy=policy,
+                page_target_bytes=page_target_bytes,
+                compression=compression,
+                nullable=nullable,
+            )
         return _encode_list_chunk(
             arr,
             policy=policy,
@@ -1166,6 +1181,8 @@ def decode_chunk(chunk: EncodedChunk, *, _collect_levels: list | None = None) ->
     ``_collect_levels`` (internal): struct reassembly passes a list to
     receive the raw per-page def-level arrays.
     """
+    if chunk.max_rep == 2:
+        return _decode_list2_chunk(chunk)
     if chunk.max_rep > 0:
         return _decode_list_chunk(chunk)
     ptype = chunk.ptype
@@ -1288,6 +1305,81 @@ def _elem_pa_type(elem_logical: str, type_length: int) -> pa.DataType:
     return _ELEM_PA_TYPES[elem_logical]
 
 
+def _build_leaf_array(
+    ptype: str,
+    elem_logical: str,
+    type_length: int,
+    elem_nullable: bool,
+    elem_valid: np.ndarray,
+    n_elems: int,
+    len_parts: list,
+    payload_parts: list,
+    fixed_parts: list,
+) -> pa.Array:
+    """Scatter decoded non-null values into element slots and build the
+    typed leaf arrow array (shared by the 1- and 2-rep-level decoders)."""
+    elem_validity = (
+        pa.py_buffer(np.packbits(elem_valid, bitorder="little").tobytes())
+        if elem_nullable
+        else None
+    )
+    if ptype == "BYTE_ARRAY":
+        lens = np.concatenate(len_parts) if len_parts else np.zeros(0, dtype=np.int64)
+        payload = np.concatenate(payload_parts) if payload_parts else np.zeros(0, dtype=np.uint8)
+        full_lens = np.zeros(n_elems, dtype=np.int64)
+        full_lens[elem_valid] = lens
+        if elem_logical.startswith("decimal("):
+            p, s = _parse_decimal(elem_logical)
+            leaf = _varbin_to_decimal(full_lens, payload, elem_valid, elem_nullable, p, s)
+        else:
+            offsets = np.zeros(n_elems + 1, dtype=np.int64)
+            np.cumsum(full_lens, out=offsets[1:])
+            leaf = pa.Array.from_buffers(
+                pa.large_binary(),
+                n_elems,
+                [elem_validity, pa.py_buffer(offsets.tobytes()), pa.py_buffer(payload.tobytes())],
+            )
+            leaf = leaf.cast(pa.large_string()).cast(pa.string()) if elem_logical == "string" else leaf.cast(pa.binary())
+    elif ptype == "FIXED_LEN_BYTE_ARRAY":
+        k = type_length
+        vals = (
+            np.concatenate(fixed_parts).reshape(-1, k)
+            if fixed_parts
+            else np.zeros((0, k), dtype=np.uint8)
+        )
+        full = np.zeros((n_elems, k), dtype=np.uint8)
+        full[elem_valid] = vals
+        if elem_logical.startswith("decimal("):
+            p, s = _parse_decimal(elem_logical)
+            leaf = _flba_to_decimal(full, elem_valid, elem_nullable, p, s)
+        else:
+            leaf = pa.Array.from_buffers(
+                pa.binary(k), n_elems, [elem_validity, pa.py_buffer(full.tobytes())]
+            )
+    elif ptype == "BOOLEAN":
+        vals = (
+            np.concatenate([np.asarray(p, dtype=bool) for p in fixed_parts])
+            if fixed_parts
+            else np.zeros(0, dtype=bool)
+        )
+        full = np.zeros(n_elems, dtype=bool)
+        full[elem_valid] = vals
+        leaf = pa.array(full, type=pa.bool_(), mask=~elem_valid if elem_nullable else None)
+    else:
+        vals = np.concatenate(fixed_parts) if fixed_parts else np.zeros(0, dtype=_FIXED_DTYPES[ptype])
+        full = np.zeros(n_elems, dtype=_FIXED_DTYPES[ptype])
+        full[elem_valid] = vals
+        if elem_logical.startswith("decimal("):
+            p, s = _parse_decimal(elem_logical)
+            leaf = _int_to_decimal(full, elem_valid, elem_nullable, p, s)
+        else:
+            leaf = pa.array(full, mask=~elem_valid if elem_nullable else None)
+    target = _elem_pa_type(elem_logical, type_length)
+    if leaf.type != target:
+        leaf = leaf.cast(target)
+    return leaf
+
+
 def _decode_list_chunk(chunk: EncodedChunk) -> pa.Array:
     """Dremel record reassembly for one list column chunk.
 
@@ -1356,65 +1448,10 @@ def _decode_list_chunk(chunk: EncodedChunk) -> pa.Array:
     n_elems = int(is_elem.sum())
 
     elem_logical = chunk.logical[5:-1] if chunk.logical.startswith("list<") else chunk.logical
-    elem_validity = (
-        pa.py_buffer(np.packbits(elem_valid, bitorder="little").tobytes())
-        if chunk.elem_nullable
-        else None
+    leaf = _build_leaf_array(
+        ptype, elem_logical, chunk.type_length, chunk.elem_nullable, elem_valid, n_elems,
+        len_parts, payload_parts, fixed_parts,
     )
-    if ptype == "BYTE_ARRAY":
-        lens = np.concatenate(len_parts) if len_parts else np.zeros(0, dtype=np.int64)
-        payload = np.concatenate(payload_parts) if payload_parts else np.zeros(0, dtype=np.uint8)
-        full_lens = np.zeros(n_elems, dtype=np.int64)
-        full_lens[elem_valid] = lens
-        if elem_logical.startswith("decimal("):
-            p, s = _parse_decimal(elem_logical)
-            leaf = _varbin_to_decimal(full_lens, payload, elem_valid, chunk.elem_nullable, p, s)
-        else:
-            offsets = np.zeros(n_elems + 1, dtype=np.int64)
-            np.cumsum(full_lens, out=offsets[1:])
-            leaf = pa.Array.from_buffers(
-                pa.large_binary(),
-                n_elems,
-                [elem_validity, pa.py_buffer(offsets.tobytes()), pa.py_buffer(payload.tobytes())],
-            )
-            leaf = leaf.cast(pa.large_string()).cast(pa.string()) if elem_logical == "string" else leaf.cast(pa.binary())
-    elif ptype == "FIXED_LEN_BYTE_ARRAY":
-        k = chunk.type_length
-        vals = (
-            np.concatenate(fixed_parts).reshape(-1, k)
-            if fixed_parts
-            else np.zeros((0, k), dtype=np.uint8)
-        )
-        full = np.zeros((n_elems, k), dtype=np.uint8)
-        full[elem_valid] = vals
-        if elem_logical.startswith("decimal("):
-            p, s = _parse_decimal(elem_logical)
-            leaf = _flba_to_decimal(full, elem_valid, chunk.elem_nullable, p, s)
-        else:
-            leaf = pa.Array.from_buffers(
-                pa.binary(k), n_elems, [elem_validity, pa.py_buffer(full.tobytes())]
-            )
-    elif ptype == "BOOLEAN":
-        vals = (
-            np.concatenate([np.asarray(p, dtype=bool) for p in fixed_parts])
-            if fixed_parts
-            else np.zeros(0, dtype=bool)
-        )
-        full = np.zeros(n_elems, dtype=bool)
-        full[elem_valid] = vals
-        leaf = pa.array(full, type=pa.bool_(), mask=~elem_valid if chunk.elem_nullable else None)
-    else:
-        vals = np.concatenate(fixed_parts) if fixed_parts else np.zeros(0, dtype=_FIXED_DTYPES[ptype])
-        full = np.zeros(n_elems, dtype=_FIXED_DTYPES[ptype])
-        full[elem_valid] = vals
-        if elem_logical.startswith("decimal("):
-            p, s = _parse_decimal(elem_logical)
-            leaf = _int_to_decimal(full, elem_valid, chunk.elem_nullable, p, s)
-        else:
-            leaf = pa.array(full, mask=~elem_valid if chunk.elem_nullable else None)
-    target = _elem_pa_type(elem_logical, chunk.type_length)
-    if leaf.type != target:
-        leaf = leaf.cast(target)
 
     list_offsets = np.zeros(n_rows + 1, dtype=np.int32)
     np.cumsum(row_lengths, out=list_offsets[1:])
@@ -1699,4 +1736,283 @@ def decode_struct_list_chunk(chunks: dict[str, EncodedChunk]) -> pa.Array:
         n,
         [list_mask, pa.py_buffer(np.ascontiguousarray(koffs).tobytes())],
         children=[kv],
+    )
+
+
+# ---------------------------------------------------------------------------
+# list<list<T>> columns: TWO repetition levels (max_rep = 2), the deepest
+# shape in the reference's record assembly tests.  Level semantics
+# (reader_schema.cc:79-93 applied twice):
+#   def 0 outer null | 1 outer empty | 2 inner null | 3 inner empty |
+#   def max-1 element null (iff elem optional) | max element value
+#   rep 0 new row | 1 new inner list | 2 next element
+# Geometry: max_def = outer_opt + 1 + inner_opt + 1 + elem_opt; the middle
+# flags derive from max_def so no extra chunk metadata is needed.
+
+
+def _list2_geometry(nullable: bool, inner_nullable: bool, elem_nullable: bool):
+    d_outer_empty = 1 if nullable else 0
+    d_inner_null = d_outer_empty + 1  # valid only if inner_nullable
+    d_inner_empty = d_outer_empty + 1 + (1 if inner_nullable else 0)
+    max_def = d_inner_empty + 1 + (1 if elem_nullable else 0)
+    return max_def, d_outer_empty, d_inner_null, d_inner_empty
+
+
+def _encode_list2_chunk(
+    arr: pa.Array,
+    *,
+    policy: str,
+    page_target_bytes: int,
+    compression: str,
+    nullable: bool | None,
+) -> EncodedChunk:
+    ptype, logical = pa_ptype(arr)  # logical = "list<list<elem>>"
+    n = len(arr)
+    if nullable is None:
+        nullable = arr.null_count > 0
+    inner = arr.flatten()  # inner lists of non-null outer rows
+    inner_nullable = inner.null_count > 0
+    leaf = inner.flatten()  # elements of non-null inner lists
+    elem_logical2 = logical[10:-2]
+    if elem_logical2 == "timestamp_us":
+        leaf = leaf.cast(pa.int64())
+    elif elem_logical2 == "date":
+        leaf = leaf.cast(pa.int32())
+    elif elem_logical2.startswith("decimal("):
+        leaf = _decimal_to_physical(leaf, ptype)
+    elem_nullable = leaf.null_count > 0
+    max_def, d_oe, d_in, d_ie = _list2_geometry(nullable, inner_nullable, elem_nullable)
+
+    row_valid = np.ones(n, dtype=bool) if arr.null_count == 0 else np.asarray(arr.is_valid())
+    olen = pa.compute.list_value_length(arr)
+    outer_len = np.asarray(olen.fill_null(0) if arr.null_count else olen).astype(np.int64)
+    inner_valid = (
+        np.ones(len(inner), dtype=bool) if inner.null_count == 0 else np.asarray(inner.is_valid())
+    )
+    ilen = pa.compute.list_value_length(inner)
+    inner_len = np.asarray(ilen.fill_null(0) if inner.null_count else ilen).astype(np.int64)
+    elem_valid = (
+        np.ones(len(leaf), dtype=bool) if leaf.null_count == 0 else np.asarray(leaf.is_valid())
+    )
+    nn_leaf = leaf.drop_null() if leaf.null_count else leaf
+    values, lengths, payload, nn_val_bytes, type_length = _leaf_components(nn_leaf, ptype)
+
+    # ---- level streams: per inner slot, entries = max(len, 1); per row,
+    # entries = sum(slot entries) or 1 when the row has no slots
+    slot_entries = np.maximum(inner_len, 1)
+    m = len(inner)
+    # per-row entry counts via reduceat over slot ranges
+    row_slot_start = np.zeros(n, dtype=np.int64)
+    row_slot_start[1:] = np.cumsum(outer_len)[:-1]
+    row_entries = np.ones(n, dtype=np.int64)
+    has_slots = outer_len > 0
+    if m and has_slots.any():
+        cs = np.zeros(m + 1, dtype=np.int64)
+        np.cumsum(slot_entries, out=cs[1:])
+        row_entries[has_slots] = (
+            cs[row_slot_start[has_slots] + outer_len[has_slots]] - cs[row_slot_start[has_slots]]
+        )
+    n_levels = int(row_entries.sum())
+    def_ = np.zeros(n_levels, dtype=np.uint64)
+    rep = np.full(n_levels, 2, dtype=np.uint64)
+    row_starts = np.zeros(n, dtype=np.int64)
+    row_starts[1:] = np.cumsum(row_entries)[:-1]
+    # slot starts: absolute level position of each inner slot's first entry
+    if m:
+        cs0 = np.zeros(m + 1, dtype=np.int64)
+        np.cumsum(slot_entries, out=cs0[1:])
+        row_of_slot = np.repeat(np.arange(n, dtype=np.int64), outer_len)
+        slot_starts = row_starts[row_of_slot] + (cs0[:m] - cs0[row_slot_start[row_of_slot]])
+        rep[slot_starts] = 1
+    else:
+        slot_starts = np.zeros(0, dtype=np.int64)
+    rep[row_starts] = 0  # row start wins over slot start
+    # def values
+    empty_rows = ~has_slots
+    if empty_rows.any():
+        def_[row_starts[empty_rows]] = np.where(row_valid[empty_rows], d_oe, 0).astype(np.uint64)
+    if m:
+        has_elems = inner_len > 0
+        # slots without elements: single entry, null or empty inner
+        se = ~has_elems
+        if se.any():
+            def_[slot_starts[se]] = np.where(inner_valid[se], d_ie, d_in).astype(np.uint64)
+        # element entries
+        if has_elems.any():
+            g = inner_len[has_elems]
+            dst = np.repeat(slot_starts[has_elems], g) + (
+                np.arange(int(g.sum()), dtype=np.int64) - np.repeat(np.cumsum(g) - g, g)
+            )
+            def_[dst] = np.where(elem_valid, max_def, max_def - 1).astype(np.uint64)
+
+    # ---- paginate on rows by element bytes + level overhead
+    elem_sizes = np.zeros(len(leaf), dtype=np.int64)
+    elem_sizes[elem_valid] = nn_val_bytes
+    cse = np.zeros(len(leaf) + 1, dtype=np.int64)
+    np.cumsum(elem_sizes, out=cse[1:])
+    row_elem_count = np.zeros(n, dtype=np.int64)
+    if m:
+        ce = np.zeros(m + 1, dtype=np.int64)
+        np.cumsum(inner_len, out=ce[1:])
+        row_elem_count[has_slots] = (
+            ce[row_slot_start[has_slots] + outer_len[has_slots]] - ce[row_slot_start[has_slots]]
+        )
+    row_elem_start = np.zeros(n, dtype=np.int64)
+    row_elem_start[1:] = np.cumsum(row_elem_count)[:-1]
+    row_bytes = cse[row_elem_start + row_elem_count] - cse[row_elem_start]
+    row_bytes = row_bytes + row_entries
+    page_ends = _page_boundaries(row_bytes, page_target_bytes)
+    n_pages = len(page_ends) if n else 0
+    level_ends = np.cumsum(row_entries)[page_ends - 1] if n else np.array([0], dtype=np.int64)
+    enc_mask = def_ == max_def
+    enc_before = np.cumsum(enc_mask, dtype=np.int64)
+    nn_page_ends = enc_before[level_ends - 1] if n else np.array([0], dtype=np.int64)
+
+    chunk = EncodedChunk(
+        ptype=ptype,
+        logical=logical,
+        nullable=nullable,
+        num_rows=n,
+        num_nulls=arr.null_count,
+        cardinality=0,
+        encodings=[],
+        compression=compression,
+        type_length=type_length,
+        input_bytes=_plain_size(ptype, int(elem_valid.sum()), lengths, type_length),
+        max_def=max_def,
+        max_rep=2,
+        elem_nullable=elem_nullable,
+    )
+    h = hashlib.sha256()
+    h.update(np.packbits(row_valid, bitorder="little").tobytes())
+    h.update(outer_len.tobytes())
+    h.update(np.packbits(inner_valid, bitorder="little").tobytes())
+    h.update(inner_len.tobytes())
+    h.update(np.packbits(elem_valid, bitorder="little").tobytes())
+    chunk.sha256 = h.hexdigest()
+    _chunk_stats(chunk, ptype, values, lengths, payload)
+
+    plan = _plan_codecs(policy, ptype, n, None, values, lengths, payload, page_ends, nn_page_ends)
+    per_page_enc, dict_page_bytes, codes, cardinality, card_by_page, cached_bodies = plan
+    chunk.cardinality = cardinality
+    if dict_page_bytes is not None:
+        comp = _compress(dict_page_bytes, compression)
+        chunk.pages.append(
+            Page("dict", "PLAIN", cardinality, cardinality, len(dict_page_bytes), len(comp), comp)
+        )
+    nn_start = lvl_start = len_start = 0
+    chunk_fsst_table = None
+    for pi in range(n_pages):
+        lvl_end = int(level_ends[pi])
+        nn_end = int(nn_page_ends[pi])
+        enc = per_page_enc[pi]
+        if cached_bodies is not None:
+            body = cached_bodies[pi]
+        elif enc == "RLE_DICTIONARY":
+            body = dictionary.encode_dict_indices(codes[nn_start:nn_end], int(card_by_page[pi]))
+        elif ptype == "BYTE_ARRAY":
+            pl = lengths[nn_start:nn_end]
+            seg = payload[len_start : len_start + int(pl.sum())]
+            if enc == "FSST" and chunk_fsst_table is None:
+                chunk_fsst_table = _train_chunk_table(payload)
+            body = _encode_values(enc, ptype, None, pl, seg, chunk_fsst_table)
+        else:
+            body = _encode_values(enc, ptype, values[nn_start:nn_end])
+        head = encode_levels_v1(rep[lvl_start:lvl_end], 2) + encode_levels_v1(
+            def_[lvl_start:lvl_end], max_def
+        )
+        page_raw = head + body
+        comp = _compress(page_raw, compression)
+        chunk.pages.append(
+            Page("data", enc, lvl_end - lvl_start, nn_end - nn_start, len(page_raw), len(comp), comp)
+        )
+        if ptype == "BYTE_ARRAY":
+            len_start += int(lengths[nn_start:nn_end].sum())
+        nn_start = nn_end
+        lvl_start = lvl_end
+    chunk.encodings = sorted({p.encoding for p in chunk.pages if p.kind == "data"})
+    chunk.encoded_bytes = sum(p.uncompressed_size for p in chunk.pages)
+    chunk.compressed_bytes = sum(p.compressed_size for p in chunk.pages)
+    return chunk
+
+
+def _decode_list2_chunk(chunk: EncodedChunk) -> pa.Array:
+    """Dremel reassembly for list<list<T>> (max_rep = 2)."""
+    ptype = chunk.ptype
+    max_def = chunk.max_def
+    nullable = chunk.nullable
+    elem_nullable = chunk.elem_nullable
+    inner_nullable = (max_def - (1 if nullable else 0) - (1 if elem_nullable else 0) - 2) >= 1
+    _, d_oe, d_in, d_ie = _list2_geometry(nullable, inner_nullable, elem_nullable)
+
+    dict_entries = None
+    dict_size = 0
+    rep_parts, def_parts = [], []
+    fixed_parts, len_parts, payload_parts = [], [], []
+    for page in chunk.pages:
+        raw = _decompress(page.data, chunk.compression)
+        if page.kind == "dict":
+            dict_entries = _load_dict_page(raw, ptype, chunk.type_length, page.num_values)
+            dict_size = page.num_values
+            continue
+        rep, c1 = decode_levels_v1(raw, 2, page.num_values)
+        def_, c2 = decode_levels_v1(memoryview(raw)[c1:], max_def, page.num_values)
+        body = memoryview(raw)[c1 + c2 :]
+        nn = int((def_ == max_def).sum())
+        if page.num_non_null >= 0 and nn != page.num_non_null:
+            raise ValueError("list2 page value count mismatch")
+        if page.encoding == "RLE_DICTIONARY":
+            codes = _decode_values("RLE_DICTIONARY", ptype, bytes(body), nn, dict_size)
+            _gather_dict_values(ptype, dict_entries, codes, len_parts, payload_parts, fixed_parts)
+        else:
+            out = _decode_values(page.encoding, ptype, bytes(body), nn, type_length=chunk.type_length)
+            if ptype == "BYTE_ARRAY":
+                len_parts.append(out[0])
+                payload_parts.append(out[1])
+            else:
+                fixed_parts.append(out)
+        rep_parts.append(rep)
+        def_parts.append(def_)
+
+    rep_all = np.concatenate(rep_parts) if rep_parts else np.zeros(0, dtype=np.int32)
+    def_all = np.concatenate(def_parts) if def_parts else np.zeros(0, dtype=np.int32)
+    row_start = rep_all == 0
+    n_rows = int(row_start.sum())
+    if n_rows != chunk.num_rows:
+        raise ValueError(f"decoded row count mismatch: {n_rows} != {chunk.num_rows}")
+    row_ids = np.cumsum(row_start) - 1
+    is_slot_begin = (rep_all <= 1) & (def_all >= d_oe + 1)
+    slots_per_row = (
+        np.bincount(row_ids[is_slot_begin], minlength=n_rows).astype(np.int64)
+        if n_rows
+        else np.zeros(0, dtype=np.int64)
+    )
+    m = int(is_slot_begin.sum())
+    slot_ids = np.cumsum(is_slot_begin) - 1  # entry -> slot (valid where >= 0)
+    is_elem = def_all >= d_ie + 1
+    inner_len = np.bincount(slot_ids[is_elem], minlength=m).astype(np.int64) if m else np.zeros(0, np.int64)
+    slot_begin_def = def_all[is_slot_begin]
+    inner_valid = (slot_begin_def != d_in) if inner_nullable else np.ones(m, dtype=bool)
+    row_valid = (def_all[row_start] > 0) if nullable else np.ones(n_rows, dtype=bool)
+    elem_valid = def_all[is_elem] == max_def
+    n_elems = int(is_elem.sum())
+
+    elem_logical = chunk.logical[10:-2]  # strip 'list<list<' ... '>>'
+    leaf = _build_leaf_array(
+        ptype, elem_logical, chunk.type_length, elem_nullable, elem_valid, n_elems,
+        len_parts, payload_parts, fixed_parts,
+    )
+    inner_offsets = np.zeros(m + 1, dtype=np.int32)
+    np.cumsum(inner_len, out=inner_offsets[1:])
+    inner_arr = pa.ListArray.from_arrays(
+        pa.array(inner_offsets, type=pa.int32()),
+        leaf,
+        mask=pa.array(~inner_valid) if not inner_valid.all() else None,
+    )
+    outer_offsets = np.zeros(n_rows + 1, dtype=np.int32)
+    np.cumsum(slots_per_row, out=outer_offsets[1:])
+    return pa.ListArray.from_arrays(
+        pa.array(outer_offsets, type=pa.int32()),
+        inner_arr,
+        mask=pa.array(~row_valid) if chunk.num_nulls else None,
     )

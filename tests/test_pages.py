@@ -405,6 +405,34 @@ def test_struct_rejects_nested_fields():
         encode_struct_chunk(arr)
 
 
+def test_list_of_list_roundtrip():
+    # two repetition levels (max_rep = 2): def distinguishes null/empty at
+    # BOTH list levels plus element nulls (max_def = 5)
+    t = pa.list_(pa.list_(pa.int64()))
+    cases = [
+        [[[1, 2], [3]], None, [], [None, [], [4, None, 5]]],
+        [None, None],
+        [],
+        [[[None]]],
+        [[[]]],
+        [[], [None], [[]]],
+    ]
+    for vals in cases:
+        arr = pa.array(vals, type=t)
+        for policy in ["auto", "plain", "reference"]:
+            chunk = encode_chunk(arr, policy=policy, page_target_bytes=32)
+            assert chunk.max_rep == 2
+            out = decode_chunk(chunk)
+            out.validate(full=True)
+            assert out.to_pylist() == arr.to_pylist(), (vals, policy)
+    # string elements through dict/FSST candidates + sliced input
+    arr = pa.array([[["a", "bb"], None], [["a"]], None] * 200, type=pa.list_(pa.list_(pa.string())))
+    chunk = encode_chunk(arr, policy="auto", page_target_bytes=512)
+    assert decode_chunk(chunk).to_pylist() == arr.to_pylist()
+    sl = arr.slice(5, 400)
+    assert decode_chunk(encode_chunk(sl, policy="plain")).to_pylist() == sl.to_pylist()
+
+
 def test_struct_list_chunk_roundtrip():
     # list<struct<...>> (token spans): per-field list chunks, null struct
     # elements at def = max_def - 1, fields required where struct present

@@ -82,6 +82,27 @@ def test_list_chunk_roundtrip_fuzz(vals, policy):
     assert decode_chunk(chunk).to_pylist() == arr.to_pylist()
 
 
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.one_of(st.none(), st.lists(st.one_of(st.none(), I32), max_size=5)),
+                max_size=5,
+            ),
+        ),
+        max_size=60,
+    ),
+    st.sampled_from(["auto", "plain", "reference"]),
+)
+def test_list_of_list_roundtrip_fuzz(vals, policy):
+    arr = pa.array(vals, type=pa.list_(pa.list_(pa.int32())))
+    chunk = encode_chunk(arr, policy=policy, page_target_bytes=64)
+    out = decode_chunk(chunk)
+    assert out.to_pylist() == arr.to_pylist()
+
+
 @settings(max_examples=25, deadline=None)
 @given(st.lists(st.binary(max_size=40), max_size=200))
 def test_delta_byte_array_roundtrip_fuzz(vals):
