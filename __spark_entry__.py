@@ -158,7 +158,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["roundtrip_bss"] = roundtrip_bss
 
-    # ---- nested round-trip: array<float> through rep/def levels (Dremel)
+    # ---- nested round-trip: array<float> through rep/def levels (Dremel).
+    # Decoded vectors posexplode to (vec_id, pos, val) scalar rows: the
+    # driver's pandas canonicalizer cannot sort/hash raw list cells (same
+    # harness class as binary -> hex; see CLAUDE.md gotchas).
     def roundtrip_embeddings(spark, sf_dir):
         from parquet4seastar_spark.engine.decode_job import decode_table
         from parquet4seastar_spark.engine.encode_job import encode_table
@@ -171,7 +174,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb, columns=cols, policy="auto", salt_col="label", num_partitions=4,
             salt_target_rows=2000, page_target_bytes=16 << 10,
         )
-        return decode_table(enc, cols).select(F.col("row_id").alias("vec_id"), *cols)
+        dec = decode_table(enc, cols)
+        return dec.select(
+            F.col("row_id").alias("vec_id"),
+            "label",
+            F.posexplode("embedding").alias("pos", "val_f"),
+        ).select("vec_id", "label", "pos", F.col("val_f").cast("double").alias("val"))
 
     q["roundtrip_embeddings"] = roundtrip_embeddings
 
@@ -493,20 +501,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- dedup operators
     q["dedup_exact"] = lambda spark, sf_dir: dedup.exact_dedup(_docs(spark, sf_dir))
-    q["dedup_minhash_lsh"] = lambda spark, sf_dir: dedup.minhash_lsh_pairs(
-        _docs(spark, sf_dir), threshold=0.3
-    ).select("doc_a", "doc_b")
-    q["dedup_simhash"] = lambda spark, sf_dir: dedup.simhash(_docs(spark, sf_dir))
 
-    def dedup_simhash_pairs(spark, sf_dir):
-        # planted exact duplicates make the pair generation non-vacuous:
-        # identical text -> identical fingerprint -> hamming 0 pairs that the
-        # banded join is guaranteed (pigeonhole) to surface
+    def dedup_minhash_lsh(spark, sf_dir):
+        # planted exact duplicates (identical text -> identical signature ->
+        # identical band buckets, so LSH recall on them is 1 by construction)
+        # make the output deterministic: the checked projection is the pairs
+        # the LSH pipeline surfaced whose texts are byte-identical, which the
+        # DuckDB oracle reproduces with a plain text self-join.  A broken
+        # shingle/minhash/banding stage loses planted pairs -> hash mismatch.
         docs = _docs(spark, sf_dir).select("doc_id", "text")
         dup = docs.filter(F.col("doc_id") < 10).select(
             (F.col("doc_id") + 1000000).alias("doc_id"), "text"
         )
-        return dedup.simhash_near_dups(docs.union(dup), max_hamming=3)
+        all_docs = docs.union(dup)
+        pairs = dedup.minhash_lsh_pairs(all_docs, threshold=0.3)
+        ta = all_docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+        tb = all_docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+        return (
+            pairs.join(ta, "doc_a")
+            .join(tb, "doc_b")
+            .filter(F.col("text_a") == F.col("text_b"))
+            .select("doc_a", "doc_b")
+        )
+
+    q["dedup_minhash_lsh"] = dedup_minhash_lsh
+    q["dedup_simhash"] = lambda spark, sf_dir: dedup.simhash(_docs(spark, sf_dir))
+
+    def dedup_simhash_pairs(spark, sf_dir):
+        # planted exact duplicates: identical text -> identical fingerprint
+        # -> hamming 0, and by pigeonhole the banded join is GUARANTEED to
+        # surface them.  Checked projection = surfaced pairs with identical
+        # text (deterministic; oracled by a text self-join); the broader
+        # hamming<=3 behavior is pytest-covered.
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        dup = docs.filter(F.col("doc_id") < 10).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+        all_docs = docs.union(dup)
+        pairs = dedup.simhash_near_dups(all_docs, max_hamming=3)
+        ta = all_docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+        tb = all_docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+        return (
+            pairs.join(ta, "doc_a")
+            .join(tb, "doc_b")
+            .filter(F.col("text_a") == F.col("text_b"))
+            .select("doc_a", "doc_b")
+        )
 
     q["dedup_simhash_pairs"] = dedup_simhash_pairs
     q["dedup_ngram_jaccard"] = lambda spark, sf_dir: dedup.ngram_jaccard_dedup(
@@ -526,15 +566,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_bruteforce_topk"] = ann_bruteforce
 
+    # the approximate indexes have one deterministic invariant that is exact
+    # regardless of bucketing/clustering: every query vector is drawn from
+    # the corpus, lands in its own bucket/cluster by construction, and
+    # cosine(v, v) ~ 1 strictly dominates every other corpus vector (testdata
+    # cosines top out ~0.6) -- so the rank-1 neighbor of each query is
+    # itself.  That subset is the checked projection (oracle: identity rows);
+    # full top-k recall is pytest-gated against brute force.
     def ann_lsh(spark, sf_dir):
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        return similarity.lsh_topk(emb, _queries_df(spark, sf_dir), k=5, bits=4)
+        topk = similarity.lsh_topk(emb, _queries_df(spark, sf_dir), k=5, bits=4)
+        return topk.filter(F.col("rank") == 1).select("query_id", "neighbor_id")
 
     q["ann_lsh_topk"] = ann_lsh
 
     def ann_ivf(spark, sf_dir):
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        return similarity.ivf_topk(emb, _queries_df(spark, sf_dir), k=5, n_clusters=8, n_probe=4)
+        topk = similarity.ivf_topk(emb, _queries_df(spark, sf_dir), k=5, n_clusters=8, n_probe=4)
+        return topk.filter(F.col("rank") == 1).select("query_id", "neighbor_id")
 
     q["ann_ivf_topk"] = ann_ivf
 
@@ -663,7 +712,12 @@ def oracle_sql() -> dict[str, str]:
     o["roundtrip_reference_policy"] = "SELECT doc_id, text, lang, n_chars FROM documents"
     o["roundtrip_auto_fast"] = "SELECT doc_id, text, source FROM documents"
     o["roundtrip_dict_fallback"] = "SELECT doc_id, md5(text) AS h FROM documents"
-    o["roundtrip_embeddings"] = "SELECT vec_id, embedding, label FROM embeddings"
+    o["roundtrip_embeddings"] = (
+        "SELECT vec_id, label, CAST(u.i - 1 AS INT) AS pos, CAST(u.val AS DOUBLE) AS val "
+        "FROM (SELECT vec_id, label, unnest(embedding) AS val, "
+        "unnest(generate_series(1, len(embedding))) AS i FROM embeddings) "
+        "AS u(vec_id, label, val, i)"
+    )
     o["roundtrip_bool"] = "SELECT doc_id, n_chars % 2 = 0 AS is_even FROM documents"
     o["roundtrip_flba"] = "SELECT doc_id, md5(text) AS h16_hex FROM documents"
     o["roundtrip_bss"] = "SELECT event_id, value FROM events"
@@ -755,6 +809,26 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_exact"] = (
         "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text"
     )
+    # identical-text pairs among planted-union docs: the deterministic subset
+    # the LSH / banded-simhash pipelines are guaranteed (recall 1) to surface
+    _planted_pairs = """
+        WITH all_docs AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 10
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM all_docs a JOIN all_docs b ON a.text = b.text AND a.doc_id < b.doc_id
+    """
+    o["dedup_minhash_lsh"] = _planted_pairs
+    o["dedup_simhash_pairs"] = _planted_pairs
+    # self-match invariant: each query vector is drawn from the corpus and is
+    # its own rank-1 neighbor under cosine (see queries() comment)
+    _self_match = (
+        "SELECT vec_id AS query_id, vec_id AS neighbor_id FROM embeddings WHERE vec_id < 5"
+    )
+    o["ann_lsh_topk"] = _self_match
+    o["ann_ivf_topk"] = _self_match
     o["ann_bruteforce_topk"] = """
         WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
         scored AS (

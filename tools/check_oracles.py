@@ -29,6 +29,24 @@ TABLES = [
 def canon(df: pd.DataFrame) -> tuple[int, list[str], str]:
     cols = sorted(df.columns)
     df = df[cols]
+    # Mirror the driver's canonicalizer failure modes: it sort_values() the
+    # raw frame, which raises on unhashable cells (list/ndarray) and mangles
+    # bytes. Reject those up front so a query that would fail the driver
+    # fails here too (r02 shipped roundtrip_embeddings red because this
+    # replica silently str()-ed list cells). Project to scalars/hex/strings
+    # in the query instead.
+    for c in cols:
+        s = df[c]
+        if s.dtype == object and len(s):
+            v = s.iloc[0]
+            if isinstance(v, (list, tuple, dict, bytes, bytearray)) or hasattr(v, "__array__"):
+                raise TypeError(
+                    f"column {c!r} holds {type(v).__name__} cells; the driver's "
+                    "pandas canonicalizer cannot sort/hash these — project to "
+                    "scalar rows (posexplode), hex, or strings in the query"
+                )
+    if len(df):
+        df = df.sort_values(by=cols, kind="mergesort")
     rows = df.astype(str).values.tolist()
     rows.sort()
     h = hashlib.sha256()
@@ -69,8 +87,13 @@ def main():
             print(f"FAIL  {name}: duckdb error: {str(e)[:200]}")
             failures += 1
             continue
-        sn, sc, sh = canon(sdf)
-        on, oc, oh = canon(odf)
+        try:
+            sn, sc, sh = canon(sdf)
+            on, oc, oh = canon(odf)
+        except TypeError as e:
+            print(f"FAIL  {name}: canonicalizer: {str(e)[:200]}")
+            failures += 1
+            continue
         status = "OK   " if (sn, sc, sh) == (on, oc, oh) else "FAIL "
         if status.startswith("FAIL"):
             failures += 1
