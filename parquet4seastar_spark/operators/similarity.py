@@ -20,6 +20,21 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def auto_bits(n_rows: int, target_bucket_rows: int = 64, lo: int = 4, hi: int = 24) -> int:
+    """Size an LSH bucket space from the corpus row count.
+
+    ``bits = ceil(log2(n / target_bucket_rows))`` keeps expected bucket
+    population near ``target_bucket_rows`` at ANY corpus size — a fixed
+    ``bits`` silently degrades at scale (at 10^9 vectors a 256-bucket space
+    puts ~4M rows in every bucket, blowing past any per-bucket cap).
+    """
+    import math
+
+    if n_rows <= target_bucket_rows:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(n_rows / target_bucket_rows))))
+
+
 def _list_to_mat(arr) -> np.ndarray:
     """Arrow list<float> column -> (n, dim) float64 matrix, zero per-row
     Python (flatten + reshape on the arrow value buffer)."""
@@ -97,15 +112,19 @@ def random_hyperplane_signatures(
 
 def banded_hyperplane_buckets(
     embeddings: DataFrame, bands: int = 8, bits: int = 8, seed: int = 11,
-    id_col: str = "vec_id", vec_col: str = "embedding",
+    extra_bits: int = 0, id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, band, bucket): ``bands`` independent sign-projection signatures
-    per vector (OR-construction: one matmul computes all bands*bits
-    projections; a pair collides if ANY band bucket matches)."""
+    """(id, band, bucket, subsig): ``bands`` independent sign-projection
+    signatures per vector (OR-construction: one matmul computes all
+    bands*(bits+extra_bits) projections; a pair collides if ANY band bucket
+    matches).  ``subsig`` packs ``extra_bits`` spare hyperplane signs per
+    band — consumers split over-full buckets by appending sub-signature
+    bits, which costs nothing extra here (same matmul)."""
 
     def compute(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         planes = None
-        weights = (np.uint64(1) << np.arange(bits, dtype=np.uint64)).astype(np.float64)
+        w = bits + extra_bits
+        weights = (np.uint64(1) << np.arange(w, dtype=np.uint64)).astype(np.float64)
         for rb in batches:
             if rb.num_rows == 0:
                 continue
@@ -114,33 +133,45 @@ def banded_hyperplane_buckets(
             n = mat.shape[0]
             if planes is None:
                 rng = np.random.default_rng(seed)
-                planes = rng.standard_normal((mat.shape[1], bands * bits))
-            proj = mat @ planes  # (n, bands*bits)
-            packed = ((proj > 0).reshape(n, bands, bits) @ weights).astype(np.int64)
+                planes = rng.standard_normal((mat.shape[1], bands * w))
+            proj = mat @ planes  # (n, bands*(bits+extra_bits))
+            sgn = (proj > 0).reshape(n, bands, w)
+            packed = (sgn[:, :, :bits] @ weights[:bits]).astype(np.int64)
+            if extra_bits:
+                sub = (sgn[:, :, bits:] @ weights[:extra_bits]).astype(np.int64)
+            else:
+                sub = np.zeros((n, bands), dtype=np.int64)
             ids = np.repeat(np.asarray(tbl.column(id_col).combine_chunks().cast(pa.int64())), bands)
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(ids, type=pa.int64()),
                     pa.array(np.tile(np.arange(bands, dtype=np.int32), n), type=pa.int32()),
                     pa.array(packed.reshape(-1), type=pa.int64()),
+                    pa.array(sub.reshape(-1), type=pa.int64()),
                 ],
-                names=[id_col, "band", "bucket"],
+                names=[id_col, "band", "bucket", "subsig"],
             )
 
     return embeddings.select(id_col, vec_col).mapInArrow(
-        compute, schema=f"{id_col} long, band int, bucket long"
+        compute, schema=f"{id_col} long, band int, bucket long, subsig long"
     )
 
 
 def lsh_topk(
-    embeddings: DataFrame, queries: DataFrame, k: int = 10, bits: int = 8, seed: int = 11,
+    embeddings: DataFrame, queries: DataFrame, k: int = 10, bits: int | None = None,
+    seed: int = 11, target_bucket_rows: int = 64,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: exact cosine only within matching LSH buckets.
 
     Recall < 1 by construction; the scale path when queries are too many to
-    broadcast-score everywhere.
+    broadcast-score everywhere.  ``bits`` defaults to auto-sizing from the
+    corpus count (one cheap count job) so each query scores
+    ~``target_bucket_rows`` candidates at ANY corpus size — a fixed bucket
+    space would degrade to scanning n/2^bits of the corpus per query.
     """
+    if bits is None:
+        bits = auto_bits(embeddings.count(), target_bucket_rows)
     sig_e = random_hyperplane_signatures(embeddings, bits=bits, seed=seed, id_col=id_col, vec_col=vec_col)
     emb = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("nv"))
     sig_e = sig_e.withColumnRenamed(id_col, "neighbor_id")
@@ -164,9 +195,11 @@ def embedding_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.9,
     bands: int = 8,
-    bits: int = 8,
+    bits: int | None = None,
     seed: int = 11,
     max_bucket_size: int = 4096,
+    split_bits: int = 16,
+    target_bucket_rows: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -175,24 +208,58 @@ def embedding_near_dups(
 
     Scale shape: only (id, band, bucket) triples ride the banding shuffle;
     candidate pairs are deduplicated before the vectors join back once per
-    side for the exact confirm.  ``max_bucket_size`` drops degenerate
-    buckets (e.g. a constant-vector pile-up) before the self-join so no
-    bucket goes quadratic -- an explicit recall/cost knob, like LSH itself.
+    side for the exact confirm.  Two guards keep recall at ANY corpus size
+    (a fixed bucket space + silent over-cap drops would zero recall at
+    10^9 vectors):
+
+    - ``bits`` auto-sizes from the corpus count (one cheap count job) so
+      expected bucket population stays near ``target_bucket_rows``;
+    - buckets that still exceed ``max_bucket_size`` are SPLIT on up to
+      ``split_bits`` spare hyperplane signs (computed in the same matmul;
+      ceil(log2(n_bucket/cap)) bits, so expected sub-bucket size <= cap).
+      Positively-scaled duplicates share every sign, so splitting never
+      separates true near-identical pairs.  A sub-bucket over the cap after
+      splitting means >cap vectors identical on bits+split_bits projections
+      (a duplicate pile-up): those link to the bucket's min-id
+      representative in a STAR instead of all-pairs — the dup group stays
+      discoverable (via its representative) at linear, not quadratic, cost,
+      and nothing is silently dropped.
     """
-    # three subtrees consume the signatures (size table + both join sides):
-    # persist so the projection matmul runs once, not three times
+    if bits is None:
+        bits = auto_bits(embeddings.count(), target_bucket_rows)
+    # several subtrees consume the signatures (size tables + join sides):
+    # persist so the projection matmul runs once
     sig = banded_hyperplane_buckets(
-        embeddings, bands=bands, bits=bits, seed=seed, id_col=id_col, vec_col=vec_col
+        embeddings, bands=bands, bits=bits, seed=seed, extra_bits=split_bits,
+        id_col=id_col, vec_col=vec_col,
     ).persist()
-    # bucket space is bands * 2^bits (tiny): the size table broadcasts
+    # size table: small relative to data (one row per non-empty bucket);
+    # AQE picks broadcast when it fits, shuffle join otherwise
     sizes = sig.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_n"))
-    sig = (
-        sig.join(F.broadcast(sizes), ["band", "bucket"])
-        .filter(F.col("_n") <= max_bucket_size)
-        .drop("_n")
+    eb = F.when(F.col("_n") <= max_bucket_size, F.lit(0)).otherwise(
+        F.least(
+            F.lit(split_bits),
+            F.ceil(F.log2(F.col("_n") / F.lit(max_bucket_size))).cast("int"),
+        )
     )
-    left, right = sig.alias("l"), sig.alias("r")
-    cand = (
+    sig2 = (
+        sig.join(sizes, ["band", "bucket"])
+        .withColumn("eb", eb)
+        .select(
+            id_col,
+            "band",
+            F.expr(
+                f"shiftleft(bucket, {split_bits})"
+                " + (subsig & (shiftleft(CAST(1 AS BIGINT), eb) - 1))"
+            ).alias("bucket"),
+        )
+    )
+    sizes2 = sig2.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_n2"))
+    sig2 = sig2.join(sizes2, ["band", "bucket"])
+    ok = sig2.filter(F.col("_n2") <= max_bucket_size)
+    big = sig2.filter(F.col("_n2") > max_bucket_size)
+    left, right = ok.alias("l"), ok.alias("r")
+    cand_ok = (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
@@ -200,8 +267,14 @@ def embedding_near_dups(
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
         .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
     )
+    reps = big.groupBy("band", "bucket").agg(F.min(id_col).alias("id_a"))
+    cand_big = (
+        big.join(reps, ["band", "bucket"])
+        .filter(F.col(id_col) != F.col("id_a"))
+        .select("id_a", F.col(id_col).alias("id_b"))
+    )
+    cand = cand_ok.unionByName(cand_big).dropDuplicates(["id_a", "id_b"])
     emb = embeddings.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
     va = emb.select(F.col(id_col).alias("id_a"), F.col("v").alias("v_a"))
     vb = emb.select(F.col(id_col).alias("id_b"), F.col("v").alias("v_b"))

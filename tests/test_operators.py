@@ -218,15 +218,54 @@ def test_embedding_near_dups_planted(spark, embeddings):
     assert pairs == {(i, i + 1000000) for i in range(5)}
 
 
-def test_embedding_near_dups_bucket_cap(spark, embeddings):
+def test_embedding_near_dups_bucket_cap_star_fallback(spark, embeddings):
     from parquet4seastar_spark.operators.similarity import embedding_near_dups
 
-    # a cap of 1 drops every bucket that could produce a pair -> empty result
+    # EXACT copies agree on every hyperplane sign, so no amount of splitting
+    # separates them: with cap=1 each dup pair overflows its sub-bucket and
+    # must surface via the min-id-representative STAR link (round-2 behavior
+    # silently DROPPED these; nothing may be silently dropped now)
     planted = embeddings.filter(F.col("vec_id") < 5).select(
         (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
     )
     both = embeddings.select("vec_id", "embedding").union(planted)
-    assert embedding_near_dups(both, threshold=0.9, max_bucket_size=1).count() == 0
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(both, threshold=0.9, max_bucket_size=1).collect()
+    }
+    assert {(i, i + 1000000) for i in range(5)} <= pairs
+
+
+def test_embedding_near_dups_overflow_split_keeps_recall(spark, embeddings):
+    from parquet4seastar_spark.operators.similarity import embedding_near_dups
+
+    # deliberately overflowing buckets: bits=2 -> 4 buckets/band, ~125
+    # vectors per bucket >> cap=20.  Round-2 behavior dropped every bucket
+    # (zero recall); splitting on spare hyperplane signs must keep the
+    # planted scaled pairs (signs preserved under positive scaling, so a
+    # split never separates them) while capping sub-bucket size.
+    planted = embeddings.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(1.01)).cast("float")).alias("embedding"),
+    )
+    both = embeddings.select("vec_id", "embedding").union(planted)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(
+            both, threshold=0.9, bits=2, max_bucket_size=20
+        ).collect()
+    }
+    assert pairs == {(i, i + 1000000) for i in range(5)}
+
+
+def test_auto_bits_scales_with_corpus():
+    from parquet4seastar_spark.operators.similarity import auto_bits
+
+    assert auto_bits(500) == 4  # floor
+    assert auto_bits(64 * (1 << 10)) == 10
+    assert auto_bits(10**9) == 24  # ceil(log2(1e9/64)) = 24
+    assert auto_bits(10**12) == 24  # cap
+    assert auto_bits(0) == 4
 
 
 def test_stream_dedup_stateful(spark, tmp_path):
