@@ -652,13 +652,7 @@ def encode_chunk(
 def chunk_sha256(ptype, valid, values, lengths, payload) -> str:
     h = hashlib.sha256()
     h.update(np.packbits(valid, bitorder="little").tobytes())
-    if ptype == "BYTE_ARRAY":
-        h.update(np.ascontiguousarray(lengths, dtype=np.int64).tobytes())
-        h.update(np.ascontiguousarray(payload).tobytes())
-    elif ptype == "BOOLEAN":
-        h.update(np.packbits(values, bitorder="little").tobytes())
-    else:
-        h.update(np.ascontiguousarray(values).tobytes())
+    _sha_update_values(h, ptype, values, lengths, payload)
     return h.hexdigest()
 
 
@@ -833,6 +827,28 @@ def list_chunk_sha256(ptype, row_valid, lengths_per_row, elem_valid, values, len
     h.update(np.packbits(row_valid, bitorder="little").tobytes())
     h.update(np.ascontiguousarray(lengths_per_row, dtype=np.int64).tobytes())
     h.update(np.packbits(elem_valid, bitorder="little").tobytes())
+    _sha_update_values(h, ptype, values, lengths, payload)
+    return h.hexdigest()
+
+
+def list2_chunk_sha256(
+    ptype, row_valid, outer_len, inner_valid, inner_len, elem_valid, values, lengths, payload
+) -> str:
+    """Content sha for a list<list<T>> chunk: every structural stream
+    (validity + lengths at both repetition levels) AND the element values —
+    so value-byte corruption is detectable, same guarantee as
+    list_chunk_sha256 / chunk_sha256 give flat and single-list chunks."""
+    h = hashlib.sha256()
+    h.update(np.packbits(row_valid, bitorder="little").tobytes())
+    h.update(np.ascontiguousarray(outer_len, dtype=np.int64).tobytes())
+    h.update(np.packbits(inner_valid, bitorder="little").tobytes())
+    h.update(np.ascontiguousarray(inner_len, dtype=np.int64).tobytes())
+    h.update(np.packbits(elem_valid, bitorder="little").tobytes())
+    _sha_update_values(h, ptype, values, lengths, payload)
+    return h.hexdigest()
+
+
+def _sha_update_values(h, ptype, values, lengths, payload) -> None:
     if ptype == "BYTE_ARRAY":
         h.update(np.ascontiguousarray(lengths, dtype=np.int64).tobytes())
         h.update(np.ascontiguousarray(payload).tobytes())
@@ -840,7 +856,6 @@ def list_chunk_sha256(ptype, row_valid, lengths_per_row, elem_valid, values, len
         h.update(np.packbits(values, bitorder="little").tobytes())
     else:
         h.update(np.ascontiguousarray(values).tobytes())
-    return h.hexdigest()
 
 
 # ---------------------------------------------------------------------------
@@ -1611,6 +1626,38 @@ def chunk_content_sha(arr: pa.Array) -> str:
     page corruption without the source table."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if (pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)) and (
+        pa.types.is_list(arr.type.value_type) or pa.types.is_large_list(arr.type.value_type)
+    ):
+        # list<list<T>>: flatten TWICE, mirroring _encode_list2_chunk's
+        # stream decomposition exactly (same logical casts on the leaf)
+        ptype, logical = pa_ptype(arr)
+        n = len(arr)
+        row_valid = np.ones(n, dtype=bool) if arr.null_count == 0 else np.asarray(arr.is_valid())
+        olen = pa.compute.list_value_length(arr)
+        outer_len = np.asarray(olen.fill_null(0) if arr.null_count else olen).astype(np.int64)
+        inner = arr.flatten()
+        inner_valid = (
+            np.ones(len(inner), dtype=bool) if inner.null_count == 0 else np.asarray(inner.is_valid())
+        )
+        ilen = pa.compute.list_value_length(inner)
+        inner_len = np.asarray(ilen.fill_null(0) if inner.null_count else ilen).astype(np.int64)
+        leaf = inner.flatten()
+        elem_logical2 = logical[10:-2]
+        if elem_logical2 == "timestamp_us":
+            leaf = leaf.cast(pa.int64())
+        elif elem_logical2 == "date":
+            leaf = leaf.cast(pa.int32())
+        elif elem_logical2.startswith("decimal("):
+            leaf = _decimal_to_physical(leaf, ptype)
+        elem_valid = (
+            np.ones(len(leaf), dtype=bool) if leaf.null_count == 0 else np.asarray(leaf.is_valid())
+        )
+        nn_leaf = leaf.drop_null() if leaf.null_count else leaf
+        values, lengths, payload, _, _ = _leaf_components(nn_leaf, ptype)
+        return list2_chunk_sha256(
+            ptype, row_valid, outer_len, inner_valid, inner_len, elem_valid, values, lengths, payload
+        )
     if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
         ptype, _ = pa_ptype(arr)
         n = len(arr)
@@ -1883,13 +1930,9 @@ def _encode_list2_chunk(
         max_rep=2,
         elem_nullable=elem_nullable,
     )
-    h = hashlib.sha256()
-    h.update(np.packbits(row_valid, bitorder="little").tobytes())
-    h.update(outer_len.tobytes())
-    h.update(np.packbits(inner_valid, bitorder="little").tobytes())
-    h.update(inner_len.tobytes())
-    h.update(np.packbits(elem_valid, bitorder="little").tobytes())
-    chunk.sha256 = h.hexdigest()
+    chunk.sha256 = list2_chunk_sha256(
+        ptype, row_valid, outer_len, inner_valid, inner_len, elem_valid, values, lengths, payload
+    )
     _chunk_stats(chunk, ptype, values, lengths, payload)
 
     plan = _plan_codecs(policy, ptype, n, None, values, lengths, payload, page_ends, nn_page_ends)

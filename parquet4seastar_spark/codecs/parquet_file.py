@@ -242,6 +242,17 @@ def write_parquet_file(
                     f"{lpath}: row-group schema geometry differs from group 0 "
                     f"(nullable/levels/type must match across groups)"
                 )
+            if c.max_rep > 1:
+                # _schema_elements emits a single-repetition 3-level LIST:
+                # writing max_rep=2 pages under it would produce a silently
+                # corrupt file (rep levels bit-packed at the wrong width).
+                # Mirror the reader's guard until a nested-LIST schema
+                # emitter exists; list<list> stays pages-table-only.
+                raise ValueError(
+                    f"{lpath}: max_rep={c.max_rep} not writable as a standard "
+                    "LIST schema (list<list> is engine-internal; flatten or "
+                    "re-encode one repetition level for container export)"
+                )
             if c.compression not in codec_ids:
                 raise ValueError(f"{lpath}: unsupported compression {c.compression}")
             bad = set(c.encodings) - _STANDARD_ENCODINGS
@@ -251,23 +262,26 @@ def write_parquet_file(
                 raise ValueError(f"{lpath}: row count {c.num_rows} != {nrows}")
 
     out = bytearray(MAGIC)
-    # per group: [(path, chunk, dict_off, data_off, total_bytes)]
-    group_meta: list[list[tuple[tuple[str, ...], EncodedChunk, int, int, int]]] = []
+    # per group: [(path, chunk, dict_off, data_off, total_bytes, uncomp_bytes)]
+    group_meta: list[list[tuple[tuple[str, ...], EncodedChunk, int, int, int, int]]] = []
     for leaves in group_leaves:
         col_meta = []
         for lpath, c in leaves:
             dict_off = 0
             data_off = 0
             start = len(out)
+            uncomp = 0
             for page in c.pages:
                 off = len(out)
                 if page.kind == "dict":
                     dict_off = off
                 elif data_off == 0:
                     data_off = off
-                out += _page_header(page, c.max_rep)
+                header = _page_header(page, c.max_rep)
+                out += header
                 out += page.data
-            col_meta.append((lpath, c, dict_off, data_off, len(out) - start))
+                uncomp += len(header) + page.uncompressed_size
+            col_meta.append((lpath, c, dict_off, data_off, len(out) - start, uncomp))
         group_meta.append(col_meta)
 
     footer = CompactWriter()
@@ -288,7 +302,7 @@ def write_parquet_file(
     for col_meta, nrows in zip(group_meta, group_rows):
         footer.elem_struct_begin()
         footer.begin_field_list(1, CT_STRUCT, len(col_meta))  # columns
-        for path_parts, c, dict_off, data_off, total in col_meta:
+        for path_parts, c, dict_off, data_off, total, uncomp in col_meta:
             footer.elem_struct_begin()  # ColumnChunk
             footer.field_i64(2, data_off)  # file_offset
             footer.begin_field_struct(3)  # ColumnMetaData
@@ -303,14 +317,17 @@ def write_parquet_file(
             footer.field_i32(4, codec_ids[c.compression])
             # num_values in parquet = number of LEVEL entries in the chunk
             footer.field_i64(5, sum(p.num_values for p in c.pages if p.kind == "data"))
-            footer.field_i64(6, total)  # total_uncompressed_size
-            footer.field_i64(7, total)  # total_compressed_size
+            # total_uncompressed_size = headers + uncompressed page bodies;
+            # total_compressed_size = on-disk bytes (headers + compressed)
+            footer.field_i64(6, uncomp)
+            footer.field_i64(7, total)
             footer.field_i64(9, data_off)
             if dict_off:
                 footer.field_i64(11, dict_off)
             footer.end_struct()
             footer.end_struct()
-        footer.field_i64(2, sum(t for *_, t in col_meta))  # total_byte_size
+        # RowGroup.total_byte_size = uncompressed column data (parquet.thrift)
+        footer.field_i64(2, sum(u for *_, u in col_meta))
         footer.field_i64(3, nrows)
         footer.end_struct()  # RowGroup
     footer.field_string(6, "parquet4seastar_spark")

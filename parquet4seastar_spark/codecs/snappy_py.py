@@ -61,6 +61,8 @@ def snappy_decompress(buf) -> bytes:
     shift = 0
     pos = 0
     while True:
+        if pos >= len(buf):
+            raise ValueError("snappy: truncated length preamble")
         b = buf[pos]
         pos += 1
         n |= (b & 0x7F) << shift
@@ -89,6 +91,9 @@ def snappy_decompress(buf) -> bytes:
             pos += length
             opos += length
             continue
+        nb = 1 if t == 1 else (2 if t == 2 else 4)
+        if pos + nb > blen:  # consistent error on truncated copy tags
+            raise ValueError("snappy: truncated copy offset")
         if t == 1:  # copy with 1-byte offset
             length = ((tag >> 2) & 0x7) + 4
             offset = ((tag >> 5) << 8) | buf[pos]

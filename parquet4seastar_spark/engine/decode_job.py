@@ -168,11 +168,15 @@ def prune_chunks(
             & (lo_col.isNull() | (lo_col <= _lit(eq)))
             & (hi_col.isNull() | (hi_col >= _lit(eq)))
         )
-    # a typo'd / absent column would otherwise prune EVERYTHING silently
-    if ch.limit(1).count() == 0:
-        raise ValueError(f"prune_chunks: no chunks for column {column!r}")
-    keep = ch.filter(cond).select("part_key", "chunk_seq").distinct()
-    return encoded.join(F.broadcast(keep), ["part_key", "chunk_seq"], "left_semi")
+    # DROP-set anti-join, not a keep-set semi-join: chunks whose stats
+    # PROVE no row matches are removed; everything else (missing stats, or
+    # a typo'd/absent column -> empty drop set) survives.  Fail-safe by
+    # construction with zero eager work -- an absent column simply prunes
+    # nothing, and decode_table's schema discovery still raises on a column
+    # that truly isn't in the table.  The drop set (pruned chunks only) is
+    # the smaller side, so the broadcast stays cheap at scale.
+    drop = ch.filter(~cond).select("part_key", "chunk_seq").distinct()
+    return encoded.join(F.broadcast(drop), ["part_key", "chunk_seq"], "left_anti")
 
 
 def decode_table(

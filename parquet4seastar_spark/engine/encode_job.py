@@ -96,6 +96,41 @@ def salted_repartition(
 _OUT_SCHEMA_PA = None
 
 
+def _payload_column(payloads) -> pa.Array:
+    """Binary column from page payloads (bytes | None), built directly on
+    arrow buffers: one vectorized memcpy per payload into the final buffer,
+    no per-element Python object conversion inside pyarrow."""
+    n = len(payloads)
+    lens = np.fromiter(
+        (len(p) if p is not None else 0 for p in payloads), dtype=np.int64, count=n
+    )
+    offsets64 = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets64[1:])
+    total = int(offsets64[-1])
+    if total > (1 << 31) - 1:  # pa.binary() carries int32 offsets
+        raise ValueError("page payload batch exceeds 2 GiB; lower chunk_target_bytes")
+    buf = np.empty(total, dtype=np.uint8)
+    pos = 0
+    null_count = 0
+    for p in payloads:
+        if p is None:
+            null_count += 1
+            continue
+        m = len(p)
+        buf[pos : pos + m] = np.frombuffer(p, dtype=np.uint8)
+        pos += m
+    validity = None
+    if null_count:
+        valid = np.fromiter((p is not None for p in payloads), dtype=bool, count=n)
+        validity = pa.py_buffer(np.packbits(valid, bitorder="little").tobytes())
+    return pa.Array.from_buffers(
+        pa.binary(),
+        n,
+        [validity, pa.py_buffer(offsets64.astype(np.int32)), pa.py_buffer(buf)],
+        null_count=null_count if null_count else 0,
+    )
+
+
 def _out_schema_pa() -> pa.Schema:
     global _OUT_SCHEMA_PA
     if _OUT_SCHEMA_PA is None:
@@ -171,6 +206,10 @@ def _encode_partition_factory(
                 yield _encode_chunk_rows(sub, key, seq)
 
         def _encode_chunk_rows(tbl: pa.Table, part_key: str, seq: int) -> pa.RecordBatch:
+            # rows are field-order TUPLES (zip-transposed once at the end),
+            # not per-row dicts; the page payload column is assembled
+            # arrow-native from the payload buffers (one memcpy into the
+            # final arrow buffer, no per-element Python binary path)
             rows = []
             leaf_chunks: list[tuple[str, object]] = []
             for col in ["row_id", *columns]:
@@ -232,85 +271,43 @@ def _encode_partition_factory(
                     )
             for col, chunk in leaf_chunks:
                 chunk_id = hashlib.sha1(f"{part_key}|{col}|{seq}".encode()).hexdigest()[:20]
+                encs = ",".join(chunk.encodings)
                 for pi, page in enumerate(chunk.pages):
-                    rows.append(
-                        {
-                            "kind": "page",
-                            "part_key": part_key,
-                            "chunk_id": chunk_id,
-                            "column": col,
-                            "chunk_seq": seq,
-                            "page_idx": pi,
-                            "page_kind": page.kind,
-                            "encoding": page.encoding,
-                            "num_values": page.num_values,
-                            "num_non_null": page.num_non_null,
-                            "uncompressed_size": page.uncompressed_size,
-                            "compressed_size": page.compressed_size,
-                            "data": page.data,
-                            "ptype": chunk.ptype,
-                            "logical": chunk.logical,
-                            "nullable": chunk.nullable,
-                            "num_rows": chunk.num_rows,
-                            "num_nulls": chunk.num_nulls,
-                            "cardinality": chunk.cardinality,
-                            "encodings": ",".join(chunk.encodings),
-                            "compression": chunk.compression,
-                            "type_length": chunk.type_length,
-                            "input_bytes": None,
-                            "encoded_bytes": None,
-                            "sha256": None,
-                            "n_pages": len(chunk.pages),
-                            "max_def": chunk.max_def,
-                            "max_rep": chunk.max_rep,
-                            "elem_nullable": chunk.elem_nullable,
-                            "stat_min_num": None,
-                            "stat_max_num": None,
-                            "stat_min_bin": None,
-                            "stat_max_bin": None,
-                        }
-                    )
-                rows.append(
-                    {
-                        "kind": "chunk",
-                        "part_key": part_key,
-                        "chunk_id": chunk_id,
-                        "column": col,
-                        "chunk_seq": seq,
-                        "page_idx": -1,
-                        "page_kind": None,
-                        "encoding": None,
-                        "num_values": chunk.num_rows,
-                        "num_non_null": chunk.num_rows - chunk.num_nulls,
-                        "uncompressed_size": chunk.encoded_bytes,
-                        "compressed_size": chunk.compressed_bytes,
-                        "data": None,
-                        "ptype": chunk.ptype,
-                        "logical": chunk.logical,
-                        "nullable": chunk.nullable,
-                        "num_rows": chunk.num_rows,
-                        "num_nulls": chunk.num_nulls,
-                        "cardinality": chunk.cardinality,
-                        "encodings": ",".join(chunk.encodings),
-                        "compression": chunk.compression,
-                        "type_length": chunk.type_length,
-                        "input_bytes": chunk.input_bytes,
-                        "encoded_bytes": chunk.encoded_bytes,
-                        "sha256": chunk.sha256,
-                        "n_pages": len(chunk.pages),
-                        "max_def": chunk.max_def,
-                        "max_rep": chunk.max_rep,
-                        "elem_nullable": chunk.elem_nullable,
-                        "stat_min_num": chunk.stat_min_num,
-                        "stat_max_num": chunk.stat_max_num,
-                        "stat_min_bin": chunk.stat_min_bin,
-                        "stat_max_bin": chunk.stat_max_bin,
-                    }
-                )
+                    # field order = _out_schema_pa()
+                    rows.append((
+                        "page", part_key, chunk_id, col, seq, pi,
+                        page.kind, page.encoding, page.num_values,
+                        page.num_non_null, page.uncompressed_size,
+                        page.compressed_size, page.data,
+                        chunk.ptype, chunk.logical, chunk.nullable,
+                        chunk.num_rows, chunk.num_nulls, chunk.cardinality,
+                        encs, chunk.compression, chunk.type_length,
+                        None, None, None, len(chunk.pages),
+                        chunk.max_def, chunk.max_rep, chunk.elem_nullable,
+                        None, None, None, None,
+                    ))
+                rows.append((
+                    "chunk", part_key, chunk_id, col, seq, -1,
+                    None, None, chunk.num_rows,
+                    chunk.num_rows - chunk.num_nulls, chunk.encoded_bytes,
+                    chunk.compressed_bytes, None,
+                    chunk.ptype, chunk.logical, chunk.nullable,
+                    chunk.num_rows, chunk.num_nulls, chunk.cardinality,
+                    encs, chunk.compression, chunk.type_length,
+                    chunk.input_bytes, chunk.encoded_bytes, chunk.sha256,
+                    len(chunk.pages), chunk.max_def, chunk.max_rep,
+                    chunk.elem_nullable, chunk.stat_min_num,
+                    chunk.stat_max_num, chunk.stat_min_bin, chunk.stat_max_bin,
+                ))
             schema = _out_schema_pa()
-            arrays = [
-                pa.array([r[f.name] for r in rows], type=f.type) for f in schema
-            ]
+            by_field = list(zip(*rows))
+            data_idx = schema.get_field_index("data")
+            arrays = []
+            for i, f in enumerate(schema):
+                if i == data_idx:
+                    arrays.append(_payload_column(by_field[i]))
+                else:
+                    arrays.append(pa.array(list(by_field[i]), type=f.type))
             return pa.RecordBatch.from_arrays(arrays, schema=schema)
 
         for rb in batches:

@@ -70,7 +70,10 @@ def audit_lineage(encoded: DataFrame) -> DataFrame:
         chunk_seq = int(tbl.column("chunk_seq")[0].as_py())
         cols, oks, st, rec = [], [], [], []
         for c, sha in stored.items():
-            recomputed = chunk_content_sha(decode_chunk(_rebuild_chunk(tbl, by_col[c])))
+            try:
+                recomputed = chunk_content_sha(decode_chunk(_rebuild_chunk(tbl, by_col[c])))
+            except Exception as e:  # corrupt pages may fail to decode at all
+                recomputed = f"decode-error:{type(e).__name__}"
             cols.append(c)
             st.append(sha)
             rec.append(recomputed)

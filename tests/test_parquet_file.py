@@ -276,6 +276,40 @@ def test_snappy_rejects_truncated_stream():
     data = snappy_compress(b"hello world, hello world")
     with pytest.raises(ValueError):
         snappy_decompress(data[: len(data) - 3])
+    # EVERY truncation point must raise ValueError (never a bare IndexError
+    # from the copy-offset reads, never a garbage offset from a short slice)
+    for cut in range(len(data)):
+        with pytest.raises(ValueError):
+            snappy_decompress(data[:cut])
+
+
+def test_write_parquet_rejects_list_of_lists(tmp_path):
+    # ADVICE: _schema_elements emits a single-repetition LIST schema; pages
+    # with max_rep=2 under it would be silently corrupt.  Writer must refuse
+    # (the reader already guards max_rep>1).
+    arr = pa.array([[[1, 2], [3]], [[4]]], type=pa.list_(pa.list_(pa.int64())))
+    chunk = encode_chunk(arr, policy="plain")
+    assert chunk.max_rep == 2
+    with pytest.raises(ValueError, match="max_rep"):
+        write_parquet_file(str(tmp_path / "x.parquet"), {"ll": chunk}, len(arr))
+
+
+def test_column_metadata_sizes(tmp_path):
+    # total_uncompressed_size must be headers + uncompressed page bodies,
+    # total_compressed_size the on-disk bytes; equal when uncompressed,
+    # strictly larger when the codec shrinks the pages (gzip here — our
+    # snappy writer is literal-only by design and never shrinks)
+    data = pa.array([("the quick brown fox " * 9) + str(i % 7) for i in range(4000)])
+    for comp, check in (("uncompressed", "eq"), ("gzip", "gt")):
+        chunk = encode_chunk(data, policy="plain", compression=comp)
+        path = str(tmp_path / f"{comp}.parquet")
+        write_parquet_file(path, {"t": chunk}, len(data))
+        meta = pq.ParquetFile(path).metadata.row_group(0).column(0)
+        if check == "eq":
+            assert meta.total_uncompressed_size == meta.total_compressed_size
+        else:
+            assert meta.total_uncompressed_size > meta.total_compressed_size
+        assert pq.read_table(path).column("t").combine_chunks().equals(data.combine_chunks() if isinstance(data, pa.ChunkedArray) else data)
 
 
 def test_reader_rejects_corrupt_containers(tmp_path):
