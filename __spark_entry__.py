@@ -304,6 +304,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["roundtrip_token_spans"] = roundtrip_token_spans
 
+    # ---- array<struct> with an OPTIONAL field (4th Dremel def level): the
+    # shape a tokenized corpus with nullable per-span attributes carries
+    def roundtrip_token_spans_nullable(spark, sf_dir):
+        from parquet4seastar_spark.engine.decode_job import decode_table
+        from parquet4seastar_spark.engine.encode_job import encode_table
+
+        src = _docs(spark, sf_dir).select(
+            F.col("doc_id").alias("row_id"),
+            F.transform(
+                F.split(F.trim("text"), r"\s+"),
+                lambda x, i: F.struct(
+                    x.alias("tok"),
+                    F.when(i % 3 == 0, F.lit(None)).otherwise(i).cast("int").alias("pos"),
+                ),
+            ).alias("spans"),
+            "source",
+        )
+        enc = encode_table(
+            src, columns=["spans"], policy="auto", salt_col="source", num_partitions=2,
+            salt_target_rows=2000,
+        )
+        dec = decode_table(enc, ["spans"])
+        return dec.select(
+            F.col("row_id").alias("doc_id"), F.explode("spans").alias("s")
+        ).select("doc_id", F.col("s.tok").alias("tok"), F.col("s.pos").alias("pos"))
+
+    q["roundtrip_token_spans_nullable"] = roundtrip_token_spans_nullable
+
+    # ---- struct<struct<...>> through the engine (recursive Dremel def
+    # levels; round-2 capped at struct-of-primitives)
+    def roundtrip_struct_nested(spark, sf_dir):
+        from parquet4seastar_spark.engine.decode_job import decode_table
+        from parquet4seastar_spark.engine.encode_job import encode_table
+
+        src = _docs(spark, sf_dir).select(
+            F.col("doc_id").alias("row_id"),
+            F.struct(
+                F.struct(
+                    F.col("lang"),
+                    F.when(F.col("doc_id") % 7 == 0, F.lit(None))
+                    .otherwise(F.col("source"))
+                    .alias("src"),
+                ).alias("ident"),
+                F.col("n_chars"),
+            ).alias("meta"),
+            "source",
+        )
+        enc = encode_table(
+            src, columns=["meta"], policy="auto", salt_col="source", num_partitions=2,
+            salt_target_rows=2000,
+        )
+        return decode_table(enc, ["meta"]).select(
+            F.col("row_id").alias("doc_id"),
+            F.col("meta.ident.lang").alias("lang"),
+            F.col("meta.ident.src").alias("src"),
+            F.col("meta.n_chars").alias("n_chars"),
+        )
+
+    q["roundtrip_struct_nested"] = roundtrip_struct_nested
+
     # ---- map<string,string> through the engine (key/value list chunks with
     # shared offsets, standard parquet MAP level geometry)
     def roundtrip_map(spark, sf_dir):
@@ -738,6 +798,17 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok, "
         "unnest(generate_series(1, len(regexp_split_to_array(trim(text), '\\s+')))) AS i "
         "FROM documents) AS u(doc_id, tok, i)"
+    )
+    o["roundtrip_token_spans_nullable"] = (
+        "SELECT doc_id, u.tok AS tok, "
+        "CASE WHEN (u.i - 1) % 3 = 0 THEN NULL ELSE CAST(u.i - 1 AS INT) END AS pos FROM ("
+        "SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok, "
+        "unnest(generate_series(1, len(regexp_split_to_array(trim(text), '\\s+')))) AS i "
+        "FROM documents) AS u(doc_id, tok, i)"
+    )
+    o["roundtrip_struct_nested"] = (
+        "SELECT doc_id, lang, "
+        "CASE WHEN doc_id % 7 = 0 THEN NULL ELSE source END AS src, n_chars FROM documents"
     )
     o["roundtrip_parquet_file"] = "SELECT doc_id, text, lang, n_chars FROM documents"
     o["export_parquet_roundtrip"] = "SELECT doc_id, text, lang, n_chars FROM documents"

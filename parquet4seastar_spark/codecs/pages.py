@@ -684,7 +684,14 @@ def _encode_list_chunk(
     compression: str,
     nullable: bool | None,
     elem_nullable: bool | None = None,
+    mid_valid: np.ndarray | None = None,
 ) -> EncodedChunk:
+    """``mid_valid`` (per element, True = enclosing struct present) adds the
+    4th def level for an OPTIONAL field inside list<struct<...>>
+    (file_writer.hh:50-81 applied once more): def d_empty+1 = struct null,
+    max_def-1 = struct present / field null, max_def = value.  Geometry is
+    recoverable from metadata alone: max_def == d_empty+3 marks this shape
+    (plain lists never exceed d_empty+2)."""
     ptype, logical = pa_ptype(arr)
     n = len(arr)
     num_nulls = arr.null_count
@@ -700,7 +707,13 @@ def _encode_list_chunk(
         leaf = _decimal_to_physical(leaf, ptype)
     if elem_nullable is None:
         elem_nullable = leaf.null_count > 0
-    max_def, d_empty = _list_level_geometry(nullable, elem_nullable)
+    if mid_valid is not None:
+        elem_nullable = True
+        d_empty = 1 if nullable else 0
+        d_mid_null = d_empty + 1
+        max_def = d_empty + 3
+    else:
+        max_def, d_empty = _list_level_geometry(nullable, elem_nullable)
     max_rep = 1
 
     row_valid = np.ones(n, dtype=bool) if num_nulls == 0 else np.asarray(arr.is_valid())
@@ -726,7 +739,10 @@ def _encode_list_chunk(
         dst = np.repeat(level_starts[has], g) + (
             np.arange(int(g.sum()), dtype=np.int64) - np.repeat(np.cumsum(g) - g, g)
         )
-        def_[dst] = np.where(elem_valid, max_def, max_def - 1).astype(np.uint64)
+        elem_def = np.where(elem_valid, max_def, max_def - 1)
+        if mid_valid is not None:
+            elem_def = np.where(mid_valid, elem_def, d_mid_null)
+        def_[dst] = elem_def.astype(np.uint64)
     empty_rows = ~has
     if empty_rows.any():
         def_[level_starts[empty_rows]] = np.where(
@@ -1199,7 +1215,7 @@ def decode_chunk(chunk: EncodedChunk, *, _collect_levels: list | None = None) ->
     if chunk.max_rep == 2:
         return _decode_list2_chunk(chunk)
     if chunk.max_rep > 0:
-        return _decode_list_chunk(chunk)
+        return _decode_list_chunk(chunk, _collect_levels=_collect_levels)
     ptype = chunk.ptype
     max_def = chunk.max_def if chunk.max_def >= 0 else (1 if chunk.nullable else 0)
     dict_entries = None  # decoded dictionary in flat form
@@ -1395,12 +1411,14 @@ def _build_leaf_array(
     return leaf
 
 
-def _decode_list_chunk(chunk: EncodedChunk) -> pa.Array:
+def _decode_list_chunk(chunk: EncodedChunk, *, _collect_levels: list | None = None) -> pa.Array:
     """Dremel record reassembly for one list column chunk.
 
     Mirrors record_reader list logic (record_reader.hh:272-297, 469-505):
     rep == 0 starts a row; def tells NULL list / empty list / NULL element /
     value.  Values decode through the same codec dispatch as flat chunks.
+    ``_collect_levels`` receives the per-page def arrays (list<struct>
+    reassembly reads struct-vs-field nullity off them).
     """
     ptype = chunk.ptype
     max_def = chunk.max_def
@@ -1444,6 +1462,8 @@ def _decode_list_chunk(chunk: EncodedChunk) -> pa.Array:
                 fixed_parts.append(out)
         rep_parts.append(rep)
         def_parts.append(def_)
+        if _collect_levels is not None:
+            _collect_levels.append(def_)
 
     rep_all = np.concatenate(rep_parts) if rep_parts else np.zeros(0, dtype=np.int32)
     def_all = np.concatenate(def_parts) if def_parts else np.zeros(0, dtype=np.int32)
@@ -1491,64 +1511,93 @@ def encode_struct_chunk(
     page_target_bytes: int = 1 << 20,
     compression: str = "uncompressed",
 ) -> dict[str, EncodedChunk]:
+    """Decompose a struct (arbitrary struct-of-struct depth) into per-leaf
+    chunks keyed by dot-joined path ('inner.x'), each carrying the merged
+    Dremel def stream.  Every struct level is OPTIONAL (+1 def,
+    file_writer.hh:50-81 applied per level): for a leaf under k structs,
+    def in [0, k+1]; def == j < k+1 means the (j+1)-th level is null;
+    def == k+1 is a value.  Mirrors the reference's recursive writer levels
+    (record_reader.hh:180-247 is the matching reader variant)."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if not pa.types.is_struct(arr.type):
         raise TypeError(f"expected struct array, got {arr.type}")
-    for f in arr.type:
-        if pa.types.is_nested(f.type):
-            # a nested field would silently drop the struct-level def stream
-            # (encode_chunk's list path ignores the override) and produce
-            # chunks decode_struct_chunk cannot reassemble -- fail fast
-            raise TypeError(
-                f"struct field '{f.name}': only primitive fields supported, got {f.type}"
-            )
     n = len(arr)
-    struct_valid = (
-        np.ones(n, dtype=bool) if arr.null_count == 0 else np.asarray(arr.is_valid())
-    )
     out: dict[str, EncodedChunk] = {}
-    for i, f in enumerate(arr.type):
-        fa = arr.field(i)
-        # arrow child values at struct-null slots are unspecified: they are
-        # not encoded (def < max_def there), matching the reference's
-        # "value only when def == max_def" contract
-        f_valid = np.ones(n, dtype=bool) if fa.null_count == 0 else np.asarray(fa.is_valid())
-        def_levels = np.zeros(n, dtype=np.uint64)
-        def_levels[struct_valid] = 1
-        def_levels[struct_valid & f_valid] = 2
-        out[f.name] = encode_chunk(
-            fa,
-            policy=policy,
-            page_target_bytes=page_target_bytes,
-            compression=compression,
-            _def_levels=def_levels,
-            _max_def=2,
-        )
+
+    def walk(prefix: str, sarr: pa.StructArray, parent_valid: np.ndarray,
+             base_def: np.ndarray, depth: int) -> None:
+        sv = np.ones(n, dtype=bool) if sarr.null_count == 0 else np.asarray(sarr.is_valid())
+        # child bitmaps at ancestor-null slots are unspecified in arrow:
+        # AND with the cumulative ancestor validity
+        cum = parent_valid & sv
+        d = base_def + cum.astype(np.uint64)
+        for f in sarr.type:
+            fa = sarr.field(f.name)
+            name = f"{prefix}{f.name}"
+            if pa.types.is_struct(f.type):
+                walk(name + ".", fa, cum, d, depth + 1)
+                continue
+            if pa.types.is_nested(f.type):
+                raise TypeError(
+                    f"struct field '{name}': primitive or struct fields only, got {f.type}"
+                )
+            f_valid = np.ones(n, dtype=bool) if fa.null_count == 0 else np.asarray(fa.is_valid())
+            out[name] = encode_chunk(
+                fa,
+                policy=policy,
+                page_target_bytes=page_target_bytes,
+                compression=compression,
+                _def_levels=d + (cum & f_valid).astype(np.uint64),
+                _max_def=depth + 1,
+            )
+
+    walk("", arr, np.ones(n, dtype=bool), np.zeros(n, dtype=np.uint64), 1)
     return out
 
 
 def decode_struct_chunk(chunks: dict[str, EncodedChunk]) -> pa.StructArray:
-    """Reassemble a struct column from its per-field leaf chunks: struct
-    validity = (def >= 1), field validity = (def == max_def)."""
-    fields = []
-    names = []
-    struct_valid = None
+    """Reassemble a (possibly nested) struct column from its per-leaf
+    chunks: level-j struct validity = (def >= j), field validity =
+    (def == max_def).  Leaf keys are dot-joined paths from
+    encode_struct_chunk."""
+    decoded: dict[str, tuple[pa.Array, np.ndarray]] = {}
     for name, ch in chunks.items():
         levels: list[np.ndarray] = []
         arr = decode_chunk(ch, _collect_levels=levels)
-        def_all = (
-            np.concatenate(levels) if levels else np.zeros(0, dtype=np.int32)
-        )
-        sv = def_all >= 1
+        def_all = np.concatenate(levels) if levels else np.zeros(0, dtype=np.int32)
+        decoded[name] = (arr, def_all)
+    out, _ = _assemble_struct(decoded, 1)
+    return out
+
+
+def _assemble_struct(
+    decoded: dict[str, tuple[pa.Array, np.ndarray]], level: int
+) -> tuple[pa.StructArray, np.ndarray]:
+    groups: dict[str, dict[str, tuple[pa.Array, np.ndarray]]] = {}
+    order: list[str] = []
+    for name, v in decoded.items():
+        head, _, rest = name.partition(".")
+        if head not in groups:
+            groups[head] = {}
+            order.append(head)
+        groups[head][rest] = v
+    fields, names, struct_valid = [], [], None
+    for head in order:
+        g = groups[head]
+        if list(g) == [""]:
+            arr, defs = g[""]
+        else:
+            arr, defs = _assemble_struct(g, level + 1)
+        sv = defs >= level
         if struct_valid is None:
             struct_valid = sv
         elif not np.array_equal(struct_valid, sv):
             raise ValueError("struct fields disagree on struct validity")
         fields.append(arr)
-        names.append(name)
+        names.append(head)
     mask = None if bool(struct_valid.all()) else pa.array(~struct_valid)
-    return pa.StructArray.from_arrays(fields, names, mask=mask)
+    return pa.StructArray.from_arrays(fields, names, mask=mask), decoded[next(iter(decoded))][1]
 
 
 # ---------------------------------------------------------------------------
@@ -1726,11 +1775,10 @@ def encode_struct_list_chunk(
             raise TypeError(f"list<struct> field '{f.name}': primitive fields only, got {f.type}")
         fa = leaf.field(i)
         f_valid = np.ones(len(leaf), dtype=bool) if fa.null_count == 0 else np.asarray(fa.is_valid())
-        if bool((struct_valid & ~f_valid).any()):
-            raise TypeError(
-                f"list<struct> field '{f.name}' has nulls where its struct is present "
-                f"(a 4th def level); make the field required or carry it separately"
-            )
+        # OPTIONAL field (null while its struct is present): 4th def level,
+        # carried by _encode_list_chunk's mid_valid stream
+        # (file_writer.hh:50-81; assembly record_reader.hh:234-247)
+        field_optional = bool((struct_valid & ~f_valid).any())
         # null struct elements become null list elements of this field
         if not struct_valid.all():
             import pyarrow.compute as pc
@@ -1744,29 +1792,47 @@ def encode_struct_list_chunk(
             compression=compression,
             nullable=arr.null_count > 0,
             elem_nullable=True,
+            mid_valid=struct_valid if field_optional else None,
         )
     return out
 
 
 def decode_struct_list_chunk(chunks: dict[str, EncodedChunk]) -> pa.Array:
-    """Reassemble list<struct<...>> from per-field list chunks."""
+    """Reassemble list<struct<...>> from per-field list chunks.
+
+    Struct-element validity comes from the def streams: a field chunk with
+    max_def == d_empty+3 carries an OPTIONAL field (def d_empty+1 = struct
+    null, max_def-1 = field null under a present struct); with
+    max_def == d_empty+2 the struct-null markers are the element nulls
+    themselves (required field)."""
     names = list(chunks)
-    field_lists = {f: decode_chunk(c) for f, c in chunks.items()}
+    field_lists: dict[str, pa.Array] = {}
+    struct_valid = None
+    for f, c in chunks.items():
+        levels: list[np.ndarray] = []
+        field_lists[f] = decode_chunk(c, _collect_levels=levels)
+        d_empty = 1 if c.nullable else 0
+        def_all = np.concatenate(levels) if levels else np.zeros(0, dtype=np.int64)
+        elem_defs = def_all[def_all > d_empty]
+        if c.max_def == d_empty + 3:
+            sv = elem_defs != d_empty + 1
+        elif c.elem_nullable:
+            sv = elem_defs == c.max_def
+        else:
+            sv = np.ones(len(elem_defs), dtype=bool)
+        if struct_valid is None:
+            struct_valid = sv
+        elif not np.array_equal(struct_valid, sv):
+            # every field chunk encodes the SAME struct validity (required:
+            # as element nulls; optional: at def d_empty+1)
+            raise ValueError("list<struct> fields disagree on struct validity")
     first = field_lists[names[0]]
     n = len(first)
     koffs = np.frombuffer(first.buffers()[1], dtype=np.int32, count=n + 1, offset=first.offset * 4)
     flats = {f: fl.flatten() for f, fl in field_lists.items()}
-    # struct element validity: a null element in any field marks struct-null
-    ref = flats[names[0]]
-    struct_valid = (
-        np.ones(len(ref), dtype=bool) if ref.null_count == 0 else np.asarray(ref.is_valid())
-    )
     kv_fields = []
     for f in names:
-        fa = flats[f]
-        # drop the struct-null markers from field validity: fields are
-        # required, so values are non-null wherever the struct is present
-        kv_fields.append(fa)
+        kv_fields.append(flats[f])
     struct_type = pa.struct([(f, flats[f].type) for f in names])
     kv = pa.StructArray.from_arrays(
         kv_fields,

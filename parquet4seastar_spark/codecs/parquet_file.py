@@ -141,9 +141,12 @@ def _schema_elements(w: CompactWriter, name: str, spec) -> int:
         _emit_element(w, "list", repetition=2, num_children=1)
         _emit_element(w, spec.struct_name, repetition=1, num_children=len(spec.fields))
         for fname, c in spec.fields.items():
-            # field's own repetition: the struct's optionality already
-            # accounts for elem_nullable; fields here are REQUIRED
-            _emit_leaf(w, fname, c, repetition=0)
+            # field repetition: OPTIONAL iff the chunk carries the 4th def
+            # level (max_def == d_empty+3 -- a field null under a present
+            # struct); otherwise the struct's optionality already accounts
+            # for elem_nullable and the field is REQUIRED
+            d_empty = 1 if c.nullable else 0
+            _emit_leaf(w, fname, c, repetition=1 if c.max_def == d_empty + 3 else 0)
         return 3 + len(spec.fields)
     chunk = spec
     if chunk.max_rep == 0:

@@ -76,6 +76,40 @@ _META_FIELDS = (
 )
 
 
+def _group_fields(items):
+    """[(dotted_name, payload)] -> [(head, [(rest, payload)])], order kept.
+    Dot-joined leaf names carry struct-of-struct nesting (encode_struct_chunk)."""
+    groups: dict[str, list] = {}
+    order: list[str] = []
+    for fname, v in items:
+        head, _, rest = fname.partition(".")
+        if head not in groups:
+            groups[head] = []
+            order.append(head)
+        groups[head].append((rest, v))
+    return [(h, groups[h]) for h in order]
+
+
+def _sql_struct_type(items) -> str:
+    parts = []
+    for head, sub in _group_fields(items):
+        if len(sub) == 1 and sub[0][0] == "":
+            parts.append(f"`{head}`: {sub[0][1]}")
+        else:
+            parts.append(f"`{head}`: {_sql_struct_type(sub)}")
+    return "struct<" + ", ".join(parts) + ">"
+
+
+def _pa_struct_type(items) -> pa.DataType:
+    fields = []
+    for head, sub in _group_fields(items):
+        if len(sub) == 1 and sub[0][0] == "":
+            fields.append((head, sub[0][1]))
+        else:
+            fields.append((head, _pa_struct_type(sub)))
+    return pa.struct(fields)
+
+
 def _rebuild_chunk(tbl: pa.Table, idxs: list[int]) -> EncodedChunk:
     """Build an EncodedChunk from page rows ``idxs`` of an arrow table.
 
@@ -241,8 +275,8 @@ def decode_table(
         if _is_struct_list(c):
             inner = ", ".join(f"`{f}`: {_spark_type(_elem(lg))}" for _, f, lg in members[c])
             return f"array<struct<{inner}>>"
-        inner = ", ".join(f"`{f}`: {_spark_type(lg)}" for _, f, lg in members[c])
-        return f"struct<{inner}>"
+        # dot-joined leaf names encode struct-of-struct nesting
+        return _sql_struct_type([(f, _spark_type(lg)) for _, f, lg in members[c]])
 
     out_schema = ", ".join(["row_id long"] + [f"`{c}` {_spark_col_type(c)}" for c in columns])
     cols = columns
@@ -284,7 +318,7 @@ def decode_table(
                     fname: _rebuild_chunk(tbl, by_col[leaf]) for leaf, fname, _ in members[c]
                 }
                 arr = decode_struct_chunk(field_chunks)
-                target = pa.struct([(f, _pa_type(lg)) for _, f, lg in members[c]])
+                target = _pa_struct_type([(f, _pa_type(lg)) for _, f, lg in members[c]])
             if arr.type != target:
                 arr = arr.cast(target)
             out_arrays.append(arr)

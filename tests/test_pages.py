@@ -457,10 +457,97 @@ def test_struct_list_chunk_roundtrip():
     # sliced input
     sl = arr.slice(3, 120)
     assert decode_struct_list_chunk(encode_struct_list_chunk(sl)).to_pylist() == sl.to_pylist()
-    # a field null where its struct is present needs a 4th level: reject
+    # a field null where its struct is present gets the 4th def level
+    # (round-2 rejected this shape; see test_struct_list_optional_fields)
     bad = pa.array([[{"tok": None, "pos": 1}]], type=t)
-    with pytest.raises(TypeError, match="4th def level"):
-        encode_struct_list_chunk(bad)
+    out = decode_struct_list_chunk(encode_struct_list_chunk(bad))
+    assert out.to_pylist() == bad.to_pylist()
+
+
+def test_struct_list_optional_fields():
+    # the 4th Dremel def level (file_writer.hh:50-81 applied once more):
+    # OPTIONAL field inside list<struct> -- def d_empty+1 = struct null,
+    # max_def-1 = struct present / field null, max_def = value.  A real
+    # tokenized-corpus table (spans with a nullable attr) needs this shape.
+    from parquet4seastar_spark.codecs.pages import (
+        decode_struct_list_chunk,
+        encode_struct_list_chunk,
+    )
+
+    t = pa.list_(pa.struct([("tok", pa.string()), ("attr", pa.int64())]))
+    vals = [
+        [{"tok": "a", "attr": 1}, {"tok": "b", "attr": None}],
+        None,
+        [],
+        [{"tok": "c", "attr": 3}, None, {"tok": "d", "attr": None}],
+        [{"tok": None, "attr": 7}],
+    ] * 40
+    arr = pa.array(vals, type=t)
+    for policy in ["auto", "plain", "reference"]:
+        ch = encode_struct_list_chunk(arr, policy=policy, page_target_bytes=256)
+        # both fields have nulls under present structs -> 4-level geometry
+        assert ch["tok"].max_def == 4 and ch["attr"].max_def == 4
+        out = decode_struct_list_chunk(ch)
+        out.validate(full=True)
+        assert out.to_pylist() == arr.to_pylist(), policy
+    # mixed: required tok (3 levels) next to optional attr (4 levels)
+    vals2 = [[{"tok": "x", "attr": None}, {"tok": "y", "attr": 2}], None, [], [None]]
+    arr2 = pa.array(vals2, type=t)
+    ch2 = encode_struct_list_chunk(arr2, policy="plain")
+    assert ch2["tok"].max_def == 3 and ch2["attr"].max_def == 4
+    assert decode_struct_list_chunk(ch2).to_pylist() == arr2.to_pylist()
+    # non-nullable outer list: geometry shifts down by one
+    vals3 = [[{"tok": "x", "attr": None}], [{"tok": "y", "attr": 2}, None]]
+    arr3 = pa.array(vals3, type=t)
+    ch3 = encode_struct_list_chunk(arr3, policy="plain")
+    assert ch3["attr"].max_def == 3 and not ch3["attr"].nullable
+    assert decode_struct_list_chunk(ch3).to_pylist() == arr3.to_pylist()
+
+
+def test_struct_of_struct_writer_levels():
+    # recursive struct assembly (record_reader.hh:469-505;
+    # file_writer.hh:50-81): every struct level is OPTIONAL (+1 def).  For
+    # o.m.z under three struct levels, max_def = 4 and the def stream is
+    # exactly the number of present levels -- the reference's writer-levels
+    # rule.
+    from parquet4seastar_spark.codecs.pages import (
+        decode_struct_chunk,
+        encode_struct_chunk,
+    )
+
+    t3 = pa.struct([("o", pa.struct([("m", pa.struct([("z", pa.int64())]))]))])
+    rows = [
+        {"o": {"m": {"z": 1}}},  # def 4: value
+        {"o": {"m": None}},      # def 2: m null
+        {"o": None},             # def 1: o null
+        None,                    # def 0: top struct null
+        {"o": {"m": {"z": None}}},  # def 3: field null
+    ]
+    arr = pa.array(rows, type=t3)
+    ch = encode_struct_chunk(arr, policy="plain")
+    assert list(ch) == ["o.m.z"] and ch["o.m.z"].max_def == 4
+    levels: list = []
+    decode_chunk(ch["o.m.z"], _collect_levels=levels)
+    assert np.concatenate(levels).tolist() == [4, 2, 1, 0, 3]
+    out = decode_struct_chunk(ch)
+    out.validate(full=True)
+    assert out.to_pylist() == arr.to_pylist()
+    # two-level mixed tree: primitives next to a nested struct
+    t2 = pa.struct(
+        [("a", pa.int64()), ("inner", pa.struct([("x", pa.string()), ("y", pa.int32())]))]
+    )
+    rows2 = [
+        {"a": 1, "inner": {"x": "p", "y": 10}},
+        None,
+        {"a": None, "inner": None},
+        {"a": 3, "inner": {"x": None, "y": 30}},
+    ] * 30
+    arr2 = pa.array(rows2, type=t2)
+    for policy in ["auto", "plain"]:
+        ch2 = encode_struct_chunk(arr2, policy=policy, page_target_bytes=128)
+        assert ch2["a"].max_def == 2 and ch2["inner.x"].max_def == 3
+        out2 = decode_struct_chunk(ch2)
+        assert out2.to_pylist() == arr2.to_pylist(), policy
 
 
 def test_sliced_nested_arrays_roundtrip():

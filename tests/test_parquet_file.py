@@ -339,6 +339,40 @@ def test_reader_rejects_corrupt_containers(tmp_path):
         ParquetFileReader(truncated)
 
 
+def test_write_struct_list_optional_field_pyarrow_reads(tmp_path):
+    # an OPTIONAL field inside list<struct> (4-level def geometry) must be
+    # emitted with OPTIONAL repetition so independent readers compute the
+    # same max_def as our pages carry
+    from parquet4seastar_spark.codecs.pages import encode_struct_list_chunk
+    from parquet4seastar_spark.codecs.parquet_file import StructListColumn
+
+    t = pa.list_(pa.struct([("tok", pa.string()), ("attr", pa.int64())]))
+    vals = [
+        [{"tok": "a", "attr": 1}, {"tok": "b", "attr": None}],
+        None,
+        [],
+        [{"tok": "c", "attr": 3}, None, {"tok": "d", "attr": None}],
+    ] * 25
+    arr = pa.array(vals, type=t)
+    ch = encode_struct_list_chunk(arr, policy="plain")
+    assert ch["attr"].max_def == 4  # optional-field geometry
+    path = str(tmp_path / "spans.parquet")
+    write_parquet_file(path, {"spans": StructListColumn("element", ch)}, len(arr))
+    back = pq.read_table(path).column("spans").combine_chunks()
+    assert back.to_pylist() == arr.to_pylist()
+    # our own reader computes the 4-level geometry from the schema and
+    # decodes each leaf with merged nulls (struct-null OR field-null)
+    r = ParquetFileReader(path)
+    leaf = r.column(("spans", "list", "element", "attr"))
+    assert leaf.max_def == 4 and leaf.max_rep == 1
+    attr = r.read_column(("spans", "list", "element", "attr"))
+    expected = [
+        None if row is None else [None if e is None else e["attr"] for e in row]
+        for row in vals
+    ]
+    assert attr.to_pylist() == expected
+
+
 def test_write_parquet_rejects_fsst(tmp_path):
     arr = pa.array(["for i in range(10): pass\n" + str(i % 3) for i in range(3000)])
     chunk = encode_chunk(arr, policy="FSST")
