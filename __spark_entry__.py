@@ -609,9 +609,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["dedup_simhash_pairs"] = dedup_simhash_pairs
-    q["dedup_ngram_jaccard"] = lambda spark, sf_dir: dedup.ngram_jaccard_dedup(
-        _docs(spark, sf_dir), threshold=0.5
-    ).select("doc_a", "doc_b")
+
+    def dedup_ngram_jaccard(spark, sf_dir):
+        # planted exact duplicates: identical shingle sets -> exact Jaccard
+        # 1.0, and the LSH candidate stage surfaces them with recall 1; the
+        # checked projection (pairs with identical text) is deterministic
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        dup = docs.filter(F.col("doc_id") < 10).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+        all_docs = docs.union(dup)
+        pairs = dedup.ngram_jaccard_dedup(all_docs, threshold=0.5)
+        ta = all_docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+        tb = all_docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+        return (
+            pairs.join(ta, "doc_a")
+            .join(tb, "doc_b")
+            .filter(F.col("text_a") == F.col("text_b"))
+            .select("doc_a", "doc_b")
+        )
+
+    q["dedup_ngram_jaccard"] = dedup_ngram_jaccard
 
     # ---- similarity search
     def _queries_df(spark, sf_dir):
@@ -893,6 +911,7 @@ def oracle_sql() -> dict[str, str]:
     """
     o["dedup_minhash_lsh"] = _planted_pairs
     o["dedup_simhash_pairs"] = _planted_pairs
+    o["dedup_ngram_jaccard"] = _planted_pairs
     # self-match invariant: each query vector is drawn from the corpus and is
     # its own rank-1 neighbor under cosine (see queries() comment)
     _self_match = (

@@ -324,13 +324,26 @@ def ngram_jaccard_dedup(
                 continue
             sa, ca, ha = _shingle_stream(_batch_text(rb, "text_a"), shingle_k)
             sb, cb, hb = _shingle_stream(_batch_text(rb, "text_b"), shingle_k)
-            jac = np.empty(rb.num_rows, dtype=np.float64)
-            for i in range(rb.num_rows):
-                A = ha[sa[i] : sa[i] + ca[i]]
-                B = hb[sb[i] : sb[i] + cb[i]]
-                inter = len(np.intersect1d(A, B, assume_unique=True))
-                union = len(A) + len(B) - inter
-                jac[i] = inter / union if union else 0.0
+            # segmented set intersection over the WHOLE batch in one sorted
+            # pass (both sides are per-pair sorted-unique): a shared hash
+            # appears as two adjacent entries of the same pair after the
+            # (pair, hash) lexsort -- no per-pair Python loop
+            n = rb.num_rows
+            pair_ids = np.concatenate(
+                [np.repeat(np.arange(n, dtype=np.int64), ca),
+                 np.repeat(np.arange(n, dtype=np.int64), cb)]
+            )
+            hashes = np.concatenate([ha, hb])
+            order = np.lexsort((hashes, pair_ids))
+            kp = pair_ids[order]
+            kh = hashes[order]
+            if len(kp) > 1:
+                dup = (kp[1:] == kp[:-1]) & (kh[1:] == kh[:-1])
+                inter = np.bincount(kp[1:][dup], minlength=n).astype(np.int64)
+            else:
+                inter = np.zeros(n, dtype=np.int64)
+            union = ca + cb - inter
+            jac = inter / np.maximum(union, 1)
             yield pa.RecordBatch.from_arrays(
                 [
                     _batch_text(rb, "doc_a").cast(pa.int64()),
