@@ -332,6 +332,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["roundtrip_token_spans_nullable"] = roundtrip_token_spans_nullable
 
+    # ---- array<struct<tok, attrs:struct<...>>>: nested annotation structs
+    # per span (one Dremel def level per struct level; decoded spans explode
+    # back to scalar rows for the oracle)
+    def roundtrip_token_spans_nested(spark, sf_dir):
+        from parquet4seastar_spark.engine.decode_job import decode_table
+        from parquet4seastar_spark.engine.encode_job import encode_table
+
+        src = _docs(spark, sf_dir).select(
+            F.col("doc_id").alias("row_id"),
+            F.transform(
+                F.split(F.trim("text"), r"\s+"),
+                lambda x, i: F.struct(
+                    x.alias("tok"),
+                    F.when(i % 5 == 0, F.lit(None))
+                    .otherwise(
+                        F.struct(
+                            F.upper(F.substring(x, 1, 1)).alias("upos"),
+                            F.when(i % 4 == 0, F.lit(None))
+                            .otherwise(i)
+                            .cast("int")
+                            .alias("feats"),
+                        )
+                    )
+                    .alias("attrs"),
+                ),
+            ).alias("spans"),
+            "source",
+        )
+        enc = encode_table(
+            src, columns=["spans"], policy="auto", salt_col="source", num_partitions=2,
+            salt_target_rows=2000,
+        )
+        dec = decode_table(enc, ["spans"])
+        return dec.select(
+            F.col("row_id").alias("doc_id"), F.explode("spans").alias("s")
+        ).select(
+            "doc_id",
+            F.col("s.tok").alias("tok"),
+            F.col("s.attrs.upos").alias("upos"),
+            F.col("s.attrs.feats").alias("feats"),
+        )
+
+    q["roundtrip_token_spans_nested"] = roundtrip_token_spans_nested
+
     # ---- struct<struct<...>> through the engine (recursive Dremel def
     # levels; round-2 capped at struct-of-primitives)
     def roundtrip_struct_nested(spark, sf_dir):
@@ -820,6 +864,15 @@ def oracle_sql() -> dict[str, str]:
     o["roundtrip_token_spans_nullable"] = (
         "SELECT doc_id, u.tok AS tok, "
         "CASE WHEN (u.i - 1) % 3 = 0 THEN NULL ELSE CAST(u.i - 1 AS INT) END AS pos FROM ("
+        "SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok, "
+        "unnest(generate_series(1, len(regexp_split_to_array(trim(text), '\\s+')))) AS i "
+        "FROM documents) AS u(doc_id, tok, i)"
+    )
+    o["roundtrip_token_spans_nested"] = (
+        "SELECT doc_id, u.tok AS tok, "
+        "CASE WHEN (u.i - 1) % 5 = 0 THEN NULL ELSE upper(substring(u.tok, 1, 1)) END AS upos, "
+        "CASE WHEN (u.i - 1) % 5 = 0 THEN NULL WHEN (u.i - 1) % 4 = 0 THEN NULL "
+        "ELSE CAST(u.i - 1 AS INT) END AS feats FROM ("
         "SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok, "
         "unnest(generate_series(1, len(regexp_split_to_array(trim(text), '\\s+')))) AS i "
         "FROM documents) AS u(doc_id, tok, i)"

@@ -684,14 +684,16 @@ def _encode_list_chunk(
     compression: str,
     nullable: bool | None,
     elem_nullable: bool | None = None,
-    mid_valid: np.ndarray | None = None,
+    mid_valids: list[np.ndarray] | None = None,
+    field_optional: bool = False,
 ) -> EncodedChunk:
-    """``mid_valid`` (per element, True = enclosing struct present) adds the
-    4th def level for an OPTIONAL field inside list<struct<...>>
-    (file_writer.hh:50-81 applied once more): def d_empty+1 = struct null,
-    max_def-1 = struct present / field null, max_def = value.  Geometry is
-    recoverable from metadata alone: max_def == d_empty+3 marks this shape
-    (plain lists never exceed d_empty+2)."""
+    """``mid_valids`` (per element, cumulative: mids[j] implies mids[j-1])
+    adds one def level per enclosing struct for a leaf inside
+    list<struct<... struct<...>>> (file_writer.hh:50-81 applied per level):
+    with base = d_empty+1 (the repeated level), def = base + #present
+    struct levels (+1 for the value when ``field_optional``).  max_def =
+    base + len(mids) + field_optional — the geometry is recoverable from
+    metadata plus the leaf's path depth (decode_struct_list_chunk)."""
     ptype, logical = pa_ptype(arr)
     n = len(arr)
     num_nulls = arr.null_count
@@ -707,11 +709,10 @@ def _encode_list_chunk(
         leaf = _decimal_to_physical(leaf, ptype)
     if elem_nullable is None:
         elem_nullable = leaf.null_count > 0
-    if mid_valid is not None:
+    if mid_valids is not None:
         elem_nullable = True
         d_empty = 1 if nullable else 0
-        d_mid_null = d_empty + 1
-        max_def = d_empty + 3
+        max_def = d_empty + 1 + len(mid_valids) + (1 if field_optional else 0)
     else:
         max_def, d_empty = _list_level_geometry(nullable, elem_nullable)
     max_rep = 1
@@ -739,9 +740,15 @@ def _encode_list_chunk(
         dst = np.repeat(level_starts[has], g) + (
             np.arange(int(g.sum()), dtype=np.int64) - np.repeat(np.cumsum(g) - g, g)
         )
-        elem_def = np.where(elem_valid, max_def, max_def - 1)
-        if mid_valid is not None:
-            elem_def = np.where(mid_valid, elem_def, d_mid_null)
+        if mid_valids is not None:
+            base = d_empty + 1
+            elem_def = np.full(len(leaf), base, dtype=np.int64)
+            for m in mid_valids:
+                elem_def += m  # cumulative, so the sum is the prefix count
+            if field_optional:
+                elem_def += elem_valid  # elem_valid implies all mids valid
+        else:
+            elem_def = np.where(elem_valid, max_def, max_def - 1)
         def_[dst] = elem_def.astype(np.uint64)
     empty_rows = ~has
     if empty_rows.any():
@@ -1770,82 +1777,115 @@ def encode_struct_list_chunk(
     rel = offs - offs[0] if n else np.zeros(1, dtype=np.int32)
     mask = pa.array(~np.asarray(arr.is_valid())) if arr.null_count else None
     out: dict[str, EncodedChunk] = {}
-    for i, f in enumerate(t.value_type):
-        if pa.types.is_nested(f.type):
-            raise TypeError(f"list<struct> field '{f.name}': primitive fields only, got {f.type}")
-        fa = leaf.field(i)
-        f_valid = np.ones(len(leaf), dtype=bool) if fa.null_count == 0 else np.asarray(fa.is_valid())
-        # OPTIONAL field (null while its struct is present): 4th def level,
-        # carried by _encode_list_chunk's mid_valid stream
-        # (file_writer.hh:50-81; assembly record_reader.hh:234-247)
-        field_optional = bool((struct_valid & ~f_valid).any())
-        # null struct elements become null list elements of this field
-        if not struct_valid.all():
-            import pyarrow.compute as pc
+    import pyarrow.compute as pc
 
-            fa = pc.if_else(pa.array(struct_valid), fa, pa.nulls(len(leaf), fa.type))
-        flist = pa.ListArray.from_arrays(pa.array(rel), fa, mask=mask)
-        out[f.name] = _encode_list_chunk(
-            flist,
-            policy=policy,
-            page_target_bytes=page_target_bytes,
-            compression=compression,
-            nullable=arr.null_count > 0,
-            elem_nullable=True,
-            mid_valid=struct_valid if field_optional else None,
-        )
+    n_elems = len(leaf)
+
+    def walk(prefix: str, sarr: pa.StructArray, mids: list[np.ndarray]) -> None:
+        cum = mids[-1]
+        for f in sarr.type:
+            fa = sarr.field(f.name)
+            name = f"{prefix}{f.name}"
+            if pa.types.is_struct(f.type):
+                # nested struct inside the list element: one more def level
+                # per struct (the reference's fully recursive assembly,
+                # record_reader.hh:180-247)
+                sv = np.ones(n_elems, dtype=bool) if fa.null_count == 0 else np.asarray(fa.is_valid())
+                walk(name + ".", fa, mids + [cum & sv])
+                continue
+            if pa.types.is_nested(f.type):
+                raise TypeError(
+                    f"list<struct> field '{name}': primitive or struct fields only, got {f.type}"
+                )
+            f_valid = np.ones(n_elems, dtype=bool) if fa.null_count == 0 else np.asarray(fa.is_valid())
+            field_optional = bool((cum & ~f_valid).any())
+            eff = cum & f_valid
+            # slots where any enclosing level is null become null list
+            # elements of this leaf (values only at def == max_def)
+            if not eff.all():
+                fa = pc.if_else(pa.array(eff), fa, pa.nulls(n_elems, fa.type))
+            flist = pa.ListArray.from_arrays(pa.array(rel), fa, mask=mask)
+            out[name] = _encode_list_chunk(
+                flist,
+                policy=policy,
+                page_target_bytes=page_target_bytes,
+                compression=compression,
+                nullable=arr.null_count > 0,
+                elem_nullable=True,
+                mid_valids=mids,
+                field_optional=field_optional,
+            )
+
+    walk("", leaf, [struct_valid])
     return out
 
 
 def decode_struct_list_chunk(chunks: dict[str, EncodedChunk]) -> pa.Array:
-    """Reassemble list<struct<...>> from per-field list chunks.
+    """Reassemble list<struct<...>> (nested struct fields via dot-joined
+    leaf keys) from per-field list chunks.
 
-    Struct-element validity comes from the def streams: a field chunk with
-    max_def == d_empty+3 carries an OPTIONAL field (def d_empty+1 = struct
-    null, max_def-1 = field null under a present struct); with
-    max_def == d_empty+2 the struct-null markers are the element nulls
-    themselves (required field)."""
+    Per-level struct validity comes from the def streams: a leaf under
+    ``depth`` struct levels carries ``extra = max_def - (d_empty+1)``
+    encoded levels (+1 when the field itself is optional); level j
+    (1-based) is present where def >= d_empty+1+j.  Levels past the
+    encoded budget are all-present (an old required-leaf chunk)."""
     names = list(chunks)
-    field_lists: dict[str, pa.Array] = {}
-    struct_valid = None
+    # name -> (decoded list array, element def values, d_empty, extra)
+    info: dict[str, tuple] = {}
     for f, c in chunks.items():
         levels: list[np.ndarray] = []
-        field_lists[f] = decode_chunk(c, _collect_levels=levels)
+        fl = decode_chunk(c, _collect_levels=levels)
         d_empty = 1 if c.nullable else 0
         def_all = np.concatenate(levels) if levels else np.zeros(0, dtype=np.int64)
         elem_defs = def_all[def_all > d_empty]
-        if c.max_def == d_empty + 3:
-            sv = elem_defs != d_empty + 1
-        elif c.elem_nullable:
-            sv = elem_defs == c.max_def
-        else:
-            sv = np.ones(len(elem_defs), dtype=bool)
-        if struct_valid is None:
-            struct_valid = sv
-        elif not np.array_equal(struct_valid, sv):
-            # every field chunk encodes the SAME struct validity (required:
-            # as element nulls; optional: at def d_empty+1)
-            raise ValueError("list<struct> fields disagree on struct validity")
-    first = field_lists[names[0]]
+        info[f] = (fl, elem_defs, d_empty, c.max_def - (d_empty + 1))
+    first = info[names[0]][0]
     n = len(first)
     koffs = np.frombuffer(first.buffers()[1], dtype=np.int32, count=n + 1, offset=first.offset * 4)
-    flats = {f: fl.flatten() for f, fl in field_lists.items()}
-    kv_fields = []
-    for f in names:
-        kv_fields.append(flats[f])
-    struct_type = pa.struct([(f, flats[f].type) for f in names])
-    kv = pa.StructArray.from_arrays(
-        kv_fields,
-        fields=list(struct_type),
-        mask=pa.array(~struct_valid),
-    )
+
+    def node_validity(name: str, level: int) -> np.ndarray:
+        fl, elem_defs, d_empty, extra = info[name]
+        depth = 1 + name.count(".")
+        if level <= min(extra, depth):
+            return elem_defs >= d_empty + 1 + level
+        return np.ones(len(elem_defs), dtype=bool)
+
+    def build(items: list[str], prefix: str, level: int) -> tuple[pa.StructArray, str]:
+        groups: dict[str, list[str]] = {}
+        order: list[str] = []
+        for nm in items:
+            rel = nm[len(prefix):]
+            head, _, _rest = rel.partition(".")
+            if head not in groups:
+                groups[head] = []
+                order.append(head)
+            groups[head].append(nm)
+        fields, fnames, sv = [], [], None
+        any_leaf = items[0]
+        for head in order:
+            sub = groups[head]
+            if len(sub) == 1 and sub[0] == prefix + head:
+                arr = info[sub[0]][0].flatten()
+            else:
+                arr, _ = build(sub, prefix + head + ".", level + 1)
+            v = node_validity(sub[0], level)
+            if sv is None:
+                sv = v
+            elif not np.array_equal(sv, v):
+                raise ValueError("list<struct> fields disagree on struct validity")
+            fields.append(arr)
+            fnames.append(head)
+        mask = None if bool(sv.all()) else pa.array(~sv)
+        return pa.StructArray.from_arrays(fields, fnames, mask=mask), any_leaf
+
+    kv, _ = build(names, "", 1)
     list_mask = None
     if first.null_count:
         list_mask = pa.py_buffer(
             np.packbits(np.asarray(first.is_valid()), bitorder="little").tobytes()
         )
     return pa.Array.from_buffers(
-        pa.list_(pa.field("element", struct_type)),
+        pa.list_(pa.field("element", kv.type)),
         n,
         [list_mask, pa.py_buffer(np.ascontiguousarray(koffs).tobytes())],
         children=[kv],

@@ -141,6 +141,15 @@ def _schema_elements(w: CompactWriter, name: str, spec) -> int:
         _emit_element(w, "list", repetition=2, num_children=1)
         _emit_element(w, spec.struct_name, repetition=1, num_children=len(spec.fields))
         for fname, c in spec.fields.items():
+            d_e = 1 if c.nullable else 0
+            if "." in fname or c.max_def > d_e + 3:
+                # nested struct fields need recursive group emission the
+                # single-level schema writer doesn't produce -- refuse
+                # rather than write a level-mismatched (corrupt) file
+                raise ValueError(
+                    f"StructListColumn field {fname!r}: nested struct fields "
+                    "are engine-internal; flatten for container export"
+                )
             # field repetition: OPTIONAL iff the chunk carries the 4th def
             # level (max_def == d_empty+3 -- a field null under a present
             # struct); otherwise the struct's optionality already accounts

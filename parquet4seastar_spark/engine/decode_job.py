@@ -273,8 +273,8 @@ def decode_table(
             vt = _spark_type(_elem(schema[f"{c}.#value"]))
             return f"map<{kt}, {vt}>"
         if _is_struct_list(c):
-            inner = ", ".join(f"`{f}`: {_spark_type(_elem(lg))}" for _, f, lg in members[c])
-            return f"array<struct<{inner}>>"
+            inner = _sql_struct_type([(f, _spark_type(_elem(lg))) for _, f, lg in members[c]])
+            return f"array<{inner}>"
         # dot-joined leaf names encode struct-of-struct nesting
         return _sql_struct_type([(f, _spark_type(lg)) for _, f, lg in members[c]])
 
@@ -311,7 +311,7 @@ def decode_table(
                 }
                 arr = decode_struct_list_chunk(field_chunks)
                 target = pa.list_(
-                    pa.struct([(f, _pa_type(_elem(lg))) for _, f, lg in members[c]])
+                    _pa_struct_type([(f, _pa_type(_elem(lg))) for _, f, lg in members[c]])
                 )
             else:
                 field_chunks = {

@@ -504,6 +504,42 @@ def test_struct_list_optional_fields():
     assert decode_struct_list_chunk(ch3).to_pylist() == arr3.to_pylist()
 
 
+def test_struct_list_nested_struct_fields():
+    # array<struct<tok, attrs:struct<...>>> -- the tokenized-corpus shape
+    # with per-span annotation structs; one def level per struct level
+    # (reference: fully recursive record assembly, record_reader.hh:180-247)
+    from parquet4seastar_spark.codecs.pages import (
+        decode_struct_list_chunk,
+        encode_struct_list_chunk,
+    )
+
+    t = pa.list_(pa.struct([
+        ("tok", pa.string()),
+        ("attrs", pa.struct([("upos", pa.string()), ("feats", pa.int64())])),
+    ]))
+    vals = [
+        [{"tok": "a", "attrs": {"upos": "N", "feats": 1}},
+         {"tok": "b", "attrs": None}],
+        None,
+        [],
+        [{"tok": "c", "attrs": {"upos": None, "feats": 3}},
+         None,
+         {"tok": None, "attrs": {"upos": "V", "feats": None}}],
+    ] * 30
+    arr = pa.array(vals, type=t)
+    for policy in ["plain", "auto", "reference"]:
+        ch = encode_struct_list_chunk(arr, policy=policy, page_target_bytes=256)
+        # tok: depth 1 optional -> 4; attrs.*: depth 2 optional -> 5
+        assert ch["tok"].max_def == 4
+        assert ch["attrs.upos"].max_def == 5 and ch["attrs.feats"].max_def == 5
+        out = decode_struct_list_chunk(ch)
+        out.validate(full=True)
+        assert out.to_pylist() == arr.to_pylist(), policy
+    # sliced input
+    sl = arr.slice(3, 90)
+    assert decode_struct_list_chunk(encode_struct_list_chunk(sl)).to_pylist() == sl.to_pylist()
+
+
 def test_struct_of_struct_writer_levels():
     # recursive struct assembly (record_reader.hh:469-505;
     # file_writer.hh:50-81): every struct level is OPTIONAL (+1 def).  For
