@@ -408,6 +408,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["roundtrip_struct_nested"] = roundtrip_struct_nested
 
+    # ---- struct with a LIST field (optional levels above the repeated
+    # level, d_empty = depth+1): struct<a:int, tags:array<string>>
+    def roundtrip_struct_with_list(spark, sf_dir):
+        from parquet4seastar_spark.engine.decode_job import decode_table
+        from parquet4seastar_spark.engine.encode_job import encode_table
+
+        src = _docs(spark, sf_dir).select(
+            F.col("doc_id").alias("row_id"),
+            F.struct(
+                F.col("n_chars").alias("a"),
+                F.when(F.col("doc_id") % 5 == 0, F.lit(None))
+                .otherwise(F.split(F.trim("text"), r"\s+"))
+                .alias("tags"),
+            ).alias("meta"),
+            "source",
+        )
+        enc = encode_table(
+            src, columns=["meta"], policy="auto", salt_col="source", num_partitions=2,
+            salt_target_rows=2000,
+        )
+        return decode_table(enc, ["meta"]).select(
+            F.col("row_id").alias("doc_id"),
+            F.col("meta.a").alias("a"),
+            F.array_join(F.col("meta.tags"), ",").alias("tags_canon"),
+        )
+
+    q["roundtrip_struct_with_list"] = roundtrip_struct_with_list
+
     # ---- map<string,string> through the engine (key/value list chunks with
     # shared offsets, standard parquet MAP level geometry)
     def roundtrip_map(spark, sf_dir):
@@ -880,6 +908,12 @@ def oracle_sql() -> dict[str, str]:
     o["roundtrip_struct_nested"] = (
         "SELECT doc_id, lang, "
         "CASE WHEN doc_id % 7 = 0 THEN NULL ELSE source END AS src, n_chars FROM documents"
+    )
+    o["roundtrip_struct_with_list"] = (
+        "SELECT doc_id, n_chars AS a, "
+        "CASE WHEN doc_id % 5 = 0 THEN NULL "
+        "ELSE array_to_string(regexp_split_to_array(trim(text), '\\s+'), ',') END "
+        "AS tags_canon FROM documents"
     )
     o["roundtrip_parquet_file"] = "SELECT doc_id, text, lang, n_chars FROM documents"
     o["export_parquet_roundtrip"] = "SELECT doc_id, text, lang, n_chars FROM documents"

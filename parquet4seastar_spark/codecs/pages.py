@@ -686,6 +686,8 @@ def _encode_list_chunk(
     elem_nullable: bool | None = None,
     mid_valids: list[np.ndarray] | None = None,
     field_optional: bool = False,
+    outer_defs: np.ndarray | None = None,
+    outer_opts: int = 0,
 ) -> EncodedChunk:
     """``mid_valids`` (per element, cumulative: mids[j] implies mids[j-1])
     adds one def level per enclosing struct for a leaf inside
@@ -693,7 +695,14 @@ def _encode_list_chunk(
     with base = d_empty+1 (the repeated level), def = base + #present
     struct levels (+1 for the value when ``field_optional``).  max_def =
     base + len(mids) + field_optional — the geometry is recoverable from
-    metadata plus the leaf's path depth (decode_struct_list_chunk)."""
+    metadata plus the leaf's path depth (decode_struct_list_chunk).
+
+    ``outer_defs``/``outer_opts`` handle the mirror shape — a LIST field
+    inside struct(s): ``outer_opts`` optional levels sit ABOVE the repeated
+    level (d_empty = outer_opts), and ``outer_defs`` gives each row's def
+    when it carries no elements (= the number of present outer levels; a
+    row at outer_defs == d_empty is a present-but-empty list).  Decoders
+    recover d_empty from the leaf's path depth (decode_struct_chunk)."""
     ptype, logical = pa_ptype(arr)
     n = len(arr)
     num_nulls = arr.null_count
@@ -713,6 +722,10 @@ def _encode_list_chunk(
         elem_nullable = True
         d_empty = 1 if nullable else 0
         max_def = d_empty + 1 + len(mid_valids) + (1 if field_optional else 0)
+    elif outer_defs is not None:
+        nullable = True
+        d_empty = outer_opts
+        max_def = d_empty + 1 + (1 if elem_nullable else 0)
     else:
         max_def, d_empty = _list_level_geometry(nullable, elem_nullable)
     max_rep = 1
@@ -752,9 +765,12 @@ def _encode_list_chunk(
         def_[dst] = elem_def.astype(np.uint64)
     empty_rows = ~has
     if empty_rows.any():
-        def_[level_starts[empty_rows]] = np.where(
-            row_valid[empty_rows], d_empty, 0
-        ).astype(np.uint64)
+        if outer_defs is not None:
+            def_[level_starts[empty_rows]] = outer_defs[empty_rows].astype(np.uint64)
+        else:
+            def_[level_starts[empty_rows]] = np.where(
+                row_valid[empty_rows], d_empty, 0
+            ).astype(np.uint64)
 
     # ---- paginate in ROW space by estimated bytes (elements + level entry)
     row_bytes = np.zeros(n, dtype=np.int64)
@@ -1209,7 +1225,9 @@ def _gather_dict_values(ptype: str, dict_entries, codes, len_parts, payload_part
         fixed_parts.append(np.asarray(dict_entries)[codes])
 
 
-def decode_chunk(chunk: EncodedChunk, *, _collect_levels: list | None = None) -> pa.Array:
+def decode_chunk(
+    chunk: EncodedChunk, *, _collect_levels: list | None = None, _d_empty: int | None = None
+) -> pa.Array:
     """Decode pages back into a (nullable) arrow array.
 
     Mirrors column_chunk_reader::read_batch (column_chunk_reader.hh:101-157):
@@ -1222,7 +1240,7 @@ def decode_chunk(chunk: EncodedChunk, *, _collect_levels: list | None = None) ->
     if chunk.max_rep == 2:
         return _decode_list2_chunk(chunk)
     if chunk.max_rep > 0:
-        return _decode_list_chunk(chunk, _collect_levels=_collect_levels)
+        return _decode_list_chunk(chunk, _collect_levels=_collect_levels, _d_empty=_d_empty)
     ptype = chunk.ptype
     max_def = chunk.max_def if chunk.max_def >= 0 else (1 if chunk.nullable else 0)
     dict_entries = None  # decoded dictionary in flat form
@@ -1418,19 +1436,27 @@ def _build_leaf_array(
     return leaf
 
 
-def _decode_list_chunk(chunk: EncodedChunk, *, _collect_levels: list | None = None) -> pa.Array:
+def _decode_list_chunk(
+    chunk: EncodedChunk, *, _collect_levels: list | None = None, _d_empty: int | None = None
+) -> pa.Array:
     """Dremel record reassembly for one list column chunk.
 
     Mirrors record_reader list logic (record_reader.hh:272-297, 469-505):
     rep == 0 starts a row; def tells NULL list / empty list / NULL element /
     value.  Values decode through the same codec dispatch as flat chunks.
     ``_collect_levels`` receives the per-page def arrays (list<struct>
-    reassembly reads struct-vs-field nullity off them).
+    reassembly reads struct-vs-field nullity off them).  ``_d_empty``
+    overrides the empty-list def level for chunks with extra optional
+    levels ABOVE the repeated one (a list field inside structs, where
+    d_empty = struct depth + 1 and only the reassembler knows the depth).
     """
     ptype = chunk.ptype
     max_def = chunk.max_def
     max_rep = chunk.max_rep
-    _, d_empty = _list_level_geometry(chunk.nullable, chunk.elem_nullable)
+    if _d_empty is not None:
+        d_empty = _d_empty
+    else:
+        _, d_empty = _list_level_geometry(chunk.nullable, chunk.elem_nullable)
     dict_entries = None
     dict_size = 0
 
@@ -1483,7 +1509,9 @@ def _decode_list_chunk(chunk: EncodedChunk, *, _collect_levels: list | None = No
     row_ids = np.cumsum(row_start) - 1
     row_lengths = np.bincount(row_ids[is_elem], minlength=n_rows).astype(np.int64)
     if chunk.nullable:
-        row_valid = def_all[row_start] > 0
+        # the list is PRESENT (possibly empty) where the row's def reaches
+        # d_empty; below it some outer level (or the list itself) is null
+        row_valid = def_all[row_start] >= d_empty if d_empty else def_all[row_start] > 0
     else:
         row_valid = np.ones(n_rows, dtype=bool)
     elem_valid = def_all[is_elem] == max_def
@@ -1545,9 +1573,36 @@ def encode_struct_chunk(
             if pa.types.is_struct(f.type):
                 walk(name + ".", fa, cum, d, depth + 1)
                 continue
+            if pa.types.is_list(f.type) or pa.types.is_large_list(f.type):
+                # LIST field inside struct(s): the struct levels become
+                # optional levels ABOVE the repeated one (d_empty = depth+1);
+                # stored under the reserved '.#list' leaf key
+                if pa.types.is_nested(f.type.value_type):
+                    raise TypeError(
+                        f"struct field '{name}': list of primitives only, got {f.type}"
+                    )
+                import pyarrow.compute as pc
+
+                lv_own = (
+                    np.ones(n, dtype=bool) if fa.null_count == 0 else np.asarray(fa.is_valid())
+                )
+                lv = cum & lv_own
+                if not lv.all():
+                    fa = pc.if_else(pa.array(lv), fa, pa.nulls(n, fa.type))
+                out[name + ".#list"] = _encode_list_chunk(
+                    fa,
+                    policy=policy,
+                    page_target_bytes=page_target_bytes,
+                    compression=compression,
+                    nullable=True,
+                    outer_defs=np.asarray(d, dtype=np.int64) + lv,
+                    outer_opts=depth + 1,
+                )
+                continue
             if pa.types.is_nested(f.type):
                 raise TypeError(
-                    f"struct field '{name}': primitive or struct fields only, got {f.type}"
+                    f"struct field '{name}': primitive, struct, or list-of-primitive "
+                    f"fields only, got {f.type}"
                 )
             f_valid = np.ones(n, dtype=bool) if fa.null_count == 0 else np.asarray(fa.is_valid())
             out[name] = encode_chunk(
@@ -1567,13 +1622,28 @@ def decode_struct_chunk(chunks: dict[str, EncodedChunk]) -> pa.StructArray:
     """Reassemble a (possibly nested) struct column from its per-leaf
     chunks: level-j struct validity = (def >= j), field validity =
     (def == max_def).  Leaf keys are dot-joined paths from
-    encode_struct_chunk."""
+    encode_struct_chunk; a '<path>.#list' key is a list field whose
+    d_empty = struct depth + 1 (derived from the path) and whose def
+    stream is per level ENTRY — reduced here to one def per row."""
     decoded: dict[str, tuple[pa.Array, np.ndarray]] = {}
     for name, ch in chunks.items():
         levels: list[np.ndarray] = []
-        arr = decode_chunk(ch, _collect_levels=levels)
-        def_all = np.concatenate(levels) if levels else np.zeros(0, dtype=np.int32)
-        decoded[name] = (arr, def_all)
+        if name.endswith("#list"):
+            depth = name.count(".")  # struct levels above the list field
+            arr = decode_chunk(ch, _collect_levels=levels, _d_empty=depth + 1)
+            def_all = np.concatenate(levels) if levels else np.zeros(0, dtype=np.int64)
+            # one level entry per element, one per element-less row: the
+            # row's def is the FIRST entry's def
+            lvl = pa.compute.list_value_length(arr)
+            lengths = np.asarray(lvl.fill_null(0) if arr.null_count else lvl).astype(np.int64)
+            counts = np.maximum(lengths, 1)
+            starts = np.zeros(len(arr), dtype=np.int64)
+            starts[1:] = np.cumsum(counts)[:-1]
+            decoded[name] = (arr, def_all[starts])
+        else:
+            arr = decode_chunk(ch, _collect_levels=levels)
+            def_all = np.concatenate(levels) if levels else np.zeros(0, dtype=np.int32)
+            decoded[name] = (arr, def_all)
     out, _ = _assemble_struct(decoded, 1)
     return out
 
@@ -1594,6 +1664,9 @@ def _assemble_struct(
         g = groups[head]
         if list(g) == [""]:
             arr, defs = g[""]
+        elif list(g) == ["#list"]:
+            # list field: already a row-space ListArray with presence nulls
+            arr, defs = g["#list"]
         else:
             arr, defs = _assemble_struct(g, level + 1)
         sv = defs >= level

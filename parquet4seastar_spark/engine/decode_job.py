@@ -93,7 +93,9 @@ def _group_fields(items):
 def _sql_struct_type(items) -> str:
     parts = []
     for head, sub in _group_fields(items):
-        if len(sub) == 1 and sub[0][0] == "":
+        if len(sub) == 1 and sub[0][0] in ("", "#list"):
+            # '#list' marks a list field inside the struct; its payload is
+            # already the full array<...> type
             parts.append(f"`{head}`: {sub[0][1]}")
         else:
             parts.append(f"`{head}`: {_sql_struct_type(sub)}")
@@ -103,7 +105,7 @@ def _sql_struct_type(items) -> str:
 def _pa_struct_type(items) -> pa.DataType:
     fields = []
     for head, sub in _group_fields(items):
-        if len(sub) == 1 and sub[0][0] == "":
+        if len(sub) == 1 and sub[0][0] in ("", "#list"):
             fields.append((head, sub[0][1]))
         else:
             fields.append((head, _pa_struct_type(sub)))
@@ -262,8 +264,14 @@ def decode_table(
         return logical[5:-1] if logical.startswith("list<") else logical
 
     def _is_struct_list(c: str) -> bool:
+        # '#list'-marked members are list FIELDS of a plain struct, not the
+        # per-field list chunks of an array<struct> column
         m = members[c]
-        return isinstance(m, list) and all(lg.startswith("list<") for _, _, lg in m)
+        return (
+            isinstance(m, list)
+            and all(lg.startswith("list<") for _, _, lg in m)
+            and not any(f.endswith("#list") for _, f, _ in m)
+        )
 
     def _spark_col_type(c: str) -> str:
         if members[c] is None:

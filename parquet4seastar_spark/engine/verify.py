@@ -70,8 +70,14 @@ def audit_lineage(encoded: DataFrame) -> DataFrame:
         chunk_seq = int(tbl.column("chunk_seq")[0].as_py())
         cols, oks, st, rec = [], [], [], []
         for c, sha in stored.items():
+            # '<col>.<i>.<path>.#list' leaves carry struct levels ABOVE the
+            # repeated one: d_empty = struct depth + 1, derived from the path
+            parts = c.split(".")
+            d_empty = len(parts) - 2 if parts[-1] == "#list" and len(parts) >= 4 else None
             try:
-                recomputed = chunk_content_sha(decode_chunk(_rebuild_chunk(tbl, by_col[c])))
+                recomputed = chunk_content_sha(
+                    decode_chunk(_rebuild_chunk(tbl, by_col[c]), _d_empty=d_empty)
+                )
             except Exception as e:  # corrupt pages may fail to decode at all
                 recomputed = f"decode-error:{type(e).__name__}"
             cols.append(c)

@@ -393,16 +393,23 @@ def test_list_exotic_element_types(vals, typ):
     assert decode_chunk(chunk).to_pylist() == arr.to_pylist()
 
 
-def test_struct_rejects_nested_fields():
-    # review finding: a nested field silently lost the struct def stream
-    from parquet4seastar_spark.codecs.pages import encode_struct_chunk
+def test_struct_rejects_unsupported_nested_fields():
+    # struct fields may be primitive, struct, or list-of-primitive; a list
+    # of STRUCTS inside a struct would need rep+multi-def levels the
+    # single-rep chunk layout can't carry -- fail fast, never mis-encode
+    from parquet4seastar_spark.codecs.pages import decode_struct_chunk, encode_struct_chunk
 
-    arr = pa.array(
+    ok = pa.array(
         [{"a": 1, "tags": [1, 2]}],
         type=pa.struct([("a", pa.int64()), ("tags", pa.list_(pa.int64()))]),
     )
-    with pytest.raises(TypeError, match="primitive"):
-        encode_struct_chunk(arr)
+    assert decode_struct_chunk(encode_struct_chunk(ok)).to_pylist() == ok.to_pylist()
+    bad = pa.array(
+        [{"spans": [{"x": 1}]}],
+        type=pa.struct([("spans", pa.list_(pa.struct([("x", pa.int64())])))]),
+    )
+    with pytest.raises(TypeError, match="list of primitives"):
+        encode_struct_chunk(bad)
 
 
 def test_list_of_list_roundtrip():
@@ -538,6 +545,46 @@ def test_struct_list_nested_struct_fields():
     # sliced input
     sl = arr.slice(3, 90)
     assert decode_struct_list_chunk(encode_struct_list_chunk(sl)).to_pylist() == sl.to_pylist()
+
+
+def test_struct_with_list_field():
+    # LIST field inside struct(s): struct levels become optional levels
+    # ABOVE the repeated one (d_empty = depth+1), stored under '.#list'
+    from parquet4seastar_spark.codecs.pages import (
+        decode_struct_chunk,
+        encode_struct_chunk,
+    )
+
+    t = pa.struct([("a", pa.int64()), ("tags", pa.list_(pa.string()))])
+    data = [
+        {"a": 1, "tags": ["x", "y"]},
+        None,                           # struct null (def 0)
+        {"a": 2, "tags": None},         # list null (def 1)
+        {"a": None, "tags": []},        # present but empty (def 2)
+        {"a": 4, "tags": ["z", None]},  # element null (def 3) vs value (4)
+    ] * 30
+    arr = pa.array(data, type=t)
+    for policy in ["plain", "auto"]:
+        ch = encode_struct_chunk(arr, policy=policy, page_target_bytes=256)
+        assert set(ch) == {"a", "tags.#list"}
+        assert ch["tags.#list"].max_def == 4 and ch["tags.#list"].max_rep == 1
+        out = decode_struct_chunk(ch)
+        out.validate(full=True)
+        assert out.to_pylist() == arr.to_pylist(), policy
+    # nested: the list under TWO struct levels (d_empty = 3)
+    t2 = pa.struct([("meta", pa.struct([("tags", pa.list_(pa.int64())), ("k", pa.int32())]))])
+    d2 = [
+        {"meta": {"tags": [1, 2], "k": 1}},
+        {"meta": None},
+        None,
+        {"meta": {"tags": None, "k": 2}},
+        {"meta": {"tags": [], "k": None}},
+    ] * 20
+    a2 = pa.array(d2, type=t2)
+    ch2 = encode_struct_chunk(a2, policy="auto")
+    assert ch2["meta.tags.#list"].max_def == 4  # 3 outer levels + value
+    out2 = decode_struct_chunk(ch2)
+    assert out2.to_pylist() == a2.to_pylist()
 
 
 def test_struct_of_struct_writer_levels():
