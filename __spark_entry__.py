@@ -630,6 +630,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["quality_scores"] = lambda spark, sf_dir: text.quality_scores(_docs(spark, sf_dir))
     q["language_id"] = lambda spark, sf_dir: text.language_id(_docs(spark, sf_dir))
     q["fingerprints"] = lambda spark, sf_dir: text.fingerprints(_docs(spark, sf_dir))
+    q["stratified_sample"] = lambda spark, sf_dir: text.stratified_sample(
+        _docs(spark, sf_dir)
+    ).select("doc_id", "lang")
+
+    def redact_pii(spark, sf_dir):
+        # plant PII-shaped spans on 1/7 of the docs so the scrubber has
+        # real work; the oracle plants identically
+        docs = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(
+                    F.col("doc_id") % 7 == 0,
+                    F.lit(" contact: bob@example.com or 555-123-4567 ssn 123-45-6789"),
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        return text.redact_pii(docs)
+
+    q["redact_pii"] = redact_pii
 
     # ---- dedup operators
     q["dedup_exact"] = lambda spark, sf_dir: dedup.exact_dedup(_docs(spark, sf_dir))
@@ -753,6 +773,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["embedding_near_dups"] = embedding_near_dups
+
+    # ---- near-dup pairs -> duplicate GROUPS (connected components, rep =
+    # min id).  Two scaled copies per planted vector make 3-cliques whose
+    # components are fully deterministic (original corpus cosines < 0.9,
+    # so every component is a planted group).
+    def dedup_groups(spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+        base = emb.filter(F.col("vec_id") < 10)
+
+        def scaled(offset, factor):
+            return base.select(
+                (F.col("vec_id") + offset).alias("vec_id"),
+                F.transform("embedding", lambda x: (x * F.lit(factor)).cast("float")).alias(
+                    "embedding"
+                ),
+            )
+
+        allv = emb.union(scaled(10_000_000, 1.01)).union(scaled(20_000_000, 1.02))
+        pairs = similarity.embedding_near_dups(allv, threshold=0.9).select("id_a", "id_b")
+        comps = dedup.connected_components(pairs)
+        return comps.select(F.col("id").alias("vec_id"), "rep")
+
+    q["dedup_groups"] = dedup_groups
 
     # ---- multimodal plumbing (deterministic fake decode; SQL-oracled meta)
     def multimodal_ingest(spark, sf_dir):
@@ -982,6 +1025,33 @@ def oracle_sql() -> dict[str, str]:
     o["fingerprints"] = (
         "SELECT doc_id, md5(text) AS fp_md5, substring(md5(text), 1, 16) AS fp_prefix64 FROM documents"
     )
+    o["stratified_sample"] = (
+        "SELECT doc_id, lang FROM documents "
+        "WHERE substring(md5(concat(lang, ':', CAST(doc_id AS VARCHAR))), 1, 2) < '40'"
+    )
+    from parquet4seastar_spark.operators.text import PII_PATTERNS
+
+    _pii_src = (
+        "SELECT doc_id, concat(text, CASE WHEN doc_id % 7 = 0 THEN "
+        "' contact: bob@example.com or 555-123-4567 ssn 123-45-6789' ELSE '' END) AS t "
+        "FROM documents"
+    )
+    _red = "t"
+    _cnt = []
+    for _pat, _tag in PII_PATTERNS:
+        _red = f"regexp_replace({_red}, '{_pat}', '{_tag}', 'g')"
+        _cnt.append(f"(len(regexp_split_to_array(t, '{_pat}')) - 1)")
+    o["redact_pii"] = (
+        f"SELECT doc_id, {_red} AS text_redacted, "
+        f"CAST({' + '.join(_cnt)} AS INT) AS n_redactions FROM ({_pii_src})"
+    )
+    o["dedup_groups"] = """
+        SELECT vec_id, CAST(vec_id % 10000000 AS BIGINT) AS rep FROM (
+            SELECT vec_id FROM embeddings WHERE vec_id < 10
+            UNION ALL SELECT vec_id + 10000000 FROM embeddings WHERE vec_id < 10
+            UNION ALL SELECT vec_id + 20000000 FROM embeddings WHERE vec_id < 10
+        ) AS p(vec_id)
+    """
     o["dedup_exact"] = (
         "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text"
     )

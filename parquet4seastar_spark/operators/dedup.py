@@ -213,6 +213,60 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20
+) -> DataFrame:
+    """(id, rep): connected components over near-duplicate pairs, rep = min
+    id in the component — the step that turns pairwise matches into
+    keep/drop GROUPS (keep rep, drop the rest).
+
+    Min-label propagation: each round every node takes the min of its own
+    label and its neighbors' labels (one ids-only shuffle per round).
+    Rounds needed = graph diameter; duplicate groups from banded LSH are
+    cliques or min-id stars (diameter <= 2), so 2-3 rounds close them.
+    Only edge endpoints carry labels — at 10^9 docs with 1% dups the label
+    frame is 10^7 rows, never the corpus.  The convergence check is one
+    count on the (tiny) changed-labels frame per round; ``max_iter`` caps
+    pathological chains.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn("rep", F.col("id"))
+    labels = labels.persist()
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(F.col("id").alias("dst"), F.col("rep").alias("nrep")), "dst"
+            )
+            .groupBy("src")
+            .agg(F.min("nrep").alias("min_nbr"))
+        )
+        new_labels = (
+            labels.join(nbr.withColumnRenamed("src", "id"), "id", "left")
+            .select(
+                "id",
+                F.least(F.col("rep"), F.coalesce("min_nbr", F.col("rep"))).alias("rep"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("rep", "old"), "id")
+            .filter(F.col("rep") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 def simhash(docs: DataFrame, bits: int = 64, shingle_k: int = 6, seed: int = 7) -> DataFrame:
     """(doc_id, simhash long): bit-vote fingerprint over unique shingles.
 

@@ -126,3 +126,48 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         F.md5("text").alias("fp_md5"),
         F.substring(F.md5("text"), 1, 16).alias("fp_prefix64"),
     )
+
+
+def stratified_sample(
+    docs: DataFrame, strata_col: str = "lang", hex_threshold: str = "40",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum sample: keep rows whose
+    md5('<stratum>:<id>') 2-hex-digit prefix sorts below ``hex_threshold``
+    ('40' = 64/256 = 25%).
+
+    Hash-based, not random: the sample is reproducible across runs,
+    engines (md5 is bit-identical in Spark and DuckDB), and cluster sizes
+    — no RNG state, no shuffle; the filter runs map-side inside
+    whole-stage codegen and pushes past column pruning.  Stratification by
+    key keeps every stratum at the same rate regardless of skew.
+    """
+    key = F.md5(F.concat_ws(":", F.col(strata_col), F.col(id_col).cast("string")))
+    return docs.withColumn("_h", F.substring(key, 1, 2)).filter(
+        F.col("_h") < hex_threshold
+    ).drop("_h")
+
+
+PII_PATTERNS = [
+    # RE2-safe (no lookahead): shared verbatim with the DuckDB oracle
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+]
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, text_redacted, n_redactions): scrub email/phone/SSN-shaped
+    spans — the hygiene pass a training-data pipeline runs before
+    tokenization.  Pure regexp_replace chain (JVM, whole-stage codegen);
+    n_redactions is recomputed from length deltas of a marker pass so the
+    count needs no second scan column."""
+    red = F.col(text_col)
+    for pat, tag in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, tag)
+    n = F.lit(0)
+    for pat, _ in PII_PATTERNS:
+        n = n + F.size(F.split(F.col(text_col), pat)) - 1
+    return docs.select(
+        "doc_id", red.alias("text_redacted"), n.cast("int").alias("n_redactions")
+    )

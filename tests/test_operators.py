@@ -149,6 +149,53 @@ def test_lsh_topk_contains_self(spark, embeddings):
         assert qid in ns  # self always lands in its own bucket
 
 
+def test_connected_components(spark):
+    from parquet4seastar_spark.operators.dedup import connected_components
+
+    # two components: a 4-chain (diameter 3 -> needs >1 round) + a 2-clique
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 10)], ["id_a", "id_b"]
+    )
+    out = {r["id"]: r["rep"] for r in connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_stratified_sample_deterministic(spark, docs):
+    from parquet4seastar_spark.operators.text import stratified_sample
+
+    a = {r["doc_id"] for r in stratified_sample(docs).select("doc_id").collect()}
+    b = {r["doc_id"] for r in stratified_sample(docs).select("doc_id").collect()}
+    assert a == b and 0 < len(a) < docs.count()  # reproducible, proper subset
+    # per-stratum rate stays near 25% even for the largest stratum
+    total_by = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept_by = {
+        r["lang"]: r["n"]
+        for r in stratified_sample(docs).groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    biggest = max(total_by, key=total_by.get)
+    rate = kept_by.get(biggest, 0) / total_by[biggest]
+    assert 0.1 < rate < 0.45, rate
+
+
+def test_redact_pii(spark):
+    from parquet4seastar_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b+c@ex-ample.co.uk now"),
+            (2, "call 555-123-4567 or 555.987.6543"),
+            (3, "ssn 123-45-6789 ok"),
+            (4, "clean text"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: (r["text_redacted"], r["n_redactions"]) for r in redact_pii(df).collect()}
+    assert out[1] == ("mail me at <EMAIL> now", 1)
+    assert out[2] == ("call <PHONE> or <PHONE>", 2)
+    assert out[3] == ("ssn <SSN> ok", 1)
+    assert out[4] == ("clean text", 0)
+
+
 def test_language_id_markers(spark):
     from parquet4seastar_spark.operators.text import language_id
 
