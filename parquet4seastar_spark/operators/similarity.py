@@ -255,7 +255,9 @@ def embedding_near_dups(
         )
     )
     sizes2 = sig2.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_n2"))
-    sig2 = sig2.join(sizes2, ["band", "bucket"])
+    # four consumers (ok self-join x2, big, reps): persist the sized triples
+    # once instead of re-running both size aggregations per consumer
+    sig2 = sig2.join(sizes2, ["band", "bucket"]).persist()
     ok = sig2.filter(F.col("_n2") <= max_bucket_size)
     big = sig2.filter(F.col("_n2") > max_bucket_size)
     left, right = ok.alias("l"), ok.alias("r")
