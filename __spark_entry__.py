@@ -436,6 +436,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["roundtrip_struct_with_list"] = roundtrip_struct_with_list
 
+    # ---- the full mixed tree: struct<k, spans: array<struct<tok, pos?>>>
+    # (struct levels above AND below the repeated level in one geometry);
+    # decoded rows explode_outer to scalars for the oracle
+    def roundtrip_struct_spans(spark, sf_dir):
+        from parquet4seastar_spark.engine.decode_job import decode_table
+        from parquet4seastar_spark.engine.encode_job import encode_table
+
+        src = _docs(spark, sf_dir).select(
+            F.col("doc_id").alias("row_id"),
+            F.struct(
+                F.col("n_chars").alias("k"),
+                F.when(F.col("doc_id") % 5 == 0, F.lit(None))
+                .otherwise(
+                    F.transform(
+                        F.split(F.trim("text"), r"\s+"),
+                        lambda x, i: F.struct(
+                            x.alias("tok"),
+                            F.when(i % 3 == 0, F.lit(None))
+                            .otherwise(i)
+                            .cast("int")
+                            .alias("pos"),
+                        ),
+                    )
+                )
+                .alias("spans"),
+            ).alias("meta"),
+            "source",
+        )
+        enc = encode_table(
+            src, columns=["meta"], policy="auto", salt_col="source", num_partitions=2,
+            salt_target_rows=2000,
+        )
+        dec = decode_table(enc, ["meta"])
+        return dec.select(
+            F.col("row_id").alias("doc_id"),
+            F.col("meta.k").alias("k"),
+            F.explode_outer("meta.spans").alias("s"),
+        ).select("doc_id", "k", F.col("s.tok").alias("tok"), F.col("s.pos").alias("pos"))
+
+    q["roundtrip_struct_spans"] = roundtrip_struct_spans
+
     # ---- map<string,string> through the engine (key/value list chunks with
     # shared offsets, standard parquet MAP level geometry)
     def roundtrip_map(spark, sf_dir):
@@ -951,6 +992,16 @@ def oracle_sql() -> dict[str, str]:
     o["roundtrip_struct_nested"] = (
         "SELECT doc_id, lang, "
         "CASE WHEN doc_id % 7 = 0 THEN NULL ELSE source END AS src, n_chars FROM documents"
+    )
+    o["roundtrip_struct_spans"] = (
+        "SELECT doc_id, n_chars AS k, u.tok AS tok, "
+        "CASE WHEN (u.i - 1) % 3 = 0 THEN NULL ELSE CAST(u.i - 1 AS INT) END AS pos FROM ("
+        "SELECT doc_id, n_chars, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok, "
+        "unnest(generate_series(1, len(regexp_split_to_array(trim(text), '\\s+')))) AS i "
+        "FROM documents WHERE doc_id % 5 <> 0) AS u(doc_id, n_chars, tok, i) "
+        "UNION ALL "
+        "SELECT doc_id, n_chars AS k, CAST(NULL AS VARCHAR) AS tok, CAST(NULL AS INT) AS pos "
+        "FROM documents WHERE doc_id % 5 = 0"
     )
     o["roundtrip_struct_with_list"] = (
         "SELECT doc_id, n_chars AS a, "

@@ -720,7 +720,11 @@ def _encode_list_chunk(
         elem_nullable = leaf.null_count > 0
     if mid_valids is not None:
         elem_nullable = True
-        d_empty = 1 if nullable else 0
+        if outer_defs is not None:  # list<struct> nested INSIDE struct(s)
+            nullable = True
+            d_empty = outer_opts
+        else:
+            d_empty = 1 if nullable else 0
         max_def = d_empty + 1 + len(mid_valids) + (1 if field_optional else 0)
     elif outer_defs is not None:
         nullable = True
@@ -1576,11 +1580,8 @@ def encode_struct_chunk(
             if pa.types.is_list(f.type) or pa.types.is_large_list(f.type):
                 # LIST field inside struct(s): the struct levels become
                 # optional levels ABOVE the repeated one (d_empty = depth+1);
-                # stored under the reserved '.#list' leaf key
-                if pa.types.is_nested(f.type.value_type):
-                    raise TypeError(
-                        f"struct field '{name}': list of primitives only, got {f.type}"
-                    )
+                # stored under the reserved '.#list' leaf key.  List of
+                # STRUCTS decomposes further into '.#list.<field>' leaves.
                 import pyarrow.compute as pc
 
                 lv_own = (
@@ -1589,6 +1590,22 @@ def encode_struct_chunk(
                 lv = cum & lv_own
                 if not lv.all():
                     fa = pc.if_else(pa.array(lv), fa, pa.nulls(n, fa.type))
+                if pa.types.is_struct(f.type.value_type):
+                    encode_struct_list_chunk(
+                        fa,
+                        policy=policy,
+                        page_target_bytes=page_target_bytes,
+                        compression=compression,
+                        _out=out,
+                        _prefix=name + ".#list.",
+                        _outer_defs=np.asarray(d, dtype=np.int64) + lv,
+                        _outer_opts=depth + 1,
+                    )
+                    continue
+                if pa.types.is_nested(f.type.value_type):
+                    raise TypeError(
+                        f"struct field '{name}': list of primitives or structs only, got {f.type}"
+                    )
                 out[name + ".#list"] = _encode_list_chunk(
                     fa,
                     policy=policy,
@@ -1626,9 +1643,17 @@ def decode_struct_chunk(chunks: dict[str, EncodedChunk]) -> pa.StructArray:
     d_empty = struct depth + 1 (derived from the path) and whose def
     stream is per level ENTRY — reduced here to one def per row."""
     decoded: dict[str, tuple[pa.Array, np.ndarray]] = {}
+    sl_groups: dict[str, dict[str, EncodedChunk]] = {}
     for name, ch in chunks.items():
         levels: list[np.ndarray] = []
-        if name.endswith("#list"):
+        if ".#list." in name:
+            # list<struct> member: defer, the whole group reassembles at
+            # once; reserve the dict slot NOW so field order is preserved
+            head, _, elem = name.partition(".#list.")
+            if head not in sl_groups:
+                decoded[head + ".#list"] = None  # placeholder, filled below
+            sl_groups.setdefault(head, {})[elem] = ch
+        elif name.endswith("#list"):
             depth = name.count(".")  # struct levels above the list field
             arr = decode_chunk(ch, _collect_levels=levels, _d_empty=depth + 1)
             def_all = np.concatenate(levels) if levels else np.zeros(0, dtype=np.int64)
@@ -1644,6 +1669,12 @@ def decode_struct_chunk(chunks: dict[str, EncodedChunk]) -> pa.StructArray:
             arr = decode_chunk(ch, _collect_levels=levels)
             def_all = np.concatenate(levels) if levels else np.zeros(0, dtype=np.int32)
             decoded[name] = (arr, def_all)
+    for head, g in sl_groups.items():
+        depth = head.count(".") + 1  # struct levels above the list
+        arr, row_defs = decode_struct_list_chunk(
+            g, _d_empty=depth + 1, _return_row_defs=True
+        )
+        decoded[head + ".#list"] = (arr, row_defs)
     out, _ = _assemble_struct(decoded, 1)
     return out
 
@@ -1816,11 +1847,10 @@ def chunk_content_sha(arr: pa.Array) -> str:
 
 # ---------------------------------------------------------------------------
 # list<struct<...>> columns (token spans, annotated sequences): decomposed
-# into per-field LIST chunks sharing the outer offsets, with a null struct
-# element carried as def = max_def - 1 on every field (the same Dremel shape
-# the reference assembles in record_reader.hh:272-336).  Struct FIELDS must
-# be effectively required: a field null where its struct is present would
-# need a 4th def level -- rejected fail-fast.
+# into per-field LIST chunks sharing the outer offsets.  Element-side
+# struct levels (incl. nested annotation structs) each add one def level
+# via the mid_valids stack; optional fields add one more (the Dremel shape
+# record_reader.hh:272-336 / file_writer.hh:50-81 assemble recursively).
 
 
 def encode_struct_list_chunk(
@@ -1829,7 +1859,14 @@ def encode_struct_list_chunk(
     policy: str = "auto",
     page_target_bytes: int = 1 << 20,
     compression: str = "uncompressed",
+    _out: "dict[str, EncodedChunk] | None" = None,
+    _prefix: str = "",
+    _outer_defs: np.ndarray | None = None,
+    _outer_opts: int = 0,
 ) -> dict[str, EncodedChunk]:
+    """``_outer_defs``/``_outer_opts`` (internal): when the list<struct>
+    sits INSIDE struct levels (encode_struct_chunk's '.#list.' members),
+    they carry the row-level outer defs so d_empty = struct depth + 1."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     t = arr.type
@@ -1849,7 +1886,7 @@ def encode_struct_list_chunk(
     ).astype(np.int32)
     rel = offs - offs[0] if n else np.zeros(1, dtype=np.int32)
     mask = pa.array(~np.asarray(arr.is_valid())) if arr.null_count else None
-    out: dict[str, EncodedChunk] = {}
+    out: dict[str, EncodedChunk] = _out if _out is not None else {}
     import pyarrow.compute as pc
 
     n_elems = len(leaf)
@@ -1887,15 +1924,26 @@ def encode_struct_list_chunk(
                 elem_nullable=True,
                 mid_valids=mids,
                 field_optional=field_optional,
+                outer_defs=_outer_defs,
+                outer_opts=_outer_opts,
             )
 
-    walk("", leaf, [struct_valid])
+    walk(_prefix, leaf, [struct_valid])
     return out
 
 
-def decode_struct_list_chunk(chunks: dict[str, EncodedChunk]) -> pa.Array:
+def decode_struct_list_chunk(
+    chunks: dict[str, EncodedChunk],
+    *,
+    _d_empty: int | None = None,
+    _return_row_defs: bool = False,
+) -> pa.Array:
     """Reassemble list<struct<...>> (nested struct fields via dot-joined
-    leaf keys) from per-field list chunks.
+    leaf keys) from per-field list chunks.  ``_d_empty`` overrides the
+    empty-list level for groups embedded inside struct columns
+    ('.#list.' members, d_empty = struct depth + 1); with
+    ``_return_row_defs`` the per-row def stream is returned too (parent
+    struct validity).
 
     Per-level struct validity comes from the def streams: a leaf under
     ``depth`` struct levels carries ``extra = max_def - (d_empty+1)``
@@ -1903,21 +1951,21 @@ def decode_struct_list_chunk(chunks: dict[str, EncodedChunk]) -> pa.Array:
     (1-based) is present where def >= d_empty+1+j.  Levels past the
     encoded budget are all-present (an old required-leaf chunk)."""
     names = list(chunks)
-    # name -> (decoded list array, element def values, d_empty, extra)
+    # name -> (decoded list array, element def values, d_empty, extra, all defs)
     info: dict[str, tuple] = {}
     for f, c in chunks.items():
         levels: list[np.ndarray] = []
-        fl = decode_chunk(c, _collect_levels=levels)
-        d_empty = 1 if c.nullable else 0
+        fl = decode_chunk(c, _collect_levels=levels, _d_empty=_d_empty)
+        d_empty = _d_empty if _d_empty is not None else (1 if c.nullable else 0)
         def_all = np.concatenate(levels) if levels else np.zeros(0, dtype=np.int64)
         elem_defs = def_all[def_all > d_empty]
-        info[f] = (fl, elem_defs, d_empty, c.max_def - (d_empty + 1))
+        info[f] = (fl, elem_defs, d_empty, c.max_def - (d_empty + 1), def_all)
     first = info[names[0]][0]
     n = len(first)
     koffs = np.frombuffer(first.buffers()[1], dtype=np.int32, count=n + 1, offset=first.offset * 4)
 
     def node_validity(name: str, level: int) -> np.ndarray:
-        fl, elem_defs, d_empty, extra = info[name]
+        fl, elem_defs, d_empty, extra, _ = info[name]
         depth = 1 + name.count(".")
         if level <= min(extra, depth):
             return elem_defs >= d_empty + 1 + level
@@ -1957,12 +2005,24 @@ def decode_struct_list_chunk(chunks: dict[str, EncodedChunk]) -> pa.Array:
         list_mask = pa.py_buffer(
             np.packbits(np.asarray(first.is_valid()), bitorder="little").tobytes()
         )
-    return pa.Array.from_buffers(
+    out_arr = pa.Array.from_buffers(
         pa.list_(pa.field("element", kv.type)),
         n,
         [list_mask, pa.py_buffer(np.ascontiguousarray(koffs).tobytes())],
         children=[kv],
     )
+    if not _return_row_defs:
+        return out_arr
+    # per-row def (first level entry of each row): rows carry max(slots, 1)
+    # entries, slots = decoded list length (null rows decode to length 0)
+    fl0 = first
+    lvl0 = pa.compute.list_value_length(fl0)
+    lengths0 = np.asarray(lvl0.fill_null(0) if fl0.null_count else lvl0).astype(np.int64)
+    counts0 = np.maximum(lengths0, 1)
+    starts0 = np.zeros(n, dtype=np.int64)
+    starts0[1:] = np.cumsum(counts0)[:-1]
+    def_all0 = info[names[0]][4]
+    return out_arr, def_all0[starts0]
 
 
 # ---------------------------------------------------------------------------

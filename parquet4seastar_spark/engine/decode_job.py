@@ -94,9 +94,14 @@ def _sql_struct_type(items) -> str:
     parts = []
     for head, sub in _group_fields(items):
         if len(sub) == 1 and sub[0][0] in ("", "#list"):
-            # '#list' marks a list field inside the struct; its payload is
+            # '#list' marks a list-of-primitive field; its payload is
             # already the full array<...> type
             parts.append(f"`{head}`: {sub[0][1]}")
+        elif all(k.startswith("#list.") for k, _ in sub):
+            # list<struct> member: '#list.<elem path>' leaves carry the
+            # ELEMENT type; rebuild the element struct, wrap in array<>
+            inner = _sql_struct_type([(k[6:], v) for k, v in sub])
+            parts.append(f"`{head}`: array<{inner}>")
         else:
             parts.append(f"`{head}`: {_sql_struct_type(sub)}")
     return "struct<" + ", ".join(parts) + ">"
@@ -107,6 +112,8 @@ def _pa_struct_type(items) -> pa.DataType:
     for head, sub in _group_fields(items):
         if len(sub) == 1 and sub[0][0] in ("", "#list"):
             fields.append((head, sub[0][1]))
+        elif all(k.startswith("#list.") for k, _ in sub):
+            fields.append((head, pa.list_(_pa_struct_type([(k[6:], v) for k, v in sub]))))
         else:
             fields.append((head, _pa_struct_type(sub)))
     return pa.struct(fields)
@@ -270,7 +277,7 @@ def decode_table(
         return (
             isinstance(m, list)
             and all(lg.startswith("list<") for _, _, lg in m)
-            and not any(f.endswith("#list") for _, f, _ in m)
+            and not any("#list" in f for _, f, _ in m)
         )
 
     def _spark_col_type(c: str) -> str:
@@ -283,8 +290,14 @@ def decode_table(
         if _is_struct_list(c):
             inner = _sql_struct_type([(f, _spark_type(_elem(lg))) for _, f, lg in members[c]])
             return f"array<{inner}>"
-        # dot-joined leaf names encode struct-of-struct nesting
-        return _sql_struct_type([(f, _spark_type(lg)) for _, f, lg in members[c]])
+        # dot-joined leaf names encode struct-of-struct nesting; '#list.'
+        # leaves carry list<elem> logicals but contribute their ELEMENT type
+        return _sql_struct_type(
+            [
+                (f, _spark_type(_elem(lg)) if "#list." in f else _spark_type(lg))
+                for _, f, lg in members[c]
+            ]
+        )
 
     out_schema = ", ".join(["row_id long"] + [f"`{c}` {_spark_col_type(c)}" for c in columns])
     cols = columns
@@ -326,7 +339,12 @@ def decode_table(
                     fname: _rebuild_chunk(tbl, by_col[leaf]) for leaf, fname, _ in members[c]
                 }
                 arr = decode_struct_chunk(field_chunks)
-                target = _pa_struct_type([(f, _pa_type(lg)) for _, f, lg in members[c]])
+                target = _pa_struct_type(
+                    [
+                        (f, _pa_type(_elem(lg)) if "#list." in f else _pa_type(lg))
+                        for _, f, lg in members[c]
+                    ]
+                )
             if arr.type != target:
                 arr = arr.cast(target)
             out_arrays.append(arr)

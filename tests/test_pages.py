@@ -394,21 +394,21 @@ def test_list_exotic_element_types(vals, typ):
 
 
 def test_struct_rejects_unsupported_nested_fields():
-    # struct fields may be primitive, struct, or list-of-primitive; a list
-    # of STRUCTS inside a struct would need rep+multi-def levels the
-    # single-rep chunk layout can't carry -- fail fast, never mis-encode
+    # struct fields may be primitive, struct, list-of-primitive, or
+    # list-of-struct; a list<list> field would need a SECOND repetition
+    # level under struct context -- fail fast, never mis-encode
     from parquet4seastar_spark.codecs.pages import decode_struct_chunk, encode_struct_chunk
 
     ok = pa.array(
-        [{"a": 1, "tags": [1, 2]}],
+        [{"a": 1, "tags": [1, 2]}, {"a": 2, "spans": None, "tags": []}],
         type=pa.struct([("a", pa.int64()), ("tags", pa.list_(pa.int64()))]),
     )
     assert decode_struct_chunk(encode_struct_chunk(ok)).to_pylist() == ok.to_pylist()
     bad = pa.array(
-        [{"spans": [{"x": 1}]}],
-        type=pa.struct([("spans", pa.list_(pa.struct([("x", pa.int64())])))]),
+        [{"m": [[1]]}],
+        type=pa.struct([("m", pa.list_(pa.list_(pa.int64())))]),
     )
-    with pytest.raises(TypeError, match="list of primitives"):
+    with pytest.raises(TypeError, match="list of primitives or structs"):
         encode_struct_chunk(bad)
 
 
@@ -585,6 +585,61 @@ def test_struct_with_list_field():
     assert ch2["meta.tags.#list"].max_def == 4  # 3 outer levels + value
     out2 = decode_struct_chunk(ch2)
     assert out2.to_pylist() == a2.to_pylist()
+
+
+def test_struct_with_list_of_structs():
+    # the full mixed tree: struct levels ABOVE the repeated level (outer
+    # defs) + struct levels BELOW it (mid stack) in one leaf geometry;
+    # '<path>.#list.<elem path>' keys
+    from parquet4seastar_spark.codecs.pages import (
+        decode_struct_chunk,
+        encode_struct_chunk,
+    )
+
+    t = pa.struct([
+        ("a", pa.int64()),
+        ("spans", pa.list_(pa.struct([("tok", pa.string()), ("pos", pa.int32())]))),
+    ])
+    data = [
+        {"a": 1, "spans": [{"tok": "x", "pos": 0}, {"tok": "y", "pos": None}]},
+        None,
+        {"a": 2, "spans": None},
+        {"a": None, "spans": []},
+        {"a": 4, "spans": [None, {"tok": None, "pos": 2}]},
+    ] * 30
+    arr = pa.array(data, type=t)
+    for policy in ["plain", "auto"]:
+        ch = encode_struct_chunk(arr, policy=policy, page_target_bytes=256)
+        assert set(ch) == {"a", "spans.#list.tok", "spans.#list.pos"}
+        # d_empty=2 (struct+list) + repeated + elem struct + optional field
+        assert ch["spans.#list.tok"].max_def == 5
+        out = decode_struct_chunk(ch)
+        out.validate(full=True)
+        assert out.to_pylist() == arr.to_pylist(), policy
+    # deep: struct<meta:struct<spans:list<struct<tok, attrs:struct<u>>>, k>>
+    t2 = pa.struct([("meta", pa.struct([
+        ("spans", pa.list_(pa.struct([
+            ("tok", pa.string()),
+            ("attrs", pa.struct([("u", pa.int64())])),
+        ]))),
+        ("k", pa.int32()),
+    ]))])
+    d2 = [
+        {"meta": {"spans": [{"tok": "a", "attrs": {"u": 1}}, {"tok": "b", "attrs": None}], "k": 1}},
+        {"meta": None},
+        None,
+        {"meta": {"spans": None, "k": 2}},
+        {"meta": {"spans": [], "k": None}},
+        {"meta": {"spans": [None, {"tok": None, "attrs": {"u": None}}], "k": 3}},
+    ] * 20
+    a2 = pa.array(d2, type=t2)
+    ch2 = encode_struct_chunk(a2, policy="auto", page_target_bytes=512)
+    assert ch2["meta.spans.#list.attrs.u"].max_def == 7
+    out2 = decode_struct_chunk(ch2)
+    assert out2.to_pylist() == a2.to_pylist()  # field order preserved too
+    sl = a2.slice(3, 80)
+    out3 = decode_struct_chunk(encode_struct_chunk(sl, policy="plain"))
+    assert out3.to_pylist() == sl.to_pylist()
 
 
 def test_struct_of_struct_writer_levels():
