@@ -477,6 +477,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["roundtrip_struct_spans"] = roundtrip_struct_spans
 
+    # ---- map<string, struct<...>>: struct map values (per-field value
+    # leaves sharing the map offsets); projected to scalars for the oracle
+    def roundtrip_map_struct(spark, sf_dir):
+        from parquet4seastar_spark.engine.decode_job import decode_table
+        from parquet4seastar_spark.engine.encode_job import encode_table
+
+        src = _docs(spark, sf_dir).select(
+            F.col("doc_id").alias("row_id"),
+            F.when(F.col("doc_id") % 6 == 0, F.lit(None))
+            .otherwise(
+                F.create_map(
+                    F.lit("m1"),
+                    F.struct(F.col("n_chars").alias("n"), F.col("lang").alias("s")),
+                    F.lit("m2"),
+                    F.struct(
+                        (F.col("n_chars") * 2).alias("n"),
+                        F.when(F.col("doc_id") % 3 == 0, F.lit(None))
+                        .otherwise(F.col("source"))
+                        .alias("s"),
+                    ),
+                )
+            )
+            .alias("props"),
+            "source",
+        )
+        enc = encode_table(
+            src, columns=["props"], policy="auto", salt_col="source", num_partitions=2,
+            salt_target_rows=2000,
+        )
+        dec = decode_table(enc, ["props"])
+        p = F.col("props")
+        return dec.select(
+            F.col("row_id").alias("doc_id"),
+            p["m1"]["n"].alias("m1_n"),
+            p["m1"]["s"].alias("m1_s"),
+            p["m2"]["n"].alias("m2_n"),
+            p["m2"]["s"].alias("m2_s"),
+        )
+
+    q["roundtrip_map_struct"] = roundtrip_map_struct
+
     # ---- map<string,string> through the engine (key/value list chunks with
     # shared offsets, standard parquet MAP level geometry)
     def roundtrip_map(spark, sf_dir):
@@ -992,6 +1033,14 @@ def oracle_sql() -> dict[str, str]:
     o["roundtrip_struct_nested"] = (
         "SELECT doc_id, lang, "
         "CASE WHEN doc_id % 7 = 0 THEN NULL ELSE source END AS src, n_chars FROM documents"
+    )
+    o["roundtrip_map_struct"] = (
+        "SELECT doc_id, "
+        "CASE WHEN doc_id % 6 = 0 THEN NULL ELSE n_chars END AS m1_n, "
+        "CASE WHEN doc_id % 6 = 0 THEN NULL ELSE lang END AS m1_s, "
+        "CASE WHEN doc_id % 6 = 0 THEN NULL ELSE n_chars * 2 END AS m2_n, "
+        "CASE WHEN doc_id % 6 = 0 OR doc_id % 3 = 0 THEN NULL ELSE source END AS m2_s "
+        "FROM documents"
     )
     o["roundtrip_struct_spans"] = (
         "SELECT doc_id, n_chars AS k, u.tok AS tok, "

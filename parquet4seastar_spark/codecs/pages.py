@@ -1717,6 +1717,8 @@ def _assemble_struct(
 # list chunks sharing the map's offsets: keys (elements REQUIRED, so
 # max_def = outer_opt + 1) and values (elements OPTIONAL, max_def =
 # outer_opt + 2) -- exactly the level geometry parquet gives MAP leaves.
+# STRUCT values decompose further into per-field leaves ('value.<field>')
+# through the struct-list machinery, one def level per struct level.
 
 
 def encode_map_chunk(
@@ -1742,11 +1744,33 @@ def encode_map_chunk(
         mask = pa.array(~np.asarray(arr.is_valid()))
     keys = arr.keys.slice(base, total)
     items = arr.items.slice(base, total)
-    out = {}
-    for name, child in (("key", keys), ("value", items)):
-        lst = pa.ListArray.from_arrays(pa.array(rel), child, mask=mask)
-        out[name] = _encode_list_chunk(
-            lst,
+    out: dict[str, EncodedChunk] = {}
+    klst = pa.ListArray.from_arrays(pa.array(rel), keys, mask=mask)
+    out["key"] = _encode_list_chunk(
+        klst,
+        policy=policy,
+        page_target_bytes=page_target_bytes,
+        compression=compression,
+        nullable=arr.null_count > 0,
+    )
+    vlst = pa.ListArray.from_arrays(pa.array(rel), items, mask=mask)
+    if pa.types.is_struct(items.type):
+        encode_struct_list_chunk(
+            vlst,
+            policy=policy,
+            page_target_bytes=page_target_bytes,
+            compression=compression,
+            _out=out,
+            _prefix="value.",
+        )
+    else:
+        if pa.types.is_nested(items.type):
+            raise TypeError(
+                f"map values: primitive or struct only, got {items.type} "
+                "(a second repetition level is out of scope)"
+            )
+        out["value"] = _encode_list_chunk(
+            vlst,
             policy=policy,
             page_target_bytes=page_target_bytes,
             compression=compression,
@@ -1755,10 +1779,15 @@ def encode_map_chunk(
     return out
 
 
-def decode_map_chunk(key_chunk: EncodedChunk, value_chunk: EncodedChunk) -> pa.Array:
-    """Reassemble map<k,v> from its key/value list chunks (shared offsets)."""
+def decode_map_chunk(key_chunk: EncodedChunk, value_chunk) -> pa.Array:
+    """Reassemble map<k,v> from its key/value list chunks (shared offsets).
+    ``value_chunk``: an EncodedChunk for primitive values, or a dict of
+    per-field chunks keyed by the element path for STRUCT values."""
     karr = decode_chunk(key_chunk)
-    varr = decode_chunk(value_chunk)
+    if isinstance(value_chunk, dict):
+        varr = decode_struct_list_chunk(value_chunk)
+    else:
+        varr = decode_chunk(value_chunk)
     if len(karr) != len(varr):
         raise ValueError("map key/value row counts differ")
     n = len(karr)

@@ -249,12 +249,25 @@ def decode_table(
         }
     # requested column -> None (scalar leaf), 'map', or ordered struct
     # members [(leaf, field, logical)]
-    members: dict[str, list[tuple[str, str, str]] | str | None] = {}
+    members: dict = {}
     for c in columns:
         if c in schema:
             members[c] = None
         elif f"{c}.#key" in schema and f"{c}.#value" in schema:
             members[c] = "map"
+        elif f"{c}.#key" in schema and any(
+            leaf.startswith(f"{c}.#value.") for leaf in schema
+        ):
+            # map with STRUCT values: '<col>.#value.<i>.<field path>' leaves
+            vf = []
+            for leaf in schema:
+                if leaf.startswith(f"{c}.#value."):
+                    idx, fname = leaf[len(c) + 8 :].split(".", 1)
+                    vf.append((int(idx), leaf, fname))
+            members[c] = (
+                "map_struct",
+                [(leaf, fname, schema[leaf]) for _, leaf, fname in sorted(vf)],
+            )
         else:
             m = []
             for leaf in schema:
@@ -286,6 +299,12 @@ def decode_table(
         if members[c] == "map":
             kt = _spark_type(_elem(schema[f"{c}.#key"]))
             vt = _spark_type(_elem(schema[f"{c}.#value"]))
+            return f"map<{kt}, {vt}>"
+        if isinstance(members[c], tuple) and members[c][0] == "map_struct":
+            kt = _spark_type(_elem(schema[f"{c}.#key"]))
+            vt = _sql_struct_type(
+                [(f, _spark_type(_elem(lg))) for _, f, lg in members[c][1]]
+            )
             return f"map<{kt}, {vt}>"
         if _is_struct_list(c):
             inner = _sql_struct_type([(f, _spark_type(_elem(lg))) for _, f, lg in members[c]])
@@ -325,6 +344,18 @@ def decode_table(
                 target = pa.map_(
                     _pa_type(_elem(logicals[f"{c}.#key"])),
                     _pa_type(_elem(logicals[f"{c}.#value"])),
+                )
+            elif isinstance(members[c], tuple) and members[c][0] == "map_struct":
+                vchunks = {
+                    fname: _rebuild_chunk(tbl, by_col[leaf])
+                    for leaf, fname, _ in members[c][1]
+                }
+                arr = decode_map_chunk(_rebuild_chunk(tbl, by_col[f"{c}.#key"]), vchunks)
+                target = pa.map_(
+                    _pa_type(_elem(logicals[f"{c}.#key"])),
+                    _pa_struct_type(
+                        [(f, _pa_type(_elem(lg))) for _, f, lg in members[c][1]]
+                    ),
                 )
             elif _is_struct_list(c):
                 field_chunks = {

@@ -247,7 +247,8 @@ def _encode_partition_factory(
                     for i, (fname, fchunk) in enumerate(fchunks.items()):
                         leaf_chunks.append((f"{col}.{i}.{fname}", fchunk))
                 elif pa.types.is_map(arr.type):
-                    # map<k,v>: key/value list chunks sharing the map offsets
+                    # map<k,v>: key/value list chunks sharing the map offsets;
+                    # STRUCT values decompose to '<col>.#value.<i>.<field>'
                     mchunks = encode_map_chunk(
                         arr,
                         policy=cpolicy,
@@ -255,7 +256,14 @@ def _encode_partition_factory(
                         compression=compression,
                     )
                     leaf_chunks.append((f"{col}.#key", mchunks["key"]))
-                    leaf_chunks.append((f"{col}.#value", mchunks["value"]))
+                    if "value" in mchunks:
+                        leaf_chunks.append((f"{col}.#value", mchunks["value"]))
+                    else:
+                        vi = 0
+                        for k2, c2 in mchunks.items():
+                            if k2.startswith("value."):
+                                leaf_chunks.append((f"{col}.#value.{vi}.{k2[6:]}", c2))
+                                vi += 1
                 else:
                     leaf_chunks.append(
                         (

@@ -724,6 +724,32 @@ def test_sliced_nested_arrays_roundtrip():
     assert decode_chunk(encode_chunk(darr)).to_pylist() == darr.to_pylist()
 
 
+def test_map_struct_values_roundtrip():
+    # map<k, struct<...>>: value side decomposes to per-field leaves
+    # ('value.<field>') through the struct-list machinery
+    from parquet4seastar_spark.codecs.pages import decode_map_chunk, encode_map_chunk
+
+    t = pa.map_(pa.string(), pa.struct([("score", pa.int64()), ("tag", pa.string())]))
+    data = [
+        [("a", {"score": 1, "tag": "x"}), ("b", {"score": None, "tag": "y"})],
+        None,
+        [],
+        [("c", None), ("d", {"score": 4, "tag": None})],
+    ] * 25
+    arr = pa.array(data, type=t)
+    for policy in ["plain", "auto"]:
+        ch = encode_map_chunk(arr, policy=policy, page_target_bytes=256)
+        assert sorted(ch) == ["key", "value.score", "value.tag"]
+        vchunks = {k[6:]: v for k, v in ch.items() if k.startswith("value.")}
+        dec = decode_map_chunk(ch["key"], vchunks)
+        dec.validate(full=True)
+        assert dec.to_pylist() == arr.to_pylist(), policy
+    sl = arr.slice(3, 70)
+    ch2 = encode_map_chunk(sl, policy="plain")
+    v2 = {k[6:]: v for k, v in ch2.items() if k.startswith("value.")}
+    assert decode_map_chunk(ch2["key"], v2).to_pylist() == sl.to_pylist()
+
+
 def test_map_chunk_roundtrip():
     # map<k,v> via key/value list chunks with shared offsets; level geometry
     # matches the parquet MAP group (key REQUIRED, value OPTIONAL)

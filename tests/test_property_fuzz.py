@@ -124,3 +124,75 @@ def test_snappy_roundtrip_fuzz(data):
     from parquet4seastar_spark.codecs.snappy_py import snappy_compress, snappy_decompress
 
     assert snappy_decompress(snappy_compress(data)) == data
+
+
+# ---- round-3: mixed nested trees (struct/list at one repetition level) ----
+
+_prim = st.one_of(st.none(), I32)
+_span = st.one_of(
+    st.none(),
+    st.fixed_dictionaries(
+        {"tok": st.one_of(st.none(), st.text(max_size=8)), "pos": _prim}
+    ),
+)
+_SPAN_T = pa.struct([("tok", pa.string()), ("pos", pa.int32())])
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.one_of(st.none(), st.lists(_span, max_size=6)), max_size=60),
+    st.sampled_from(["auto", "plain"]),
+)
+def test_struct_list_roundtrip_fuzz(vals, policy):
+    # array<struct> with OPTIONAL fields: null lists, empty lists, null
+    # struct elements, null fields under present structs
+    from parquet4seastar_spark.codecs.pages import (
+        decode_struct_list_chunk,
+        encode_struct_list_chunk,
+    )
+
+    arr = pa.array(vals, type=pa.list_(_SPAN_T))
+    ch = encode_struct_list_chunk(arr, policy=policy, page_target_bytes=128)
+    assert decode_struct_list_chunk(ch).to_pylist() == arr.to_pylist()
+
+
+_TREE_T = pa.struct([
+    ("a", pa.int64()),
+    ("inner", pa.struct([("x", pa.string()), ("tags", pa.list_(pa.int32()))])),
+    ("spans", pa.list_(_SPAN_T)),
+])
+_tree_row = st.one_of(
+    st.none(),
+    st.fixed_dictionaries(
+        {
+            "a": st.one_of(st.none(), I64),
+            "inner": st.one_of(
+                st.none(),
+                st.fixed_dictionaries(
+                    {
+                        "x": st.one_of(st.none(), st.text(max_size=6)),
+                        "tags": st.one_of(st.none(), st.lists(_prim, max_size=4)),
+                    }
+                ),
+            ),
+            "spans": st.one_of(st.none(), st.lists(_span, max_size=4)),
+        }
+    ),
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(_tree_row, max_size=50), st.sampled_from(["auto", "plain"]))
+def test_mixed_tree_roundtrip_fuzz(vals, policy):
+    # the full supported tree in one column: nested struct, list under
+    # struct, list<struct> under struct -- every null/empty combination
+    from parquet4seastar_spark.codecs.pages import (
+        decode_struct_chunk,
+        encode_struct_chunk,
+    )
+
+    arr = pa.array(vals, type=_TREE_T)
+    ch = encode_struct_chunk(arr, policy=policy, page_target_bytes=128)
+    out = decode_struct_chunk(ch)
+    out.validate(full=True)
+    assert out.to_pylist() == arr.to_pylist()
