@@ -712,6 +712,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["quality_scores"] = lambda spark, sf_dir: text.quality_scores(_docs(spark, sf_dir))
     q["language_id"] = lambda spark, sf_dir: text.language_id(_docs(spark, sf_dir))
     q["fingerprints"] = lambda spark, sf_dir: text.fingerprints(_docs(spark, sf_dir))
+    q["top_terms_by_lang"] = lambda spark, sf_dir: text.top_terms_by_lang(
+        _docs(spark, sf_dir), k=5
+    )
     q["stratified_sample"] = lambda spark, sf_dir: text.stratified_sample(
         _docs(spark, sf_dir)
     ).select("doc_id", "lang")
@@ -878,6 +881,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return comps.select(F.col("id").alias("vec_id"), "rep")
 
     q["dedup_groups"] = dedup_groups
+
+    # ---- the END-TO-END dedup story in one query: LSH candidates ->
+    # identical-text confirm -> connected components -> drop non-reps ->
+    # filtered corpus.  Deterministic: confirmed edges are exactly the
+    # identical-text pairs (planted + organic), so kept ids = min-id per
+    # text class — one SQL group-by for the oracle.
+    def dedup_filtered_corpus(spark, sf_dir):
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        dup = docs.filter(F.col("doc_id") < 10).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+        all_docs = docs.union(dup)
+        pairs = dedup.minhash_lsh_pairs(all_docs, threshold=0.9)
+        ta = all_docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+        tb = all_docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+        confirmed = (
+            pairs.join(ta, "doc_a")
+            .join(tb, "doc_b")
+            .filter(F.col("text_a") == F.col("text_b"))
+            .select("doc_a", "doc_b")
+        )
+        comps = dedup.connected_components(confirmed, id_a="doc_a", id_b="doc_b")
+        drop = comps.filter(F.col("id") != F.col("rep")).select(F.col("id").alias("doc_id"))
+        return all_docs.join(drop, "doc_id", "left_anti").select("doc_id")
+
+    q["dedup_filtered_corpus"] = dedup_filtered_corpus
 
     # ---- multimodal plumbing (deterministic fake decode; SQL-oracled meta)
     def multimodal_ingest(spark, sf_dir):
@@ -1144,6 +1173,24 @@ def oracle_sql() -> dict[str, str]:
     o["redact_pii"] = (
         f"SELECT doc_id, {_red} AS text_redacted, "
         f"CAST({' + '.join(_cnt)} AS INT) AS n_redactions FROM ({_pii_src})"
+    )
+    o["dedup_filtered_corpus"] = """
+        WITH all_docs AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 10
+        )
+        SELECT a.doc_id FROM all_docs a
+        JOIN (SELECT text, min(doc_id) AS rep FROM all_docs GROUP BY text) r
+          ON a.text = r.text AND a.doc_id = r.rep
+    """
+    o["top_terms_by_lang"] = (
+        "SELECT lang, term, cnt, rank FROM ("
+        "SELECT lang, term, cnt, CAST(row_number() OVER "
+        "(PARTITION BY lang ORDER BY cnt DESC, term ASC) AS INT) AS rank FROM ("
+        "SELECT lang, term, CAST(count(*) AS BIGINT) AS cnt FROM ("
+        "SELECT lang, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term "
+        "FROM documents) GROUP BY 1, 2)) WHERE rank <= 5"
     )
     o["dedup_groups"] = """
         SELECT vec_id, CAST(vec_id % 10000000 AS BIGINT) AS rep FROM (

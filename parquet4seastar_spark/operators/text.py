@@ -171,3 +171,27 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select(
         "doc_id", red.alias("text_redacted"), n.cast("int").alias("n_redactions")
     )
+
+
+def top_terms_by_lang(docs: DataFrame, k: int = 5) -> DataFrame:
+    """(lang, term, cnt, rank): top-k whitespace terms per language by
+    exact count (ties broken by term, so fully deterministic).
+
+    Scale shape: explode -> one (lang, term) hash aggregate with map-side
+    partial combine; the per-lang top-k is a WindowGroupLimit (Spark pushes
+    rank<=k below the sort), so only k rows per lang survive the window
+    shuffle region.
+    """
+    from pyspark.sql import Window
+
+    terms = docs.select(
+        "lang",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term"),
+    )
+    counts = terms.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("lang", "term", "cnt", "rank")
+    )

@@ -196,6 +196,41 @@ def test_redact_pii(spark):
     assert out[4] == ("clean text", 0)
 
 
+def test_top_terms_by_lang(spark):
+    from parquet4seastar_spark.operators.text import top_terms_by_lang
+
+    df = spark.createDataFrame(
+        [(1, "en", "a b a c a b"), (2, "en", "b c"), (3, "de", "x x y")],
+        ["doc_id", "lang", "text"],
+    )
+    out = {(r["lang"], r["rank"]): (r["term"], r["cnt"]) for r in top_terms_by_lang(df, k=2).collect()}
+    assert out[("en", 1)] == ("a", 3) and out[("en", 2)] == ("b", 3)  # tie -> term asc
+    assert out[("de", 1)] == ("x", 2) and out[("de", 2)] == ("y", 1)
+
+
+def test_dedup_filtered_corpus_drops_clones(spark, docs):
+    from parquet4seastar_spark.operators import dedup
+
+    base = docs.select("doc_id", "text")
+    dup = base.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    all_docs = base.union(dup)
+    pairs = dedup.minhash_lsh_pairs(all_docs, threshold=0.9)
+    ta = all_docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    tb = all_docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    confirmed = (
+        pairs.join(ta, "doc_a").join(tb, "doc_b")
+        .filter(F.col("text_a") == F.col("text_b")).select("doc_a", "doc_b")
+    )
+    comps = dedup.connected_components(confirmed, id_a="doc_a", id_b="doc_b")
+    drop = comps.filter(F.col("id") != F.col("rep")).select(F.col("id").alias("doc_id"))
+    kept = {r["doc_id"] for r in all_docs.join(drop, "doc_id", "left_anti").select("doc_id").collect()}
+    # every planted clone dropped, its original kept
+    assert not any(d >= 1000000 for d in kept)
+    assert {0, 1, 2, 3, 4} <= kept
+
+
 def test_language_id_markers(spark):
     from parquet4seastar_spark.operators.text import language_id
 
