@@ -1156,7 +1156,7 @@ def oracle_sql() -> dict[str, str]:
     )
     o["stratified_sample"] = (
         "SELECT doc_id, lang FROM documents "
-        "WHERE substring(md5(concat(lang, ':', CAST(doc_id AS VARCHAR))), 1, 2) < '40'"
+        "WHERE substring(md5(concat(coalesce(lang, ''), ':', CAST(doc_id AS VARCHAR))), 1, 2) < '40'"
     )
     from parquet4seastar_spark.operators.text import PII_PATTERNS
 
@@ -1165,11 +1165,13 @@ def oracle_sql() -> dict[str, str]:
         "' contact: bob@example.com or 555-123-4567 ssn 123-45-6789' ELSE '' END) AS t "
         "FROM documents"
     )
+    # count each pattern against the PREVIOUS pattern's output, mirroring
+    # the operator (no double-count of spans consumed by an earlier pattern)
     _red = "t"
     _cnt = []
     for _pat, _tag in PII_PATTERNS:
+        _cnt.append(f"(len(regexp_split_to_array({_red}, '{_pat}')) - 1)")
         _red = f"regexp_replace({_red}, '{_pat}', '{_tag}', 'g')"
-        _cnt.append(f"(len(regexp_split_to_array(t, '{_pat}')) - 1)")
     o["redact_pii"] = (
         f"SELECT doc_id, {_red} AS text_redacted, "
         f"CAST({' + '.join(_cnt)} AS INT) AS n_redactions FROM ({_pii_src})"

@@ -670,6 +670,30 @@ def chunk_sha256(ptype, valid, values, lengths, payload) -> str:
 #   rep 0 starts a new row; rep 1 continues the current list.
 
 
+def _row_first_entry_defs(arr: pa.Array, def_all: np.ndarray) -> np.ndarray:
+    """Per-row def = the FIRST level entry's def.  A decoded list row
+    carries max(len, 1) entries (null/empty rows decode to length 0 but
+    still occupy one level entry)."""
+    lvl = pa.compute.list_value_length(arr)
+    lengths = np.asarray(lvl.fill_null(0) if arr.null_count else lvl).astype(np.int64)
+    counts = np.maximum(lengths, 1)
+    starts = np.zeros(len(arr), dtype=np.int64)
+    starts[1:] = np.cumsum(counts)[:-1]
+    return def_all[starts]
+
+
+def _check_field_name(name: str) -> None:
+    """Leaf paths are dot-joined and '#list'/'#key'/'#value' are reserved
+    markers: a struct field named with either would silently restructure on
+    decode (review finding) — fail fast instead."""
+    if "." in name or name.startswith("#"):
+        raise ValueError(
+            f"struct field name {name!r} collides with the dot-joined leaf "
+            "path scheme ('.' and '#'-prefixed names are reserved); rename "
+            "the field before encoding"
+        )
+
+
 def _list_level_geometry(nullable: bool, elem_nullable: bool) -> tuple[int, int]:
     """(max_def, d_empty) for a single-level list."""
     d_empty = 1 if nullable else 0
@@ -1572,6 +1596,7 @@ def encode_struct_chunk(
         cum = parent_valid & sv
         d = base_def + cum.astype(np.uint64)
         for f in sarr.type:
+            _check_field_name(f.name)
             fa = sarr.field(f.name)
             name = f"{prefix}{f.name}"
             if pa.types.is_struct(f.type):
@@ -1657,14 +1682,7 @@ def decode_struct_chunk(chunks: dict[str, EncodedChunk]) -> pa.StructArray:
             depth = name.count(".")  # struct levels above the list field
             arr = decode_chunk(ch, _collect_levels=levels, _d_empty=depth + 1)
             def_all = np.concatenate(levels) if levels else np.zeros(0, dtype=np.int64)
-            # one level entry per element, one per element-less row: the
-            # row's def is the FIRST entry's def
-            lvl = pa.compute.list_value_length(arr)
-            lengths = np.asarray(lvl.fill_null(0) if arr.null_count else lvl).astype(np.int64)
-            counts = np.maximum(lengths, 1)
-            starts = np.zeros(len(arr), dtype=np.int64)
-            starts[1:] = np.cumsum(counts)[:-1]
-            decoded[name] = (arr, def_all[starts])
+            decoded[name] = (arr, _row_first_entry_defs(arr, def_all))
         else:
             arr = decode_chunk(ch, _collect_levels=levels)
             def_all = np.concatenate(levels) if levels else np.zeros(0, dtype=np.int32)
@@ -1923,6 +1941,7 @@ def encode_struct_list_chunk(
     def walk(prefix: str, sarr: pa.StructArray, mids: list[np.ndarray]) -> None:
         cum = mids[-1]
         for f in sarr.type:
+            _check_field_name(f.name)
             fa = sarr.field(f.name)
             name = f"{prefix}{f.name}"
             if pa.types.is_struct(f.type):
@@ -2042,16 +2061,7 @@ def decode_struct_list_chunk(
     )
     if not _return_row_defs:
         return out_arr
-    # per-row def (first level entry of each row): rows carry max(slots, 1)
-    # entries, slots = decoded list length (null rows decode to length 0)
-    fl0 = first
-    lvl0 = pa.compute.list_value_length(fl0)
-    lengths0 = np.asarray(lvl0.fill_null(0) if fl0.null_count else lvl0).astype(np.int64)
-    counts0 = np.maximum(lengths0, 1)
-    starts0 = np.zeros(n, dtype=np.int64)
-    starts0[1:] = np.cumsum(counts0)[:-1]
-    def_all0 = info[names[0]][4]
-    return out_arr, def_all0[starts0]
+    return out_arr, _row_first_entry_defs(first, info[names[0]][4])
 
 
 # ---------------------------------------------------------------------------

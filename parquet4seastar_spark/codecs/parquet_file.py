@@ -151,11 +151,10 @@ def _schema_elements(w: CompactWriter, name: str, spec) -> int:
                     "are engine-internal; flatten for container export"
                 )
             # field repetition: OPTIONAL iff the chunk carries the 4th def
-            # level (max_def == d_empty+3 -- a field null under a present
+            # level (max_def == d_e+3 -- a field null under a present
             # struct); otherwise the struct's optionality already accounts
             # for elem_nullable and the field is REQUIRED
-            d_empty = 1 if c.nullable else 0
-            _emit_leaf(w, fname, c, repetition=1 if c.max_def == d_empty + 3 else 0)
+            _emit_leaf(w, fname, c, repetition=1 if c.max_def == d_e + 3 else 0)
         return 3 + len(spec.fields)
     chunk = spec
     if chunk.max_rep == 0:
@@ -265,6 +264,35 @@ def write_parquet_file(
                     "LIST schema (list<list> is engine-internal; flatten or "
                     "re-encode one repetition level for container export)"
                 )
+            # def-level budget must match what the emitted schema implies, or
+            # readers decode def levels at the wrong bit width / positions
+            # (review finding: struct-leaf chunks with max_def=2 wrote files
+            # pyarrow read back with WRONG values, silently)
+            d_el = 1 if c.nullable else 0
+            if c.max_rep == 0 and c.max_def > d_el:
+                raise ValueError(
+                    f"{lpath}: flat chunk with max_def={c.max_def} carries merged "
+                    "struct def levels; engine-internal only — decode and "
+                    "re-encode per leaf for container export"
+                )
+            # list leaves must carry EXACTLY the def budget the emitted
+            # schema implies.  Bare/map leaves: d_el + repeated +
+            # elem_optional.  StructListColumn leaves (path
+            # name/list/struct/field) add the always-OPTIONAL struct group
+            # (+1) and may add an OPTIONAL field (+1, emitted as such).
+            if c.max_rep == 1:
+                is_sl_leaf = len(lpath) == 4 and lpath[1] == "list"
+                if is_sl_leaf:
+                    allowed = {d_el + 2, d_el + 3}
+                else:
+                    allowed = {d_el + 1 + (1 if c.elem_nullable else 0)}
+                if c.max_def not in allowed:
+                    raise ValueError(
+                        f"{lpath}: list chunk max_def={c.max_def} does not match "
+                        f"the emitted schema's def budget {sorted(allowed)} "
+                        "(extra struct levels / '.#list' shapes are "
+                        "engine-internal only)"
+                    )
             if c.compression not in codec_ids:
                 raise ValueError(f"{lpath}: unsupported compression {c.compression}")
             bad = set(c.encodings) - _STANDARD_ENCODINGS

@@ -228,6 +228,12 @@ def connected_components(
     frame is 10^7 rows, never the corpus.  The convergence check is one
     count on the (tiny) changed-labels frame per round; ``max_iter`` caps
     pathological chains.
+
+    Cache ownership: the RETURNED frame stays persisted (it was
+    materialized by the final convergence check; recomputing the whole
+    iteration chain lazily would be far worse) — the caller unpersists it
+    when done.  Superseded per-round frames and the edge frame are
+    unpersisted here.
     """
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (

@@ -228,7 +228,9 @@ def embedding_near_dups(
     if bits is None:
         bits = auto_bits(embeddings.count(), target_bucket_rows)
     # several subtrees consume the signatures (size tables + join sides):
-    # persist so the projection matmul runs once
+    # persist so the projection matmul runs once.  Both sig and sig2 stay
+    # cached for the query's lifetime (ids-only triples, bounded size); at
+    # cluster scale you'd materialize them to tables and drop the caches.
     sig = banded_hyperplane_buckets(
         embeddings, bands=bands, bits=bits, seed=seed, extra_bits=split_bits,
         id_col=id_col, vec_col=vec_col,

@@ -142,7 +142,17 @@ def stratified_sample(
     whole-stage codegen and pushes past column pruning.  Stratification by
     key keeps every stratum at the same rate regardless of skew.
     """
-    key = F.md5(F.concat_ws(":", F.col(strata_col), F.col(id_col).cast("string")))
+    # coalesce the stratum: Spark's concat_ws would SKIP a NULL stratum and
+    # its separator ('123') while SQL concat keeps it (':123'), silently
+    # desyncing the two sides (review finding) — oracle uses the same
+    # coalesce(col, '')
+    key = F.md5(
+        F.concat(
+            F.coalesce(F.col(strata_col), F.lit("")),
+            F.lit(":"),
+            F.col(id_col).cast("string"),
+        )
+    )
     return docs.withColumn("_h", F.substring(key, 1, 2)).filter(
         F.col("_h") < hex_threshold
     ).drop("_h")
@@ -159,15 +169,15 @@ PII_PATTERNS = [
 def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, text_redacted, n_redactions): scrub email/phone/SSN-shaped
     spans — the hygiene pass a training-data pipeline runs before
-    tokenization.  Pure regexp_replace chain (JVM, whole-stage codegen);
-    n_redactions is recomputed from length deltas of a marker pass so the
-    count needs no second scan column."""
+    tokenization.  Pure regexp_replace chain (JVM, whole-stage codegen).
+    Each pattern is COUNTED against the text after the previous pattern's
+    replacements (a phone embedded in an already-redacted email is not
+    double-counted), so n_redactions equals the replacements performed."""
     red = F.col(text_col)
-    for pat, tag in PII_PATTERNS:
-        red = F.regexp_replace(red, pat, tag)
     n = F.lit(0)
-    for pat, _ in PII_PATTERNS:
-        n = n + F.size(F.split(F.col(text_col), pat)) - 1
+    for pat, tag in PII_PATTERNS:
+        n = n + F.size(F.split(red, pat)) - 1
+        red = F.regexp_replace(red, pat, tag)
     return docs.select(
         "doc_id", red.alias("text_redacted"), n.cast("int").alias("n_redactions")
     )

@@ -283,6 +283,50 @@ def test_snappy_rejects_truncated_stream():
             snappy_decompress(data[:cut])
 
 
+def test_write_parquet_rejects_engine_internal_def_levels(tmp_path):
+    # review finding: struct-leaf chunks (merged def levels, max_def>1 at
+    # max_rep=0) and '.#list' chunks (struct levels above the repeated one)
+    # previously wrote files that readers decoded to WRONG values silently
+    from parquet4seastar_spark.codecs.pages import encode_struct_chunk
+
+    sarr = pa.array(
+        [{"x": 1}, None, {"x": None}, {"x": 4}],
+        type=pa.struct([("x", pa.int64())]),
+    )
+    flat = encode_struct_chunk(sarr, policy="plain")["x"]
+    assert flat.max_def == 2 and flat.max_rep == 0
+    with pytest.raises(ValueError, match="merged struct def levels"):
+        write_parquet_file(str(tmp_path / "a.parquet"), {"x": flat}, len(sarr))
+
+    tarr = pa.array(
+        [{"tags": ["a"]}, None, {"tags": None}],
+        type=pa.struct([("tags", pa.list_(pa.string()))]),
+    )
+    lst = encode_struct_chunk(tarr, policy="plain")["tags.#list"]
+    # d_empty=2 (struct+list) but the bare 3-level schema implies d_empty=1:
+    # def budget mismatch, must refuse
+    assert lst.max_rep == 1 and lst.max_def == 3 and not lst.elem_nullable
+    with pytest.raises(ValueError, match="def budget"):
+        write_parquet_file(str(tmp_path / "b.parquet"), {"tags": lst}, len(tarr))
+
+
+def test_struct_rejects_reserved_field_names():
+    # review finding: a field named 'a.b' silently restructured into nested
+    # structs on decode; '#'-prefixed names collide with reserved markers
+    from parquet4seastar_spark.codecs.pages import encode_struct_chunk, encode_struct_list_chunk
+
+    dotted = pa.array(
+        [{"a.b": 1, "c": 2}], type=pa.struct([("a.b", pa.int64()), ("c", pa.int64())])
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        encode_struct_chunk(dotted)
+    marker = pa.array(
+        [[{"#list": "x"}]], type=pa.list_(pa.struct([("#list", pa.string())]))
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        encode_struct_list_chunk(marker)
+
+
 def test_write_parquet_rejects_list_of_lists(tmp_path):
     # ADVICE: _schema_elements emits a single-repetition LIST schema; pages
     # with max_rep=2 under it would be silently corrupt.  Writer must refuse
