@@ -31,6 +31,7 @@ bytes, compression is an orthogonal layer.
 from __future__ import annotations
 
 import hashlib
+import struct
 import zlib
 from dataclasses import dataclass, field
 
@@ -332,7 +333,13 @@ def _encode_values(encoding: str, ptype: str, values, lengths=None, payload=None
         blob = fsst.fsst_encode(payload, table)
         return delta.dbp_encode(lengths.astype(np.int32), 4) + blob
     if encoding == "RLE":  # boolean RLE
-        return rle_encode(np.asarray(values, dtype=np.uint64), 1)
+        # the spec prefixes RLE-encoded DATA values (booleans) with their
+        # byte length as u32-LE (Encodings.md; levels carry the prefix only
+        # in V1 pages).  Interop-fuzz finding: pyarrow V2 boolean pages use
+        # exactly this layout, and pyarrow equally expects it when reading
+        # our exports.
+        body = rle_encode(np.asarray(values, dtype=np.uint64), 1)
+        return struct.pack("<I", len(body)) + body
     if encoding == "BYTE_STREAM_SPLIT":
         return delta.byte_stream_split_encode(values)
     raise ValueError(f"unknown value encoding {encoding}")
@@ -371,7 +378,12 @@ def _decode_values(encoding: str, ptype: str, buf, n: int, dict_ctx=None, type_l
             raise ValueError("FSST payload length mismatch")
         return lengths.astype(np.int64), np.frombuffer(payload, dtype=np.uint8)
     if encoding == "RLE":
-        vals = rle_decode(bytes(buf), 1, n)
+        if len(buf) < 4:
+            raise ValueError("RLE boolean truncated")
+        (ln,) = struct.unpack_from("<I", buf, 0)
+        if 4 + ln > len(buf):
+            raise ValueError("RLE boolean truncated")
+        vals = rle_decode(bytes(memoryview(buf)[4 : 4 + ln]), 1, n)
         if len(vals) != n:
             raise ValueError("RLE boolean truncated")
         return vals.astype(bool)

@@ -283,6 +283,25 @@ def test_snappy_rejects_truncated_stream():
             snappy_decompress(data[:cut])
 
 
+def test_boolean_rle_interop_both_directions(tmp_path):
+    # interop-fuzz finding: RLE-encoded boolean DATA values carry a u32-LE
+    # length prefix per the spec.  pyarrow writes booleans that way in V2
+    # pages (we must read them), and expects it when reading our exports.
+    vals = [True, False, None] * 67 + [True] * 100
+    arr = pa.array(vals, type=pa.bool_())
+    pa_path = str(tmp_path / "pa_bool.parquet")
+    pq.write_table(pa.table({"b": arr}), pa_path, data_page_version="2.0",
+                   use_dictionary=False, compression="none", row_group_size=50)
+    out = ParquetFileReader(pa_path).read_column("b")
+    assert out.to_pylist() == vals
+    # our RLE-bool export read by pyarrow
+    chunk = encode_chunk(arr, policy="RLE")
+    assert chunk.encodings == ["RLE"]
+    our_path = str(tmp_path / "our_bool.parquet")
+    write_parquet_file(our_path, {"b": chunk}, len(arr))
+    assert pq.read_table(our_path).column("b").to_pylist() == vals
+
+
 def test_write_parquet_rejects_engine_internal_def_levels(tmp_path):
     # review finding: struct-leaf chunks (merged def levels, max_def>1 at
     # max_rep=0) and '.#list' chunks (struct levels above the repeated one)
