@@ -12,7 +12,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 from hypothesis import given, settings, strategies as st
 
-from parquet4seastar_spark.codecs.parquet_file import ParquetFileReader
+from parquet4seastar_spark.codecs.parquet_file import ParquetFileReader, write_parquet_file
 
 _LEAF_TYPES = [
     pa.int32(),
@@ -67,3 +67,41 @@ def test_pyarrow_written_files_decode_bitexact(data, tmp_path_factory):
     if out.type != arr.type:
         out = out.cast(arr.type)
     assert out.to_pylist() == arr.to_pylist()
+
+
+@settings(max_examples=25, deadline=None)
+@given(data=st.data())
+def test_our_files_pyarrow_reads_bitexact(data, tmp_path_factory):
+    # mirror direction: our writer + a random standard encoding/compression,
+    # pyarrow (independent reader) must see identical values
+    from parquet4seastar_spark.codecs.pages import encode_chunk
+
+    tmp_path = tmp_path_factory.mktemp("interop_w")
+    n = data.draw(st.integers(min_value=0, max_value=300), label="rows")
+    base = data.draw(st.sampled_from(_LEAF_TYPES), label="type")
+    comp = data.draw(st.sampled_from(["uncompressed", "snappy", "gzip"]), label="comp")
+    if base == pa.bool_():
+        policy = data.draw(st.sampled_from(["plain", "RLE"]), label="policy")
+    elif base in (pa.int32(), pa.int64()):
+        policy = data.draw(
+            st.sampled_from(["plain", "dict", "DELTA_BINARY_PACKED"]), label="policy"
+        )
+    elif base in (pa.float32(), pa.float64()):
+        policy = data.draw(
+            st.sampled_from(["plain", "dict", "BYTE_STREAM_SPLIT"]), label="policy"
+        )
+    else:
+        policy = data.draw(
+            st.sampled_from(["plain", "dict", "DELTA_LENGTH_BYTE_ARRAY", "DELTA_BYTE_ARRAY"]),
+            label="policy",
+        )
+    leaf = st.one_of(st.none(), _leaf_strategy(base))
+    vals = data.draw(st.lists(leaf, min_size=n, max_size=n), label="vals")
+    arr = pa.array(vals, type=base)
+    chunk = encode_chunk(arr, policy=policy, compression=comp, page_target_bytes=512)
+    path = str(tmp_path / "w.parquet")
+    write_parquet_file(path, {"c": chunk}, n)
+    back = pq.read_table(path).column("c").combine_chunks()
+    if back.type != arr.type:
+        back = back.cast(arr.type)
+    assert back.to_pylist() == arr.to_pylist()
