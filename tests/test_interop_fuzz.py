@@ -69,6 +69,62 @@ def test_pyarrow_written_files_decode_bitexact(data, tmp_path_factory):
     assert out.to_pylist() == arr.to_pylist()
 
 
+_LOGICAL_TYPES = [
+    pa.decimal128(9, 2),
+    pa.decimal128(18, 4),
+    pa.decimal128(30, 6),
+    pa.timestamp("us"),
+    pa.date32(),
+]
+
+
+def _logical_strategy(t):
+    import datetime as _dt
+    from decimal import Decimal
+
+    if pa.types.is_decimal(t):
+        import decimal as _decimal
+
+        hi = 10**t.precision - 1  # unscaled integer domain
+
+        def _mk(v, s=t.scale):
+            with _decimal.localcontext() as c:
+                c.prec = 60  # default 28 overflows decimal(30,6) quantization
+                return Decimal(v).scaleb(-s)
+
+        return st.integers(min_value=-hi, max_value=hi).map(_mk)
+    if pa.types.is_timestamp(t):
+        return st.datetimes(
+            min_value=_dt.datetime(1970, 1, 2), max_value=_dt.datetime(2200, 1, 1)
+        )
+    return st.dates(min_value=_dt.date(1970, 1, 2), max_value=_dt.date(2200, 1, 1))
+
+
+@settings(max_examples=20, deadline=None)
+@given(data=st.data())
+def test_pyarrow_logical_types_decode_bitexact(data, tmp_path_factory):
+    # DECIMAL (3 physical mappings via pyarrow's write-side choice),
+    # TIMESTAMP(us) and DATE through the independent writer
+    tmp_path = tmp_path_factory.mktemp("interop_lt")
+    n = data.draw(st.integers(min_value=0, max_value=200), label="rows")
+    t = data.draw(st.sampled_from(_LOGICAL_TYPES), label="type")
+    page_ver = data.draw(st.sampled_from(["1.0", "2.0"]), label="page_ver")
+    comp = data.draw(st.sampled_from(["none", "snappy", "gzip"]), label="comp")
+    leaf = st.one_of(st.none(), _logical_strategy(t))
+    vals = data.draw(st.lists(leaf, min_size=n, max_size=n), label="vals")
+    arr = pa.array(vals, type=t)
+    path = str(tmp_path / "lt.parquet")
+    pq.write_table(
+        pa.table({"c": arr}), path, compression=comp,
+        data_page_version=page_ver, use_dictionary=False,
+        coerce_timestamps="us" if pa.types.is_timestamp(t) else None,
+    )
+    out = ParquetFileReader(path).read_column("c")
+    if out.type != arr.type:
+        out = out.cast(arr.type)
+    assert out.to_pylist() == arr.to_pylist()
+
+
 @settings(max_examples=25, deadline=None)
 @given(data=st.data())
 def test_our_files_pyarrow_reads_bitexact(data, tmp_path_factory):
