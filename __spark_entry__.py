@@ -1156,7 +1156,8 @@ def oracle_sql() -> dict[str, str]:
     )
     o["stratified_sample"] = (
         "SELECT doc_id, lang FROM documents "
-        "WHERE substring(md5(concat(coalesce(lang, ''), ':', CAST(doc_id AS VARCHAR))), 1, 2) < '40'"
+        "WHERE substring(md5(concat(coalesce(lang, ''), ':', "
+        "coalesce(CAST(doc_id AS VARCHAR), ''))), 1, 2) < '40'"
     )
     from parquet4seastar_spark.operators.text import PII_PATTERNS
 

@@ -696,13 +696,15 @@ def _row_first_entry_defs(arr: pa.Array, def_all: np.ndarray) -> np.ndarray:
 
 def _check_field_name(name: str) -> None:
     """Leaf paths are dot-joined and '#list'/'#key'/'#value' are reserved
-    markers: a struct field named with either would silently restructure on
-    decode (review finding) — fail fast instead."""
-    if "." in name or name.startswith("#"):
+    markers: a struct field name containing either would silently
+    restructure or misroute on decode (review findings: 'a.b' became
+    struct a{b}; 'x#list' hit the list-reassembly branch via endswith) —
+    fail fast instead."""
+    if "." in name or "#" in name:
         raise ValueError(
             f"struct field name {name!r} collides with the dot-joined leaf "
-            "path scheme ('.' and '#'-prefixed names are reserved); rename "
-            "the field before encoding"
+            "path scheme ('.' and '#' are reserved); rename the field "
+            "before encoding"
         )
 
 

@@ -361,6 +361,16 @@ def encode_table(
             "no encodable columns: pass columns=[...] explicitly "
             f"(input has {df.columns}; defaults cover {DATA_COLUMNS})"
         )
+    for c in ["row_id", *columns]:
+        # leaf names are built as '<col>.<i>.<field>' / '<col>.#key' etc.:
+        # a top-level column named with '.' or '#' would silently
+        # restructure on decode (review finding) — fail fast, like struct
+        # field names do at the codec layer
+        if "." in c or "#" in c:
+            raise ValueError(
+                f"column name {c!r} collides with the dot-joined leaf path "
+                "scheme ('.' and '#' are reserved); rename before encoding"
+            )
     spark = df.sparkSession
     num_partitions = num_partitions or max(spark.sparkContext.defaultParallelism, 8)
     if size_col is None:

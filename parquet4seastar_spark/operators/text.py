@@ -146,11 +146,13 @@ def stratified_sample(
     # its separator ('123') while SQL concat keeps it (':123'), silently
     # desyncing the two sides (review finding) — oracle uses the same
     # coalesce(col, '')
+    # coalesce BOTH operands: Spark concat NULL-propagates while SQL concat
+    # skips NULL args — either asymmetry desyncs the two engines
     key = F.md5(
         F.concat(
             F.coalesce(F.col(strata_col), F.lit("")),
             F.lit(":"),
-            F.col(id_col).cast("string"),
+            F.coalesce(F.col(id_col).cast("string"), F.lit("")),
         )
     )
     return docs.withColumn("_h", F.substring(key, 1, 2)).filter(

@@ -43,6 +43,14 @@ def test_audit_lineage_detects_corruption(spark):
     enc.unpersist()
 
 
+def test_encode_table_rejects_reserved_column_names(spark):
+    # top-level column names ride the dot-joined leaf scheme too: 'a.b'
+    # would silently reassemble as struct a{b} on decode (review finding)
+    df = spark.createDataFrame([(1, "x")], ["row_id", "a.b"])
+    with pytest.raises(ValueError, match="reserved"):
+        encode_table(df, columns=["a.b"], salt_col="row_id", num_partitions=1)
+
+
 def test_audit_lineage_list_of_lists(spark):
     """round-2 gap (ADVICE): the list<list> chunk sha hashed only structure,
     never element values, and chunk_content_sha could not flatten two

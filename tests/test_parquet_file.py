@@ -344,6 +344,11 @@ def test_struct_rejects_reserved_field_names():
     )
     with pytest.raises(ValueError, match="reserved"):
         encode_struct_list_chunk(marker)
+    # suffix collision: 'x#list' previously passed the prefix-only guard and
+    # crashed decode via the endswith('#list') branch (review finding)
+    suffix = pa.array([{"x#list": 1}], type=pa.struct([("x#list", pa.int64())]))
+    with pytest.raises(ValueError, match="reserved"):
+        encode_struct_chunk(suffix)
 
 
 def test_write_parquet_rejects_list_of_lists(tmp_path):
