@@ -71,3 +71,37 @@ def test_ann_corpus_never_shuffles(spark):
     plan = _plan(brute_force_topk(emb, q, k=5))
     assert "BroadcastNestedLoopJoin" in plan  # queries broadcast to the corpus
     assert "WindowGroupLimit" in plan  # top-k rank pushdown before the sort
+
+
+def test_stratified_sample_is_map_side_only(spark):
+    # hash-prefix sampling must be a pure scan+filter: no Exchange, no
+    # Python stage -- the filter rides whole-stage codegen past pruning
+    from parquet4seastar_spark.operators.text import stratified_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(stratified_sample(docs).select("doc_id", "lang"))
+    assert "Exchange" not in plan, plan
+    for marker in ("Python", "MapInPandas", "ArrowEval"):
+        assert marker not in plan, plan
+
+
+def test_redact_pii_is_map_side_only(spark):
+    from parquet4seastar_spark.operators.text import redact_pii
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(redact_pii(docs))
+    assert "Exchange" not in plan, plan
+    for marker in ("Python", "MapInPandas", "ArrowEval"):
+        assert marker not in plan, plan
+
+
+def test_top_terms_window_group_limit(spark):
+    # per-lang top-k must push rank<=k below the sort (WindowGroupLimit):
+    # only k rows per lang survive the window region at scale
+    from parquet4seastar_spark.operators.text import top_terms_by_lang
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(top_terms_by_lang(docs, k=5))
+    assert "WindowGroupLimit" in plan, plan
+    # one aggregate shuffle + one window shuffle, nothing more
+    assert plan.count("Exchange") <= 3, plan
