@@ -518,6 +518,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["roundtrip_map_struct"] = roundtrip_map_struct
 
+    # ---- array<array<array<string>>> (THREE repetition levels; the middle
+    # level peels onto the rep-2 path as '#deep'+'#len2' sibling chunks);
+    # canonicalized to one string per doc for the oracle
+    def roundtrip_list3(spark, sf_dir):
+        from parquet4seastar_spark.engine.decode_job import decode_table
+        from parquet4seastar_spark.engine.encode_job import encode_table
+
+        src = _docs(spark, sf_dir).select(
+            F.col("doc_id").alias("row_id"),
+            F.when(F.col("doc_id") % 9 == 0, F.lit(None))
+            .otherwise(
+                F.transform(
+                    F.split("text", r"\. "),
+                    lambda s: F.transform(
+                        F.split(F.trim(s), r"\s+"), lambda w: F.array(w, F.upper(w))
+                    ),
+                )
+            )
+            .alias("deep"),
+            "source",
+        )
+        enc = encode_table(
+            src, columns=["deep"], policy="auto", salt_col="source", num_partitions=2,
+            salt_target_rows=2000,
+        )
+        dec = decode_table(enc, ["deep"])
+        canon = F.array_join(
+            F.transform(
+                "deep",
+                lambda s: F.array_join(F.transform(s, lambda w: F.array_join(w, "^")), ","),
+            ),
+            "|",
+        )
+        return dec.select(F.col("row_id").alias("doc_id"), canon.alias("canon"))
+
+    q["roundtrip_list3"] = roundtrip_list3
+
     # ---- map<string,string> through the engine (key/value list chunks with
     # shared offsets, standard parquet MAP level geometry)
     def roundtrip_map(spark, sf_dir):
@@ -1062,6 +1099,12 @@ def oracle_sql() -> dict[str, str]:
     o["roundtrip_struct_nested"] = (
         "SELECT doc_id, lang, "
         "CASE WHEN doc_id % 7 = 0 THEN NULL ELSE source END AS src, n_chars FROM documents"
+    )
+    o["roundtrip_list3"] = (
+        "SELECT doc_id, CASE WHEN doc_id % 9 = 0 THEN NULL ELSE "
+        "array_to_string(list_transform(regexp_split_to_array(text, '\\. '), "
+        "s -> array_to_string(list_transform(regexp_split_to_array(trim(s), '\\s+'), "
+        "w -> concat(w, '^', upper(w))), ',')), '|') END AS canon FROM documents"
     )
     o["roundtrip_map_struct"] = (
         "SELECT doc_id, "

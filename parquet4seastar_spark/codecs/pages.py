@@ -2351,3 +2351,110 @@ def _decode_list2_chunk(chunk: EncodedChunk) -> pa.Array:
         inner_arr,
         mask=pa.array(~row_valid) if chunk.num_nulls else None,
     )
+
+
+# ---------------------------------------------------------------------------
+# list<list<list<T>>> columns: THREE repetition levels, stored by PEELING
+# the middle level onto the proven rep-2 machinery (the reference's fully
+# recursive assembly covers any depth; its own tests cap at two):
+#   '#deep' : list<list<T>>  -- each row's level-3 lists concatenated
+#             across its level-2 lists (order preserved; null/empty level-3
+#             distinctions ride the rep-2 def levels)
+#   '#len2' : list<int32>    -- one entry per level-2 entity: its level-3
+#             list count, NULL for a null level-2 entity (0 = empty)
+# Row-level null/empty is shared by both chunks.  Exact roundtrip; the
+# representation is engine-internal (container export guards reject it).
+
+
+def encode_list3_chunk(
+    arr: pa.Array,
+    *,
+    policy: str = "auto",
+    page_target_bytes: int = 1 << 20,
+    compression: str = "uncompressed",
+) -> dict[str, EncodedChunk]:
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    if not (
+        (pa.types.is_list(t) or pa.types.is_large_list(t))
+        and (pa.types.is_list(t.value_type) or pa.types.is_large_list(t.value_type))
+        and (
+            pa.types.is_list(t.value_type.value_type)
+            or pa.types.is_large_list(t.value_type.value_type)
+        )
+    ):
+        raise TypeError(f"expected list<list<list<T>>>, got {t}")
+    if pa.types.is_nested(t.value_type.value_type.value_type):
+        raise TypeError(f"list^3 leaf must be primitive, got {t}")
+    n = len(arr)
+    row_valid = np.ones(n, dtype=bool) if arr.null_count == 0 else np.asarray(arr.is_valid())
+    l2 = arr.flatten()  # level-2 entities of non-null rows (list<list<T>>)
+    n2 = pa.compute.list_value_length(arr)
+    n2 = np.asarray(n2.fill_null(0) if arr.null_count else n2).astype(np.int64)
+    l2_valid = np.ones(len(l2), dtype=bool) if l2.null_count == 0 else np.asarray(l2.is_valid())
+    n3 = pa.compute.list_value_length(l2)
+    n3 = np.asarray(n3.fill_null(0) if l2.null_count else n3).astype(np.int64)
+    # per-row level-3 entity counts (sum over its level-2 entities)
+    cs3 = np.zeros(len(l2) + 1, dtype=np.int64)
+    np.cumsum(n3, out=cs3[1:])
+    row_l2_start = np.zeros(n, dtype=np.int64)
+    row_l2_start[1:] = np.cumsum(n2)[:-1]
+    row_l3 = cs3[row_l2_start + n2] - cs3[row_l2_start]
+    deep_offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(row_l3, out=deep_offsets[1:])
+    mask = pa.array(~row_valid) if arr.null_count else None
+    deep = pa.ListArray.from_arrays(pa.array(deep_offsets), l2.flatten(), mask=mask)
+    lens_vals = pa.array(n3.astype(np.int32), type=pa.int32(), mask=~l2_valid)
+    l2_offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(n2, out=l2_offsets[1:])
+    len2 = pa.ListArray.from_arrays(pa.array(l2_offsets), lens_vals, mask=mask)
+    kw = dict(policy=policy, page_target_bytes=page_target_bytes, compression=compression)
+    return {
+        "#deep": encode_chunk(deep, nullable=arr.null_count > 0, **kw),
+        "#len2": _encode_list_chunk(
+            len2, nullable=arr.null_count > 0, elem_nullable=True, **kw
+        ),
+    }
+
+
+def decode_list3_chunk(deep_chunk: EncodedChunk, len2_chunk: EncodedChunk) -> pa.Array:
+    """Reassemble list<list<list<T>>> from its '#deep'/'#len2' chunks."""
+    deep = decode_chunk(deep_chunk)  # list<list<T>> per row (middle dropped)
+    len2 = decode_chunk(len2_chunk)  # list<int32> per row (level-2 shape)
+    if len(deep) != len(len2):
+        raise ValueError("list^3 chunk row counts differ")
+    n = len(deep)
+    l2v = len2.flatten()  # one int (or null) per level-2 entity
+    m2 = len(l2v)
+    l2_valid = np.ones(m2, dtype=bool) if l2v.null_count == 0 else np.asarray(l2v.is_valid())
+    counts = np.asarray(l2v.fill_null(0) if l2v.null_count else l2v).astype(np.int64)
+    # middle offsets into the deep rows' level-3 entities
+    mid_offsets = np.zeros(m2 + 1, dtype=np.int32)
+    np.cumsum(counts, out=mid_offsets[1:])
+    l3_lists = deep.flatten()  # the level-3 list<T> entities
+    if int(mid_offsets[-1]) != len(l3_lists):
+        raise ValueError("list^3 middle lengths disagree with deep entities")
+    mid_validity = None
+    if l2v.null_count:
+        mid_validity = pa.py_buffer(np.packbits(l2_valid, bitorder="little").tobytes())
+    mid = pa.Array.from_buffers(
+        pa.list_(l3_lists.type),
+        m2,
+        [mid_validity, pa.py_buffer(np.ascontiguousarray(mid_offsets).tobytes())],
+        children=[l3_lists],
+    )
+    outer_offsets = np.frombuffer(
+        len2.buffers()[1], dtype=np.int32, count=n + 1, offset=len2.offset * 4
+    )
+    outer_validity = None
+    if len2.null_count:
+        outer_validity = pa.py_buffer(
+            np.packbits(np.asarray(len2.is_valid()), bitorder="little").tobytes()
+        )
+    return pa.Array.from_buffers(
+        pa.list_(mid.type),
+        n,
+        [outer_validity, pa.py_buffer(np.ascontiguousarray(outer_offsets).tobytes())],
+        children=[mid],
+    )

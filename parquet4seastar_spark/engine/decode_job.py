@@ -21,6 +21,7 @@ from ..codecs.pages import (
     EncodedChunk,
     Page,
     decode_chunk,
+    decode_list3_chunk,
     decode_map_chunk,
     decode_struct_chunk,
     decode_struct_list_chunk,
@@ -255,6 +256,8 @@ def decode_table(
             members[c] = None
         elif f"{c}.#key" in schema and f"{c}.#value" in schema:
             members[c] = "map"
+        elif f"{c}.#deep" in schema and f"{c}.#len2" in schema:
+            members[c] = "list3"
         elif f"{c}.#key" in schema and any(
             leaf.startswith(f"{c}.#value.") for leaf in schema
         ):
@@ -296,6 +299,9 @@ def decode_table(
     def _spark_col_type(c: str) -> str:
         if members[c] is None:
             return _spark_type(schema[c])
+        if members[c] == "list3":
+            # '#deep' logical is list<list<T>> with the middle level peeled
+            return f"array<{_spark_type(schema[f'{c}.#deep'])}>"
         if members[c] == "map":
             kt = _spark_type(_elem(schema[f"{c}.#key"]))
             vt = _spark_type(_elem(schema[f"{c}.#value"]))
@@ -336,6 +342,12 @@ def decode_table(
             if members[c] is None:
                 arr = decode_chunk(_rebuild_chunk(tbl, by_col[c]))
                 target = _pa_type(logicals[c])
+            elif members[c] == "list3":
+                arr = decode_list3_chunk(
+                    _rebuild_chunk(tbl, by_col[f"{c}.#deep"]),
+                    _rebuild_chunk(tbl, by_col[f"{c}.#len2"]),
+                )
+                target = pa.list_(_pa_type(logicals[f"{c}.#deep"]))
             elif members[c] == "map":
                 arr = decode_map_chunk(
                     _rebuild_chunk(tbl, by_col[f"{c}.#key"]),

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..codecs.pages import (
     encode_chunk,
+    encode_list3_chunk,
     encode_map_chunk,
     encode_struct_chunk,
     encode_struct_list_chunk,
@@ -246,6 +247,27 @@ def _encode_partition_factory(
                     )
                     for i, (fname, fchunk) in enumerate(fchunks.items()):
                         leaf_chunks.append((f"{col}.{i}.{fname}", fchunk))
+                elif (
+                    (pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type))
+                    and (
+                        pa.types.is_list(arr.type.value_type)
+                        or pa.types.is_large_list(arr.type.value_type)
+                    )
+                    and (
+                        pa.types.is_list(arr.type.value_type.value_type)
+                        or pa.types.is_large_list(arr.type.value_type.value_type)
+                    )
+                ):
+                    # list<list<list<T>>>: middle level peeled onto the
+                    # rep-2 path ('#deep' + '#len2' sibling chunks)
+                    lchunks = encode_list3_chunk(
+                        arr,
+                        policy=cpolicy,
+                        page_target_bytes=page_target_bytes,
+                        compression=compression,
+                    )
+                    leaf_chunks.append((f"{col}.#deep", lchunks["#deep"]))
+                    leaf_chunks.append((f"{col}.#len2", lchunks["#len2"]))
                 elif pa.types.is_map(arr.type):
                     # map<k,v>: key/value list chunks sharing the map offsets;
                     # STRUCT values decompose to '<col>.#value.<i>.<field>'

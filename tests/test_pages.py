@@ -440,6 +440,38 @@ def test_list_of_list_roundtrip():
     assert decode_chunk(encode_chunk(sl, policy="plain")).to_pylist() == sl.to_pylist()
 
 
+def test_list3_roundtrip():
+    # list<list<list<T>>>: middle level peeled onto the rep-2 path
+    # ('#deep' list<list<T>> + '#len2' list<int32> sibling chunks)
+    from parquet4seastar_spark.codecs.pages import decode_list3_chunk, encode_list3_chunk
+
+    t = pa.list_(pa.list_(pa.list_(pa.int64())))
+    cases = [
+        [[[1, 2], [3]], [[4]], []],
+        None,
+        [],
+        [None, [[5, None], []], [[]]],
+        [[None]],
+    ] * 40
+    arr = pa.array(cases, type=t)
+    for policy in ["plain", "auto", "reference"]:
+        ch = encode_list3_chunk(arr, policy=policy, page_target_bytes=256)
+        assert ch["#deep"].max_rep == 2 and ch["#len2"].max_rep == 1
+        out = decode_list3_chunk(ch["#deep"], ch["#len2"])
+        out.validate(full=True)
+        assert out.to_pylist() == arr.to_pylist(), policy
+    sl = arr.slice(3, 150)
+    ch2 = encode_list3_chunk(sl, policy="plain")
+    assert decode_list3_chunk(ch2["#deep"], ch2["#len2"]).to_pylist() == sl.to_pylist()
+    # strings through dict/FSST candidates
+    ts = pa.list_(pa.list_(pa.list_(pa.string())))
+    s = pa.array(
+        [[[["a", "bb"], ["c"]], [["d"]]], None, [[[]]], [[None, ["e"]]]] * 30, type=ts
+    )
+    ch3 = encode_list3_chunk(s, policy="auto", page_target_bytes=512)
+    assert decode_list3_chunk(ch3["#deep"], ch3["#len2"]).to_pylist() == s.to_pylist()
+
+
 def test_struct_list_chunk_roundtrip():
     # list<struct<...>> (token spans): per-field list chunks, null struct
     # elements at def = max_def - 1, fields required where struct present

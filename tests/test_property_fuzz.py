@@ -196,3 +196,31 @@ def test_mixed_tree_roundtrip_fuzz(vals, policy):
     out = decode_struct_chunk(ch)
     out.validate(full=True)
     assert out.to_pylist() == arr.to_pylist()
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.one_of(
+                    st.none(),
+                    st.lists(st.one_of(st.none(), st.lists(_prim, max_size=3)), max_size=3),
+                ),
+                max_size=3,
+            ),
+        ),
+        max_size=40,
+    ),
+    st.sampled_from(["auto", "plain"]),
+)
+def test_list3_roundtrip_fuzz(vals, policy):
+    # three repetition levels via the peeled '#deep'+'#len2' representation
+    from parquet4seastar_spark.codecs.pages import decode_list3_chunk, encode_list3_chunk
+
+    arr = pa.array(vals, type=pa.list_(pa.list_(pa.list_(pa.int32()))))
+    ch = encode_list3_chunk(arr, policy=policy, page_target_bytes=128)
+    out = decode_list3_chunk(ch["#deep"], ch["#len2"])
+    out.validate(full=True)
+    assert out.to_pylist() == arr.to_pylist()
