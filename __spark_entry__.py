@@ -555,6 +555,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["roundtrip_list3"] = roundtrip_list3
 
+    # ---- map<string, array<string>> (list map values: the value side is a
+    # rep-2 chunk over the map offsets); scalars for the oracle
+    def roundtrip_map_list(spark, sf_dir):
+        from parquet4seastar_spark.engine.decode_job import decode_table
+        from parquet4seastar_spark.engine.encode_job import encode_table
+
+        toks = F.split(F.trim("text"), r"\s+")
+        src = _docs(spark, sf_dir).select(
+            F.col("doc_id").alias("row_id"),
+            F.when(F.col("doc_id") % 6 == 0, F.lit(None))
+            .otherwise(
+                F.create_map(
+                    F.lit("tags"), toks, F.lit("first3"), F.slice(toks, 1, 3)
+                )
+            )
+            .alias("props"),
+            "source",
+        )
+        enc = encode_table(
+            src, columns=["props"], policy="auto", salt_col="source", num_partitions=2,
+            salt_target_rows=2000,
+        )
+        dec = decode_table(enc, ["props"])
+        p = F.col("props")
+        return dec.select(
+            F.col("row_id").alias("doc_id"),
+            F.array_join(p["tags"], ",").alias("tags_canon"),
+            F.array_join(p["first3"], ",").alias("first3_canon"),
+        )
+
+    q["roundtrip_map_list"] = roundtrip_map_list
+
     # ---- map<string,string> through the engine (key/value list chunks with
     # shared offsets, standard parquet MAP level geometry)
     def roundtrip_map(spark, sf_dir):
@@ -1099,6 +1131,14 @@ def oracle_sql() -> dict[str, str]:
     o["roundtrip_struct_nested"] = (
         "SELECT doc_id, lang, "
         "CASE WHEN doc_id % 7 = 0 THEN NULL ELSE source END AS src, n_chars FROM documents"
+    )
+    o["roundtrip_map_list"] = (
+        "SELECT doc_id, "
+        "CASE WHEN doc_id % 6 = 0 THEN NULL ELSE "
+        "array_to_string(regexp_split_to_array(trim(text), '\\s+'), ',') END AS tags_canon, "
+        "CASE WHEN doc_id % 6 = 0 THEN NULL ELSE "
+        "array_to_string(list_slice(regexp_split_to_array(trim(text), '\\s+'), 1, 3), ',') END "
+        "AS first3_canon FROM documents"
     )
     o["roundtrip_list3"] = (
         "SELECT doc_id, CASE WHEN doc_id % 9 = 0 THEN NULL ELSE "

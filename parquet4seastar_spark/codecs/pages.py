@@ -1795,11 +1795,27 @@ def encode_map_chunk(
             _out=out,
             _prefix="value.",
         )
+    elif pa.types.is_list(items.type) or pa.types.is_large_list(items.type):
+        # map<k, list<T>>: the value side IS a list<list<T>> over the map
+        # offsets — the rep-2 chunk carries null-entry vs empty-list vs
+        # null-element distinctions in its own def levels, and
+        # decode_map_chunk's generic decode_chunk call reassembles it with
+        # no special casing
+        if pa.types.is_nested(items.type.value_type):
+            raise TypeError(
+                f"map list-values must hold primitives, got {items.type}"
+            )
+        out["value"] = encode_chunk(
+            vlst,
+            policy=policy,
+            page_target_bytes=page_target_bytes,
+            compression=compression,
+            nullable=arr.null_count > 0,
+        )
     else:
         if pa.types.is_nested(items.type):
             raise TypeError(
-                f"map values: primitive or struct only, got {items.type} "
-                "(a second repetition level is out of scope)"
+                f"map values: primitive, struct, or list-of-primitive only, got {items.type}"
             )
         out["value"] = _encode_list_chunk(
             vlst,

@@ -782,6 +782,33 @@ def test_map_struct_values_roundtrip():
     assert decode_map_chunk(ch2["key"], v2).to_pylist() == sl.to_pylist()
 
 
+def test_map_list_values_roundtrip():
+    # map<k, list<T>>: the value side is a rep-2 chunk over the map offsets
+    # (null-entry / empty-list / null-element ride its def levels)
+    from parquet4seastar_spark.codecs.pages import decode_map_chunk, encode_map_chunk
+
+    t = pa.map_(pa.string(), pa.list_(pa.int64()))
+    data = [
+        [("a", [1, 2]), ("b", [])],
+        None,
+        [],
+        [("c", None), ("d", [3, None])],
+    ] * 30
+    arr = pa.array(data, type=t)
+    for policy in ["plain", "auto"]:
+        ch = encode_map_chunk(arr, policy=policy, page_target_bytes=256)
+        assert ch["value"].max_rep == 2
+        dec = decode_map_chunk(ch["key"], ch["value"])
+        dec.validate(full=True)
+        assert dec.to_pylist() == arr.to_pylist(), policy
+    # deeper nesting under the value stays fail-fast
+    bad = pa.array(
+        [[("k", [[1]])]], type=pa.map_(pa.string(), pa.list_(pa.list_(pa.int64())))
+    )
+    with pytest.raises(TypeError, match="primitives"):
+        encode_map_chunk(bad)
+
+
 def test_map_chunk_roundtrip():
     # map<k,v> via key/value list chunks with shared offsets; level geometry
     # matches the parquet MAP group (key REQUIRED, value OPTIONAL)
