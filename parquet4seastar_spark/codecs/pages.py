@@ -2414,16 +2414,15 @@ def encode_list3_chunk(
     # per-row level-3 entity counts (sum over its level-2 entities)
     cs3 = np.zeros(len(l2) + 1, dtype=np.int64)
     np.cumsum(n3, out=cs3[1:])
-    row_l2_start = np.zeros(n, dtype=np.int64)
-    row_l2_start[1:] = np.cumsum(n2)[:-1]
+    l2_offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(n2, out=l2_offsets[1:])
+    row_l2_start = l2_offsets[:-1].astype(np.int64)
     row_l3 = cs3[row_l2_start + n2] - cs3[row_l2_start]
     deep_offsets = np.zeros(n + 1, dtype=np.int32)
     np.cumsum(row_l3, out=deep_offsets[1:])
     mask = pa.array(~row_valid) if arr.null_count else None
     deep = pa.ListArray.from_arrays(pa.array(deep_offsets), l2.flatten(), mask=mask)
     lens_vals = pa.array(n3.astype(np.int32), type=pa.int32(), mask=~l2_valid)
-    l2_offsets = np.zeros(n + 1, dtype=np.int32)
-    np.cumsum(n2, out=l2_offsets[1:])
     len2 = pa.ListArray.from_arrays(pa.array(l2_offsets), lens_vals, mask=mask)
     kw = dict(policy=policy, page_target_bytes=page_target_bytes, compression=compression)
     return {

@@ -103,5 +103,9 @@ def test_top_terms_window_group_limit(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = _plan(top_terms_by_lang(docs, k=5))
     assert "WindowGroupLimit" in plan, plan
-    # one aggregate shuffle + one window shuffle, nothing more
-    assert plan.count("Exchange") <= 3, plan
+    # one aggregate shuffle + one window shuffle, nothing more (count only
+    # shuffle Exchanges — 'Exchange' alone also matches Broadcast/Reused)
+    import re
+
+    n_shuffles = len(re.findall(r"\bExchange hashpartitioning", plan))
+    assert n_shuffles <= 2, plan
