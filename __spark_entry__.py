@@ -587,6 +587,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["roundtrip_map_list"] = roundtrip_map_list
 
+    # ---- struct<k, m: array<array<string>>> (list<list> field under a
+    # struct: '.#ll0'+'.#ll1' peel); canonicalized for the oracle
+    def roundtrip_struct_list2(spark, sf_dir):
+        from parquet4seastar_spark.engine.decode_job import decode_table
+        from parquet4seastar_spark.engine.encode_job import encode_table
+
+        src = _docs(spark, sf_dir).select(
+            F.col("doc_id").alias("row_id"),
+            F.struct(
+                F.col("n_chars").alias("k"),
+                F.when(F.col("doc_id") % 4 == 0, F.lit(None))
+                .otherwise(
+                    F.transform(
+                        F.split("text", r"\. "), lambda s: F.split(F.trim(s), r"\s+")
+                    )
+                )
+                .alias("m"),
+            ).alias("meta"),
+            "source",
+        )
+        enc = encode_table(
+            src, columns=["meta"], policy="auto", salt_col="source", num_partitions=2,
+            salt_target_rows=2000,
+        )
+        dec = decode_table(enc, ["meta"])
+        canon = F.array_join(
+            F.transform(F.col("meta.m"), lambda x: F.array_join(x, ",")), "|"
+        )
+        return dec.select(
+            F.col("row_id").alias("doc_id"),
+            F.col("meta.k").alias("k"),
+            canon.alias("canon"),
+        )
+
+    q["roundtrip_struct_list2"] = roundtrip_struct_list2
+
     # ---- map<string,string> through the engine (key/value list chunks with
     # shared offsets, standard parquet MAP level geometry)
     def roundtrip_map(spark, sf_dir):
@@ -1131,6 +1167,13 @@ def oracle_sql() -> dict[str, str]:
     o["roundtrip_struct_nested"] = (
         "SELECT doc_id, lang, "
         "CASE WHEN doc_id % 7 = 0 THEN NULL ELSE source END AS src, n_chars FROM documents"
+    )
+    o["roundtrip_struct_list2"] = (
+        "SELECT doc_id, n_chars AS k, "
+        "CASE WHEN doc_id % 4 = 0 THEN NULL ELSE "
+        "array_to_string(list_transform(regexp_split_to_array(text, '\\. '), "
+        "s -> array_to_string(regexp_split_to_array(trim(s), '\\s+'), ',')), '|') END "
+        "AS canon FROM documents"
     )
     o["roundtrip_map_list"] = (
         "SELECT doc_id, "

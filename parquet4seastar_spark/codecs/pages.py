@@ -1620,7 +1620,9 @@ def encode_struct_chunk(
                 # LIST field inside struct(s): the struct levels become
                 # optional levels ABOVE the repeated one (d_empty = depth+1);
                 # stored under the reserved '.#list' leaf key.  List of
-                # STRUCTS decomposes further into '.#list.<field>' leaves.
+                # STRUCTS decomposes further into '.#list.<field>' leaves;
+                # list<list<prim>> peels into '.#ll0' (flattened elements)
+                # + '.#ll1' (inner lengths) siblings, both single-rep.
                 import pyarrow.compute as pc
 
                 lv_own = (
@@ -1629,16 +1631,56 @@ def encode_struct_chunk(
                 lv = cum & lv_own
                 if not lv.all():
                     fa = pc.if_else(pa.array(lv), fa, pa.nulls(n, fa.type))
+                odefs = np.asarray(d, dtype=np.int64) + lv
+                kw = dict(
+                    policy=policy,
+                    page_target_bytes=page_target_bytes,
+                    compression=compression,
+                )
                 if pa.types.is_struct(f.type.value_type):
                     encode_struct_list_chunk(
-                        fa,
-                        policy=policy,
-                        page_target_bytes=page_target_bytes,
-                        compression=compression,
-                        _out=out,
-                        _prefix=name + ".#list.",
-                        _outer_defs=np.asarray(d, dtype=np.int64) + lv,
-                        _outer_opts=depth + 1,
+                        fa, _out=out, _prefix=name + ".#list.",
+                        _outer_defs=odefs, _outer_opts=depth + 1, **kw,
+                    )
+                    continue
+                if pa.types.is_list(f.type.value_type) or pa.types.is_large_list(
+                    f.type.value_type
+                ):
+                    if pa.types.is_nested(f.type.value_type.value_type):
+                        raise TypeError(
+                            f"struct field '{name}': at most list<list<prim>>, got {f.type}"
+                        )
+                    inner = fa.flatten()  # the inner lists of non-null rows
+                    iv = (
+                        np.ones(len(inner), dtype=bool)
+                        if inner.null_count == 0
+                        else np.asarray(inner.is_valid())
+                    )
+                    il = pa.compute.list_value_length(inner)
+                    il = np.asarray(il.fill_null(0) if inner.null_count else il).astype(np.int64)
+                    no = pa.compute.list_value_length(fa)
+                    no = np.asarray(no.fill_null(0) if fa.null_count else no).astype(np.int64)
+                    row_off = np.zeros(n + 1, dtype=np.int32)
+                    np.cumsum(no, out=row_off[1:])
+                    cs = np.zeros(len(inner) + 1, dtype=np.int64)
+                    np.cumsum(il, out=cs[1:])
+                    flat_off = np.zeros(n + 1, dtype=np.int32)
+                    flat_off[1:] = cs[row_off[1:].astype(np.int64)]
+                    rmask = pa.array(~lv) if not lv.all() else None
+                    flat = pa.ListArray.from_arrays(
+                        pa.array(flat_off), inner.flatten(), mask=rmask
+                    )
+                    lens = pa.ListArray.from_arrays(
+                        pa.array(row_off),
+                        pa.array(il.astype(np.int32), type=pa.int32(), mask=~iv),
+                        mask=rmask,
+                    )
+                    out[name + ".#ll0"] = _encode_list_chunk(
+                        flat, nullable=True, outer_defs=odefs, outer_opts=depth + 1, **kw
+                    )
+                    out[name + ".#ll1"] = _encode_list_chunk(
+                        lens, nullable=True, elem_nullable=True,
+                        outer_defs=odefs, outer_opts=depth + 1, **kw,
                     )
                     continue
                 if pa.types.is_nested(f.type.value_type):
@@ -1646,13 +1688,7 @@ def encode_struct_chunk(
                         f"struct field '{name}': list of primitives or structs only, got {f.type}"
                     )
                 out[name + ".#list"] = _encode_list_chunk(
-                    fa,
-                    policy=policy,
-                    page_target_bytes=page_target_bytes,
-                    compression=compression,
-                    nullable=True,
-                    outer_defs=np.asarray(d, dtype=np.int64) + lv,
-                    outer_opts=depth + 1,
+                    fa, nullable=True, outer_defs=odefs, outer_opts=depth + 1, **kw
                 )
                 continue
             if pa.types.is_nested(f.type):
@@ -1683,8 +1719,20 @@ def decode_struct_chunk(chunks: dict[str, EncodedChunk]) -> pa.StructArray:
     stream is per level ENTRY — reduced here to one def per row."""
     decoded: dict[str, tuple[pa.Array, np.ndarray]] = {}
     sl_groups: dict[str, dict[str, EncodedChunk]] = {}
+    ll_groups: dict[str, dict[str, tuple]] = {}
     for name, ch in chunks.items():
         levels: list[np.ndarray] = []
+        if name.endswith("#ll0") or name.endswith("#ll1"):
+            # list<list<prim>> field peeled into flat + lens siblings
+            head, marker = name[:-5], name[-4:]
+            depth = name.count(".")
+            if head not in ll_groups:
+                decoded[head + ".#ll"] = None  # placeholder keeps field order
+                ll_groups[head] = {}
+            arr = decode_chunk(ch, _collect_levels=levels, _d_empty=depth + 1)
+            def_all = np.concatenate(levels) if levels else np.zeros(0, dtype=np.int64)
+            ll_groups[head][marker] = (arr, _row_first_entry_defs(arr, def_all))
+            continue
         if ".#list." in name:
             # list<struct> member: defer, the whole group reassembles at
             # once; reserve the dict slot NOW so field order is preserved
@@ -1707,8 +1755,53 @@ def decode_struct_chunk(chunks: dict[str, EncodedChunk]) -> pa.StructArray:
             g, _d_empty=depth + 1, _return_row_defs=True
         )
         decoded[head + ".#list"] = (arr, row_defs)
+    for head, g in ll_groups.items():
+        flat, row_defs = g["#ll0"]
+        lens, _ = g["#ll1"]
+        decoded[head + ".#ll"] = (_regroup_list(flat, lens), row_defs)
     out, _ = _assemble_struct(decoded, 1)
     return out
+
+
+def _regroup_list(flat: pa.Array, lens: pa.Array) -> pa.Array:
+    """(list<T> flat per row, list<int32> inner lengths per row) ->
+    list<list<T>> per row.  NULL length = null inner list, 0 = empty; row
+    nulls come from either side (they agree by construction)."""
+    n = len(flat)
+    if len(lens) != n:
+        raise ValueError("list<list> flat/lens row counts differ")
+    lv = lens.flatten()  # one int (or null) per inner list
+    m = len(lv)
+    iv = np.ones(m, dtype=bool) if lv.null_count == 0 else np.asarray(lv.is_valid())
+    counts = np.asarray(lv.fill_null(0) if lv.null_count else lv).astype(np.int64)
+    inner_off = np.zeros(m + 1, dtype=np.int32)
+    np.cumsum(counts, out=inner_off[1:])
+    elems = flat.flatten()
+    if int(inner_off[-1]) != len(elems):
+        raise ValueError("list<list> inner lengths disagree with flat elements")
+    inner_validity = None
+    if lv.null_count:
+        inner_validity = pa.py_buffer(np.packbits(iv, bitorder="little").tobytes())
+    inner = pa.Array.from_buffers(
+        pa.list_(elems.type),
+        m,
+        [inner_validity, pa.py_buffer(np.ascontiguousarray(inner_off).tobytes())],
+        children=[elems],
+    )
+    outer_off = np.frombuffer(
+        lens.buffers()[1], dtype=np.int32, count=n + 1, offset=lens.offset * 4
+    )
+    outer_validity = None
+    if lens.null_count:
+        outer_validity = pa.py_buffer(
+            np.packbits(np.asarray(lens.is_valid()), bitorder="little").tobytes()
+        )
+    return pa.Array.from_buffers(
+        pa.list_(inner.type),
+        n,
+        [outer_validity, pa.py_buffer(np.ascontiguousarray(outer_off).tobytes())],
+        children=[inner],
+    )
 
 
 def _assemble_struct(
@@ -1730,6 +1823,9 @@ def _assemble_struct(
         elif list(g) == ["#list"]:
             # list field: already a row-space ListArray with presence nulls
             arr, defs = g["#list"]
+        elif list(g) == ["#ll"]:
+            # list<list<prim>> field: pre-regrouped row-space array
+            arr, defs = g["#ll"]
         else:
             arr, defs = _assemble_struct(g, level + 1)
         sv = defs >= level

@@ -103,6 +103,11 @@ def _sql_struct_type(items) -> str:
             # ELEMENT type; rebuild the element struct, wrap in array<>
             inner = _sql_struct_type([(k[6:], v) for k, v in sub])
             parts.append(f"`{head}`: array<{inner}>")
+        elif sorted(k for k, _ in sub) == ["#ll0", "#ll1"]:
+            # list<list<prim>> member: '#ll0' payload is the flat
+            # array<T> type; the member is one more array<> around it
+            flat_t = dict(sub)["#ll0"]
+            parts.append(f"`{head}`: array<{flat_t}>")
         else:
             parts.append(f"`{head}`: {_sql_struct_type(sub)}")
     return "struct<" + ", ".join(parts) + ">"
@@ -115,6 +120,8 @@ def _pa_struct_type(items) -> pa.DataType:
             fields.append((head, sub[0][1]))
         elif all(k.startswith("#list.") for k, _ in sub):
             fields.append((head, pa.list_(_pa_struct_type([(k[6:], v) for k, v in sub]))))
+        elif sorted(k for k, _ in sub) == ["#ll0", "#ll1"]:
+            fields.append((head, pa.list_(dict(sub)["#ll0"])))
         else:
             fields.append((head, _pa_struct_type(sub)))
     return pa.struct(fields)
@@ -293,7 +300,7 @@ def decode_table(
         return (
             isinstance(m, list)
             and all(lg.startswith("list<") for _, _, lg in m)
-            and not any("#list" in f for _, f, _ in m)
+            and not any("#" in f for _, f, _ in m)
         )
 
     def _spark_col_type(c: str) -> str:

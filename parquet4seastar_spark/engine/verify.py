@@ -70,11 +70,16 @@ def audit_lineage(encoded: DataFrame) -> DataFrame:
         chunk_seq = int(tbl.column("chunk_seq")[0].as_py())
         cols, oks, st, rec = [], [], [], []
         for c, sha in stored.items():
-            # '<col>.<i>.<path>.#list[.<elem path>]' leaves carry struct
-            # levels ABOVE the repeated one: d_empty = struct depth + 1,
-            # derived from the path ('#list' position - 1)
+            # '<col>.<i>.<path>.#list[.<elem path>]' (and the '#ll0'/'#ll1'
+            # list<list> peel siblings) carry struct levels ABOVE the
+            # repeated one: d_empty = struct depth + 1, derived from the
+            # path (marker position - 1)
             parts = c.split(".")
-            d_empty = parts.index("#list") - 1 if "#list" in parts and len(parts) >= 4 else None
+            d_empty = None
+            for marker in ("#list", "#ll0", "#ll1"):
+                if marker in parts and len(parts) >= 4:
+                    d_empty = parts.index(marker) - 1
+                    break
             try:
                 recomputed = chunk_content_sha(
                     decode_chunk(_rebuild_chunk(tbl, by_col[c]), _d_empty=d_empty)

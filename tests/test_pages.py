@@ -394,9 +394,8 @@ def test_list_exotic_element_types(vals, typ):
 
 
 def test_struct_rejects_unsupported_nested_fields():
-    # struct fields may be primitive, struct, list-of-primitive, or
-    # list-of-struct; a list<list> field would need a SECOND repetition
-    # level under struct context -- fail fast, never mis-encode
+    # struct fields go up to list<list<prim>> / list<struct>; THREE
+    # repetition levels under struct context fail fast, never mis-encode
     from parquet4seastar_spark.codecs.pages import decode_struct_chunk, encode_struct_chunk
 
     ok = pa.array(
@@ -405,10 +404,10 @@ def test_struct_rejects_unsupported_nested_fields():
     )
     assert decode_struct_chunk(encode_struct_chunk(ok)).to_pylist() == ok.to_pylist()
     bad = pa.array(
-        [{"m": [[1]]}],
-        type=pa.struct([("m", pa.list_(pa.list_(pa.int64())))]),
+        [{"m": [[[1]]]}],
+        type=pa.struct([("m", pa.list_(pa.list_(pa.list_(pa.int64()))))]),
     )
-    with pytest.raises(TypeError, match="list of primitives or structs"):
+    with pytest.raises(TypeError, match="at most list<list"):
         encode_struct_chunk(bad)
 
 
@@ -672,6 +671,38 @@ def test_struct_with_list_of_structs():
     sl = a2.slice(3, 80)
     out3 = decode_struct_chunk(encode_struct_chunk(sl, policy="plain"))
     assert out3.to_pylist() == sl.to_pylist()
+
+
+def test_struct_with_list_of_lists_field():
+    # list<list<prim>> field inside struct(s): peeled into '.#ll0'
+    # (flattened elements) + '.#ll1' (inner lengths) siblings, both
+    # single-rep chunks with outer struct def levels
+    from parquet4seastar_spark.codecs.pages import decode_struct_chunk, encode_struct_chunk
+
+    t = pa.struct([("a", pa.int64()), ("m", pa.list_(pa.list_(pa.int64())))])
+    data = [
+        {"a": 1, "m": [[1, 2], [3]]},
+        None,
+        {"a": 2, "m": None},
+        {"a": None, "m": []},
+        {"a": 4, "m": [None, [], [5, None]]},
+    ] * 30
+    arr = pa.array(data, type=t)
+    for policy in ["plain", "auto"]:
+        ch = encode_struct_chunk(arr, policy=policy, page_target_bytes=256)
+        assert {"m.#ll0", "m.#ll1"} <= set(ch)
+        out = decode_struct_chunk(ch)
+        out.validate(full=True)
+        assert out.to_pylist() == arr.to_pylist(), policy
+    sl = arr.slice(3, 90)
+    assert decode_struct_chunk(encode_struct_chunk(sl, policy="plain")).to_pylist() == sl.to_pylist()
+    # three repetition levels under a struct stay fail-fast
+    bad = pa.array(
+        [{"m": [[[1]]]}],
+        type=pa.struct([("m", pa.list_(pa.list_(pa.list_(pa.int64()))))]),
+    )
+    with pytest.raises(TypeError, match="at most list<list"):
+        encode_struct_chunk(bad)
 
 
 def test_struct_of_struct_writer_levels():
