@@ -1239,8 +1239,10 @@ def oracle_sql() -> dict[str, str]:
         f" ?[^\\s\\p{{L}}\\p{{N}}]+|\\s+')) AS n_bpe_tokens, "
         "len(regexp_split_to_array(trim(text), '\\s+')) AS n_word_tokens FROM documents"
     )
-    stop_sum = " + ".join(
-        f"(len(regexp_split_to_array(lower(text), '\\b{w}\\b')) - 1)" for w in STOPWORDS
+    # one alternation pass, mirroring text._marker_count (whole-word matches
+    # on distinct words are disjoint, so the count equals the per-word sum)
+    stop_sum = (
+        f"len(regexp_extract_all(lower(text), '\\b({'|'.join(STOPWORDS)})\\b'))"
     )
     o["stopword_stats"] = (
         f"SELECT doc_id, ({stop_sum}) AS n_stopwords, "
@@ -1264,9 +1266,7 @@ def oracle_sql() -> dict[str, str]:
 
     score_exprs = []
     for lang, words in LANG_MARKERS.items():
-        parts = " + ".join(
-            f"(len(regexp_split_to_array(lower(text), '\\b{w}\\b')) - 1)" for w in words
-        )
+        parts = f"len(regexp_extract_all(lower(text), '\\b({'|'.join(words)})\\b'))"
         score_exprs.append(f"({parts}) AS score_{lang}")
     langs = list(LANG_MARKERS)
     greatest = f"greatest({', '.join('score_' + l for l in langs)})"

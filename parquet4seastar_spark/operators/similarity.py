@@ -225,16 +225,33 @@ def embedding_near_dups(
       discoverable (via its representative) at linear, not quadratic, cost,
       and nothing is silently dropped.
     """
-    if bits is None:
-        bits = auto_bits(embeddings.count(), target_bucket_rows)
     # several subtrees consume the signatures (size tables + join sides):
     # persist so the projection matmul runs once.  Both sig and sig2 stay
     # cached for the query's lifetime (ids-only triples, bounded size); at
     # cluster scale you'd materialize them to tables and drop the caches.
-    sig = banded_hyperplane_buckets(
-        embeddings, bands=bands, bits=bits, seed=seed, extra_bits=split_bits,
-        id_col=id_col, vec_col=vec_col,
-    ).persist()
+    if bits is None:
+        # auto-sizing without a separate counting pass over the raw
+        # embeddings: compute signatures at the auto_bits cap (hi), count the
+        # PERSISTED ids-only signature frame (it materializes here instead of
+        # at the first size aggregation -- same total work, one fewer scan of
+        # the vectors), then MASK the packed bucket down to the effective
+        # bits.  Masking keeps the low `eff` hyperplane signs, identical to
+        # having computed bits=eff up front.
+        hi = 24
+        sig = banded_hyperplane_buckets(
+            embeddings, bands=bands, bits=hi, seed=seed, extra_bits=split_bits,
+            id_col=id_col, vec_col=vec_col,
+        ).persist()
+        bits = auto_bits(sig.count() // bands, target_bucket_rows, hi=hi)
+        if bits < hi:
+            sig = sig.withColumn(
+                "bucket", F.col("bucket").bitwiseAND(F.lit((1 << bits) - 1))
+            )
+    else:
+        sig = banded_hyperplane_buckets(
+            embeddings, bands=bands, bits=bits, seed=seed, extra_bits=split_bits,
+            id_col=id_col, vec_col=vec_col,
+        ).persist()
     # size table: small relative to data (one row per non-empty bucket);
     # AQE picks broadcast when it fits, shuffle join otherwise
     sizes = sig.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_n"))
@@ -358,8 +375,29 @@ def ivf_topk(
     training set is small regardless of corpus size); centroids broadcast in
     the UDF closure; corpus assignment is one map-side pass; search joins on
     cluster id, so each query scores ~n_probe/n_clusters of the corpus.
+
+    The training sample is a deterministic md5 hash sample of the whole
+    corpus, NOT ``limit(n)``: limit takes the first scan partition(s), so
+    with any storage clustering (by source, by time) the centroids would
+    model one shard and probe recall would collapse on the rest.  The hash
+    filter is uniform over rows regardless of partition layout (the same
+    pattern as text.stratified_sample).
     """
-    sample = embeddings.select(vec_col).limit(train_sample).collect()
+    n = embeddings.count()
+    frac = min(1.0, (train_sample * 1.3) / max(n, 1))
+    # md5 first-8-hex-digits as a uniform 32-bit integer; keep rows below
+    # frac * 2^32.  Expected sample size ~1.3 * train_sample; no limit() so
+    # no partition-order bias re-enters.
+    thresh = int(frac * 0xFFFFFFFF)
+    sample = (
+        embeddings.filter(
+            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            <= F.lit(thresh)
+        )
+        .select(vec_col)
+        .collect()
+    )
     mat = np.stack([r[vec_col] for r in sample]).astype(np.float64)
     centroids = _kmeans(mat, n_clusters, seed=seed)
 

@@ -51,15 +51,22 @@ def token_counts_bpe(docs: DataFrame) -> DataFrame:
 STOPWORDS = ["the", "and", "of", "to", "in", "a", "is", "for", "on", "with"]
 
 
+def _marker_count(low, words: list[str]):
+    """Whole-word marker hits in ONE regex pass: an alternation of
+    \\b-anchored words.  Whole-word matches on distinct words are disjoint,
+    so one non-overlapping scan counts exactly what per-word scans summed --
+    at ~1/len(words) the passes over the text.  RE2-safe (no lookahead), so
+    the same pattern runs verbatim in the DuckDB oracle."""
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.regexp_count(low, F.lit(pat))
+
+
 def stopword_stats(docs: DataFrame) -> DataFrame:
     """(doc_id, n_stopwords, n_word_tokens, stopword_pct): stopword density,
     the classic natural-language-vs-junk quality signal.  Integer percent
     keeps the oracle hash float-free."""
     low = F.lower(F.col("text"))
-    n_stop = None
-    for w in STOPWORDS:
-        c = F.size(F.split(low, rf"\b{w}\b")) - 1
-        n_stop = c if n_stop is None else n_stop + c
+    n_stop = _marker_count(low, STOPWORDS)
     n_words = F.size(F.split(F.trim("text"), r"\s+"))
     return docs.select(
         "doc_id",
@@ -98,14 +105,10 @@ def language_id(docs: DataFrame) -> DataFrame:
     built-ins so the same logic is one SQL expression for the oracle.
     """
     low = F.lower(F.col("text"))
-    scores = []
-    for lang, words in LANG_MARKERS.items():
-        s = None
-        for w in words:
-            # count whole-word occurrences: size(split(x, '\\bw\\b')) - 1
-            c = F.size(F.split(low, rf"\b{w}\b")) - 1
-            s = c if s is None else s + c
-        scores.append(s.alias(f"score_{lang}"))
+    scores = [
+        _marker_count(low, words).alias(f"score_{lang}")
+        for lang, words in LANG_MARKERS.items()
+    ]
     scored = docs.select("doc_id", *scores)
     langs = list(LANG_MARKERS)
     best = F.greatest(*[F.col(f"score_{l}") for l in langs])

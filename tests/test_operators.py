@@ -407,6 +407,45 @@ def test_ivf_topk_recall(spark, embeddings):
     assert hits >= 0.4 * sum(len(v) for v in ex.values())
 
 
+def test_ivf_training_sample_unbiased_by_partition_order(spark):
+    """The quantizer trains on a deterministic hash sample, not limit():
+    plant two well-separated clusters, each ENTIRELY in its own scan
+    partition, with train_sample smaller than one partition.  A
+    first-partition-biased sample would never see cluster B; the hash
+    sample covers both, so IVF recall vs brute force stays exact on this
+    perfectly-separable corpus."""
+    import numpy as np
+
+    from parquet4seastar_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(7)
+    dim = 16
+    a = rng.standard_normal((300, dim)) * 0.05
+    a[:, 0] += 5.0
+    b = rng.standard_normal((300, dim)) * 0.05
+    b[:, dim - 1] += 5.0
+    mk = lambda rows, off: spark.createDataFrame(
+        [(off + i, [float(x) for x in v]) for i, v in enumerate(rows)],
+        "vec_id long, embedding array<float>",
+    ).coalesce(1)
+    emb = mk(a, 0).union(mk(b, 1000))  # partition 0 = A, partition 1 = B
+    q = emb.filter((F.col("vec_id") % 100 == 0)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = brute_force_topk(emb, q, k=10).collect()
+    approx = ivf_topk(
+        emb, q, k=10, n_clusters=2, n_probe=1, train_sample=128
+    ).collect()
+    ex, ap = {}, {}
+    for r in exact:
+        ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx:
+        ap.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # one centroid lands in each cluster -> n_probe=1 already sees the whole
+    # home cluster of every query: exact top-10 recovery
+    assert ex == ap
+
+
 def test_windowed_event_counts_streaming_mode(spark, tmp_path):
     """The same windowed aggregation runs as a real stream with a watermark
     (file source, availableNow) and matches the batch result."""
