@@ -72,21 +72,99 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q: dict[str, Callable] = {}
 
-    # ---- codec round-trips (oracle = identity SELECT => bit-identity)
+    # ---- codec round-trips (oracle = identity SELECT => bit-identity).
+    # Per-codec coverage is packed into COMPOSITE multi-column round-trips
+    # (encode_table takes a per-column policy dict) so every oracle fits the
+    # driver's ~50-row CORRECTNESS window with one green row per codec class.
     for name, cols, policy in [
         ("roundtrip_auto_all", ["text", "lang", "source", "n_chars"], "auto"),
-        ("roundtrip_plain_text", ["text"], "plain"),
-        ("roundtrip_dict_lang", ["lang", "source"], "dict"),
-        ("roundtrip_fsst_text", ["text"], "FSST"),
-        ("roundtrip_dlba_text", ["text"], "DELTA_LENGTH_BYTE_ARRAY"),
-        ("roundtrip_dba_source", ["source"], "DELTA_BYTE_ARRAY"),
-        ("roundtrip_dbp_ints", ["n_chars"], "DELTA_BINARY_PACKED"),
         ("roundtrip_reference_policy", ["text", "lang", "n_chars"], "reference"),
-        ("roundtrip_auto_fast", ["text", "source"], "auto_fast"),
     ]:
         q[name] = (lambda cols, policy: lambda spark, sf_dir: _roundtrip(spark, sf_dir, cols, policy))(
             cols, policy
         )
+
+    # text column through PLAIN, FSST and DELTA_LENGTH_BYTE_ARRAY in ONE
+    # encode job (three copies of the column, per-column policies)
+    def roundtrip_text_codecs(spark, sf_dir):
+        from parquet4seastar_spark.engine.decode_job import decode_table
+        from parquet4seastar_spark.engine.encode_job import encode_table
+
+        src = _docs(spark, sf_dir).select(
+            F.col("doc_id").alias("row_id"),
+            "text",
+            F.col("text").alias("text_fsst"),
+            F.col("text").alias("text_dlba"),
+            "source",
+        )
+        cols = ["text", "text_fsst", "text_dlba"]
+        enc = encode_table(
+            src, columns=cols,
+            policy={"text": "plain", "text_fsst": "FSST",
+                    "text_dlba": "DELTA_LENGTH_BYTE_ARRAY"},
+            salt_col="source", num_partitions=4,
+            page_target_bytes=64 << 10, chunk_target_bytes=4 << 20,
+        )
+        return decode_table(enc, cols).select(F.col("row_id").alias("doc_id"), *cols)
+
+    q["roundtrip_text_codecs"] = roundtrip_text_codecs
+
+    # string columns through RLE_DICTIONARY, DELTA_BYTE_ARRAY and the
+    # auto_fast policy in one encode job
+    def roundtrip_string_codecs(spark, sf_dir):
+        from parquet4seastar_spark.engine.decode_job import decode_table
+        from parquet4seastar_spark.engine.encode_job import encode_table
+
+        src = _docs(spark, sf_dir).select(
+            F.col("doc_id").alias("row_id"),
+            "lang",
+            F.col("source").alias("src_dict"),
+            F.col("source").alias("src_dba"),
+            F.col("text").alias("text_af"),
+            F.col("source").alias("src_af"),
+            "source",
+        )
+        cols = ["lang", "src_dict", "src_dba", "text_af", "src_af"]
+        enc = encode_table(
+            src, columns=cols,
+            policy={"lang": "dict", "src_dict": "dict",
+                    "src_dba": "DELTA_BYTE_ARRAY",
+                    "text_af": "auto_fast", "src_af": "auto_fast"},
+            salt_col="source", num_partitions=4,
+            page_target_bytes=64 << 10, chunk_target_bytes=4 << 20,
+        )
+        return decode_table(enc, cols).select(F.col("row_id").alias("doc_id"), *cols)
+
+    q["roundtrip_string_codecs"] = roundtrip_string_codecs
+
+    # scalar codec gaps in one job: DELTA_BINARY_PACKED ints, BOOLEAN
+    # (RLE/PLAIN-bool), FIXED_LEN_BYTE_ARRAY (hex-projected for the harness)
+    def roundtrip_scalar_codecs(spark, sf_dir):
+        from parquet4seastar_spark.engine.decode_job import decode_table
+        from parquet4seastar_spark.engine.encode_job import encode_table
+
+        src = _docs(spark, sf_dir).select(
+            F.col("doc_id").alias("row_id"),
+            "n_chars",
+            (F.col("n_chars") % 2 == 0).alias("is_even"),
+            F.unhex(F.md5("text")).alias("h16"),
+            "source",
+        )
+        cols = ["n_chars", "is_even", "h16"]
+        enc = encode_table(
+            src, columns=cols,
+            policy={"n_chars": "DELTA_BINARY_PACKED"},
+            salt_col="source", num_partitions=2, salt_target_rows=2000,
+            fixed_len={"h16": 16},
+        )
+        return decode_table(enc, cols).select(
+            F.col("row_id").alias("doc_id"),
+            "n_chars",
+            "is_even",
+            F.lower(F.hex("h16")).alias("h16_hex"),
+        )
+
+    q["roundtrip_scalar_codecs"] = roundtrip_scalar_codecs
 
     # dictionary fallback exercised on a high-cardinality column (the 40-hex
     # commit analogue is doc text md5) -- small pages force multiple flushes
@@ -104,44 +182,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return decode_table(enc, ["h"]).select(F.col("row_id").alias("doc_id"), "h")
 
     q["roundtrip_dict_fallback"] = roundtrip_dict_fallback
-
-    # ---- derived-column round-trips closing the codec oracle gaps:
-    # BOOLEAN (RLE/PLAIN-bool), FIXED_LEN_BYTE_ARRAY, BYTE_STREAM_SPLIT
-    def roundtrip_bool(spark, sf_dir):
-        from parquet4seastar_spark.engine.decode_job import decode_table
-        from parquet4seastar_spark.engine.encode_job import encode_table
-
-        src = _docs(spark, sf_dir).select(
-            F.col("doc_id").alias("row_id"),
-            (F.col("n_chars") % 2 == 0).alias("is_even"),
-            "source",
-        )
-        enc = encode_table(
-            src, columns=["is_even"], policy="auto", salt_col="source",
-            num_partitions=2, salt_target_rows=2000,
-        )
-        return decode_table(enc, ["is_even"]).select(F.col("row_id").alias("doc_id"), "is_even")
-
-    q["roundtrip_bool"] = roundtrip_bool
-
-    def roundtrip_flba(spark, sf_dir):
-        from parquet4seastar_spark.engine.decode_job import decode_table
-        from parquet4seastar_spark.engine.encode_job import encode_table
-
-        src = _docs(spark, sf_dir).select(
-            F.col("doc_id").alias("row_id"), F.unhex(F.md5("text")).alias("h16"), "source"
-        )
-        enc = encode_table(
-            src, columns=["h16"], policy="auto", salt_col="source", num_partitions=2,
-            salt_target_rows=2000, fixed_len={"h16": 16},
-        )
-        # project the decoded 16-byte FLBA values as hex: the compare
-        # harness (driver + DuckDB) handles strings, not raw binary
-        return decode_table(enc, ["h16"]).select(
-            F.col("row_id").alias("doc_id"), F.lower(F.hex("h16")).alias("h16_hex")
-        )
-
-    q["roundtrip_flba"] = roundtrip_flba
 
     def roundtrip_bss(spark, sf_dir):
         from parquet4seastar_spark.engine.decode_job import decode_table
@@ -229,120 +269,131 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pruned_scan"] = pruned_scan
 
-    # ---- struct-of-primitives through the engine (per-field leaf chunks
-    # with merged Dremel def levels; reassembled on decode)
-    def roundtrip_struct(spark, sf_dir):
+    # ---- struct-of-primitives + struct<struct> + map<string,string> in ONE
+    # encode job (three nested columns, each its own Dremel def-level
+    # geometry; reassembled on decode and projected to scalars)
+    def roundtrip_struct_map(spark, sf_dir):
         from parquet4seastar_spark.engine.decode_job import decode_table
         from parquet4seastar_spark.engine.encode_job import encode_table
 
         src = _docs(spark, sf_dir).select(
             F.col("doc_id").alias("row_id"),
             F.struct("lang", "n_chars").alias("meta"),
+            F.struct(
+                F.struct(
+                    F.col("lang"),
+                    F.when(F.col("doc_id") % 7 == 0, F.lit(None))
+                    .otherwise(F.col("source"))
+                    .alias("src"),
+                ).alias("ident"),
+                F.col("n_chars"),
+            ).alias("meta2"),
+            F.create_map(
+                F.lit("lang"), F.col("lang"), F.lit("src"), F.col("source")
+            ).alias("props"),
             "source",
         )
+        cols = ["meta", "meta2", "props"]
         enc = encode_table(
-            src, columns=["meta"], policy="auto", salt_col="source", num_partitions=2,
+            src, columns=cols, policy="auto", salt_col="source", num_partitions=2,
             salt_target_rows=2000,
         )
-        return decode_table(enc, ["meta"]).select(
+        return decode_table(enc, cols).select(
             F.col("row_id").alias("doc_id"),
             F.col("meta.lang").alias("lang"),
             F.col("meta.n_chars").alias("n_chars"),
+            F.col("meta2.ident.lang").alias("lang2"),
+            F.col("meta2.ident.src").alias("src2"),
+            F.col("meta2.n_chars").alias("n_chars2"),
+            F.element_at("props", "lang").alias("lang_v"),
+            F.element_at("props", "src").alias("src_v"),
         )
 
-    q["roundtrip_struct"] = roundtrip_struct
+    q["roundtrip_struct_map"] = roundtrip_struct_map
 
-    # ---- array<array<string>> through the engine (two repetition levels):
-    # sentence-split token groups; decoded structure canonicalized to one
-    # string per doc so the oracle compares exact nested content
-    def roundtrip_nested_lists(spark, sf_dir):
+    # ---- deep repetition shapes in ONE encode job: array<array<string>>
+    # (rep 2), array<array<array<string>>> (rep 3, peeled), and
+    # map<string, array<string>> (rep-2 value chunks over map offsets).
+    # Decoded structures canonicalize to one string per doc for the oracle.
+    def roundtrip_deep_lists(spark, sf_dir):
         from parquet4seastar_spark.engine.decode_job import decode_table
         from parquet4seastar_spark.engine.encode_job import encode_table
 
+        toks = F.split(F.trim("text"), r"\s+")
         src = _docs(spark, sf_dir).select(
             F.col("doc_id").alias("row_id"),
             F.transform(
                 F.split("text", r"\. "), lambda s: F.split(F.trim(s), r"\s+")
             ).alias("sents"),
+            F.when(F.col("doc_id") % 9 == 0, F.lit(None))
+            .otherwise(
+                F.transform(
+                    F.split("text", r"\. "),
+                    lambda s: F.transform(
+                        F.split(F.trim(s), r"\s+"), lambda w: F.array(w, F.upper(w))
+                    ),
+                )
+            )
+            .alias("deep"),
+            F.when(F.col("doc_id") % 6 == 0, F.lit(None))
+            .otherwise(
+                F.create_map(F.lit("tags"), toks, F.lit("first3"), F.slice(toks, 1, 3))
+            )
+            .alias("props"),
             "source",
         )
+        cols = ["sents", "deep", "props"]
         enc = encode_table(
-            src, columns=["sents"], policy="auto", salt_col="source", num_partitions=2,
+            src, columns=cols, policy="auto", salt_col="source", num_partitions=2,
             salt_target_rows=2000,
         )
-        dec = decode_table(enc, ["sents"])
-        canon = F.array_join(
+        dec = decode_table(enc, cols)
+        sents_canon = F.array_join(
             F.transform("sents", lambda x: F.array_join(x, ",")), "|"
         )
-        return dec.select(F.col("row_id").alias("doc_id"), canon.alias("canon"))
+        deep_canon = F.array_join(
+            F.transform(
+                "deep",
+                lambda s: F.array_join(F.transform(s, lambda w: F.array_join(w, "^")), ","),
+            ),
+            "|",
+        )
+        p = F.col("props")
+        return dec.select(
+            F.col("row_id").alias("doc_id"),
+            sents_canon.alias("sents_canon"),
+            deep_canon.alias("deep_canon"),
+            F.array_join(p["tags"], ",").alias("tags_canon"),
+            F.array_join(p["first3"], ",").alias("first3_canon"),
+        )
 
-    q["roundtrip_nested_lists"] = roundtrip_nested_lists
+    q["roundtrip_deep_lists"] = roundtrip_deep_lists
 
-    # ---- array<struct> through the engine: token spans (the shape a
-    # tokenized-corpus table carries); decoded spans explode back to scalar
-    # rows so the oracle compares exact values
+    # ---- array<struct> token spans through the engine in ONE encode job,
+    # three variants side by side: required fields, an OPTIONAL field (4th
+    # Dremel def level), and a nested attrs struct (one def level per struct
+    # level).  The three arrays share the tokenization, so one arrays_zip +
+    # explode turns the decoded structures into scalar rows for the oracle.
     def roundtrip_token_spans(spark, sf_dir):
         from parquet4seastar_spark.engine.decode_job import decode_table
         from parquet4seastar_spark.engine.encode_job import encode_table
 
+        toks = F.split(F.trim("text"), r"\s+")
         src = _docs(spark, sf_dir).select(
             F.col("doc_id").alias("row_id"),
             F.transform(
-                F.split(F.trim("text"), r"\s+"),
+                toks,
                 lambda x, i: F.struct(x.alias("tok"), i.cast("int").alias("pos")),
             ).alias("spans"),
-            "source",
-        )
-        enc = encode_table(
-            src, columns=["spans"], policy="auto", salt_col="source", num_partitions=2,
-            salt_target_rows=2000,
-        )
-        dec = decode_table(enc, ["spans"])
-        return dec.select(
-            F.col("row_id").alias("doc_id"), F.explode("spans").alias("s")
-        ).select("doc_id", F.col("s.tok").alias("tok"), F.col("s.pos").alias("pos"))
-
-    q["roundtrip_token_spans"] = roundtrip_token_spans
-
-    # ---- array<struct> with an OPTIONAL field (4th Dremel def level): the
-    # shape a tokenized corpus with nullable per-span attributes carries
-    def roundtrip_token_spans_nullable(spark, sf_dir):
-        from parquet4seastar_spark.engine.decode_job import decode_table
-        from parquet4seastar_spark.engine.encode_job import encode_table
-
-        src = _docs(spark, sf_dir).select(
-            F.col("doc_id").alias("row_id"),
             F.transform(
-                F.split(F.trim("text"), r"\s+"),
+                toks,
                 lambda x, i: F.struct(
                     x.alias("tok"),
                     F.when(i % 3 == 0, F.lit(None)).otherwise(i).cast("int").alias("pos"),
                 ),
-            ).alias("spans"),
-            "source",
-        )
-        enc = encode_table(
-            src, columns=["spans"], policy="auto", salt_col="source", num_partitions=2,
-            salt_target_rows=2000,
-        )
-        dec = decode_table(enc, ["spans"])
-        return dec.select(
-            F.col("row_id").alias("doc_id"), F.explode("spans").alias("s")
-        ).select("doc_id", F.col("s.tok").alias("tok"), F.col("s.pos").alias("pos"))
-
-    q["roundtrip_token_spans_nullable"] = roundtrip_token_spans_nullable
-
-    # ---- array<struct<tok, attrs:struct<...>>>: nested annotation structs
-    # per span (one Dremel def level per struct level; decoded spans explode
-    # back to scalar rows for the oracle)
-    def roundtrip_token_spans_nested(spark, sf_dir):
-        from parquet4seastar_spark.engine.decode_job import decode_table
-        from parquet4seastar_spark.engine.encode_job import encode_table
-
-        src = _docs(spark, sf_dir).select(
-            F.col("doc_id").alias("row_id"),
+            ).alias("spans_n"),
             F.transform(
-                F.split(F.trim("text"), r"\s+"),
+                toks,
                 lambda x, i: F.struct(
                     x.alias("tok"),
                     F.when(i % 5 == 0, F.lit(None))
@@ -357,60 +408,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     )
                     .alias("attrs"),
                 ),
-            ).alias("spans"),
+            ).alias("spans_nn"),
             "source",
         )
+        cols = ["spans", "spans_n", "spans_nn"]
         enc = encode_table(
-            src, columns=["spans"], policy="auto", salt_col="source", num_partitions=2,
+            src, columns=cols, policy="auto", salt_col="source", num_partitions=2,
             salt_target_rows=2000,
         )
-        dec = decode_table(enc, ["spans"])
+        dec = decode_table(enc, cols)
         return dec.select(
-            F.col("row_id").alias("doc_id"), F.explode("spans").alias("s")
+            F.col("row_id").alias("doc_id"),
+            F.explode(F.arrays_zip("spans", "spans_n", "spans_nn")).alias("z"),
         ).select(
             "doc_id",
-            F.col("s.tok").alias("tok"),
-            F.col("s.attrs.upos").alias("upos"),
-            F.col("s.attrs.feats").alias("feats"),
+            F.col("z.spans.tok").alias("tok"),
+            F.col("z.spans.pos").alias("pos"),
+            F.col("z.spans_n.pos").alias("pos_n"),
+            F.col("z.spans_nn.attrs.upos").alias("upos"),
+            F.col("z.spans_nn.attrs.feats").alias("feats"),
         )
 
-    q["roundtrip_token_spans_nested"] = roundtrip_token_spans_nested
+    q["roundtrip_token_spans"] = roundtrip_token_spans
 
-    # ---- struct<struct<...>> through the engine (recursive Dremel def
-    # levels; round-2 capped at struct-of-primitives)
-    def roundtrip_struct_nested(spark, sf_dir):
-        from parquet4seastar_spark.engine.decode_job import decode_table
-        from parquet4seastar_spark.engine.encode_job import encode_table
-
-        src = _docs(spark, sf_dir).select(
-            F.col("doc_id").alias("row_id"),
-            F.struct(
-                F.struct(
-                    F.col("lang"),
-                    F.when(F.col("doc_id") % 7 == 0, F.lit(None))
-                    .otherwise(F.col("source"))
-                    .alias("src"),
-                ).alias("ident"),
-                F.col("n_chars"),
-            ).alias("meta"),
-            "source",
-        )
-        enc = encode_table(
-            src, columns=["meta"], policy="auto", salt_col="source", num_partitions=2,
-            salt_target_rows=2000,
-        )
-        return decode_table(enc, ["meta"]).select(
-            F.col("row_id").alias("doc_id"),
-            F.col("meta.ident.lang").alias("lang"),
-            F.col("meta.ident.src").alias("src"),
-            F.col("meta.n_chars").alias("n_chars"),
-        )
-
-    q["roundtrip_struct_nested"] = roundtrip_struct_nested
-
-    # ---- struct with a LIST field (optional levels above the repeated
-    # level, d_empty = depth+1): struct<a:int, tags:array<string>>
-    def roundtrip_struct_with_list(spark, sf_dir):
+    # ---- structs with nested container FIELDS in ONE encode job:
+    # struct<a, tags:array<string>> (optional levels above the repeated
+    # level), struct<k, m:array<array<string>>> ('.#ll0'+'.#ll1' peel), and
+    # map<string, struct<...>> (per-field value leaves sharing map offsets)
+    def roundtrip_struct_fields(spark, sf_dir):
         from parquet4seastar_spark.engine.decode_job import decode_table
         from parquet4seastar_spark.engine.encode_job import encode_table
 
@@ -421,20 +446,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.when(F.col("doc_id") % 5 == 0, F.lit(None))
                 .otherwise(F.split(F.trim("text"), r"\s+"))
                 .alias("tags"),
-            ).alias("meta"),
+            ).alias("meta_wl"),
+            F.struct(
+                F.col("n_chars").alias("k"),
+                F.when(F.col("doc_id") % 4 == 0, F.lit(None))
+                .otherwise(
+                    F.transform(
+                        F.split("text", r"\. "), lambda s: F.split(F.trim(s), r"\s+")
+                    )
+                )
+                .alias("m"),
+            ).alias("meta_l2"),
+            F.when(F.col("doc_id") % 6 == 0, F.lit(None))
+            .otherwise(
+                F.create_map(
+                    F.lit("m1"),
+                    F.struct(F.col("n_chars").alias("n"), F.col("lang").alias("s")),
+                    F.lit("m2"),
+                    F.struct(
+                        (F.col("n_chars") * 2).alias("n"),
+                        F.when(F.col("doc_id") % 3 == 0, F.lit(None))
+                        .otherwise(F.col("source"))
+                        .alias("s"),
+                    ),
+                )
+            )
+            .alias("props_ms"),
             "source",
         )
+        cols = ["meta_wl", "meta_l2", "props_ms"]
         enc = encode_table(
-            src, columns=["meta"], policy="auto", salt_col="source", num_partitions=2,
+            src, columns=cols, policy="auto", salt_col="source", num_partitions=2,
             salt_target_rows=2000,
         )
-        return decode_table(enc, ["meta"]).select(
+        dec = decode_table(enc, cols)
+        m_canon = F.array_join(
+            F.transform(F.col("meta_l2.m"), lambda x: F.array_join(x, ",")), "|"
+        )
+        p = F.col("props_ms")
+        return dec.select(
             F.col("row_id").alias("doc_id"),
-            F.col("meta.a").alias("a"),
-            F.array_join(F.col("meta.tags"), ",").alias("tags_canon"),
+            F.col("meta_wl.a").alias("a"),
+            F.array_join(F.col("meta_wl.tags"), ",").alias("tags_canon"),
+            F.col("meta_l2.k").alias("k"),
+            m_canon.alias("m_canon"),
+            p["m1"]["n"].alias("m1_n"),
+            p["m1"]["s"].alias("m1_s"),
+            p["m2"]["n"].alias("m2_n"),
+            p["m2"]["s"].alias("m2_s"),
         )
 
-    q["roundtrip_struct_with_list"] = roundtrip_struct_with_list
+    q["roundtrip_struct_fields"] = roundtrip_struct_fields
 
     # ---- the full mixed tree: struct<k, spans: array<struct<tok, pos?>>>
     # (struct levels above AND below the repeated level in one geometry);
@@ -477,177 +539,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["roundtrip_struct_spans"] = roundtrip_struct_spans
 
-    # ---- map<string, struct<...>>: struct map values (per-field value
-    # leaves sharing the map offsets); projected to scalars for the oracle
-    def roundtrip_map_struct(spark, sf_dir):
-        from parquet4seastar_spark.engine.decode_job import decode_table
-        from parquet4seastar_spark.engine.encode_job import encode_table
 
-        src = _docs(spark, sf_dir).select(
-            F.col("doc_id").alias("row_id"),
-            F.when(F.col("doc_id") % 6 == 0, F.lit(None))
-            .otherwise(
-                F.create_map(
-                    F.lit("m1"),
-                    F.struct(F.col("n_chars").alias("n"), F.col("lang").alias("s")),
-                    F.lit("m2"),
-                    F.struct(
-                        (F.col("n_chars") * 2).alias("n"),
-                        F.when(F.col("doc_id") % 3 == 0, F.lit(None))
-                        .otherwise(F.col("source"))
-                        .alias("s"),
-                    ),
-                )
-            )
-            .alias("props"),
-            "source",
-        )
-        enc = encode_table(
-            src, columns=["props"], policy="auto", salt_col="source", num_partitions=2,
-            salt_target_rows=2000,
-        )
-        dec = decode_table(enc, ["props"])
-        p = F.col("props")
-        return dec.select(
-            F.col("row_id").alias("doc_id"),
-            p["m1"]["n"].alias("m1_n"),
-            p["m1"]["s"].alias("m1_s"),
-            p["m2"]["n"].alias("m2_n"),
-            p["m2"]["s"].alias("m2_s"),
-        )
 
-    q["roundtrip_map_struct"] = roundtrip_map_struct
 
-    # ---- array<array<array<string>>> (THREE repetition levels; the middle
-    # level peels onto the rep-2 path as '#deep'+'#len2' sibling chunks);
-    # canonicalized to one string per doc for the oracle
-    def roundtrip_list3(spark, sf_dir):
-        from parquet4seastar_spark.engine.decode_job import decode_table
-        from parquet4seastar_spark.engine.encode_job import encode_table
 
-        src = _docs(spark, sf_dir).select(
-            F.col("doc_id").alias("row_id"),
-            F.when(F.col("doc_id") % 9 == 0, F.lit(None))
-            .otherwise(
-                F.transform(
-                    F.split("text", r"\. "),
-                    lambda s: F.transform(
-                        F.split(F.trim(s), r"\s+"), lambda w: F.array(w, F.upper(w))
-                    ),
-                )
-            )
-            .alias("deep"),
-            "source",
-        )
-        enc = encode_table(
-            src, columns=["deep"], policy="auto", salt_col="source", num_partitions=2,
-            salt_target_rows=2000,
-        )
-        dec = decode_table(enc, ["deep"])
-        canon = F.array_join(
-            F.transform(
-                "deep",
-                lambda s: F.array_join(F.transform(s, lambda w: F.array_join(w, "^")), ","),
-            ),
-            "|",
-        )
-        return dec.select(F.col("row_id").alias("doc_id"), canon.alias("canon"))
-
-    q["roundtrip_list3"] = roundtrip_list3
-
-    # ---- map<string, array<string>> (list map values: the value side is a
-    # rep-2 chunk over the map offsets); scalars for the oracle
-    def roundtrip_map_list(spark, sf_dir):
-        from parquet4seastar_spark.engine.decode_job import decode_table
-        from parquet4seastar_spark.engine.encode_job import encode_table
-
-        toks = F.split(F.trim("text"), r"\s+")
-        src = _docs(spark, sf_dir).select(
-            F.col("doc_id").alias("row_id"),
-            F.when(F.col("doc_id") % 6 == 0, F.lit(None))
-            .otherwise(
-                F.create_map(
-                    F.lit("tags"), toks, F.lit("first3"), F.slice(toks, 1, 3)
-                )
-            )
-            .alias("props"),
-            "source",
-        )
-        enc = encode_table(
-            src, columns=["props"], policy="auto", salt_col="source", num_partitions=2,
-            salt_target_rows=2000,
-        )
-        dec = decode_table(enc, ["props"])
-        p = F.col("props")
-        return dec.select(
-            F.col("row_id").alias("doc_id"),
-            F.array_join(p["tags"], ",").alias("tags_canon"),
-            F.array_join(p["first3"], ",").alias("first3_canon"),
-        )
-
-    q["roundtrip_map_list"] = roundtrip_map_list
-
-    # ---- struct<k, m: array<array<string>>> (list<list> field under a
-    # struct: '.#ll0'+'.#ll1' peel); canonicalized for the oracle
-    def roundtrip_struct_list2(spark, sf_dir):
-        from parquet4seastar_spark.engine.decode_job import decode_table
-        from parquet4seastar_spark.engine.encode_job import encode_table
-
-        src = _docs(spark, sf_dir).select(
-            F.col("doc_id").alias("row_id"),
-            F.struct(
-                F.col("n_chars").alias("k"),
-                F.when(F.col("doc_id") % 4 == 0, F.lit(None))
-                .otherwise(
-                    F.transform(
-                        F.split("text", r"\. "), lambda s: F.split(F.trim(s), r"\s+")
-                    )
-                )
-                .alias("m"),
-            ).alias("meta"),
-            "source",
-        )
-        enc = encode_table(
-            src, columns=["meta"], policy="auto", salt_col="source", num_partitions=2,
-            salt_target_rows=2000,
-        )
-        dec = decode_table(enc, ["meta"])
-        canon = F.array_join(
-            F.transform(F.col("meta.m"), lambda x: F.array_join(x, ",")), "|"
-        )
-        return dec.select(
-            F.col("row_id").alias("doc_id"),
-            F.col("meta.k").alias("k"),
-            canon.alias("canon"),
-        )
-
-    q["roundtrip_struct_list2"] = roundtrip_struct_list2
-
-    # ---- map<string,string> through the engine (key/value list chunks with
-    # shared offsets, standard parquet MAP level geometry)
-    def roundtrip_map(spark, sf_dir):
-        from parquet4seastar_spark.engine.decode_job import decode_table
-        from parquet4seastar_spark.engine.encode_job import encode_table
-
-        src = _docs(spark, sf_dir).select(
-            F.col("doc_id").alias("row_id"),
-            F.create_map(
-                F.lit("lang"), F.col("lang"), F.lit("src"), F.col("source")
-            ).alias("props"),
-            "source",
-        )
-        enc = encode_table(
-            src, columns=["props"], policy="auto", salt_col="source", num_partitions=2,
-            salt_target_rows=2000,
-        )
-        # project map lookups: scalar columns give the oracle a stable shape
-        return decode_table(enc, ["props"]).select(
-            F.col("row_id").alias("doc_id"),
-            F.element_at("props", "lang").alias("lang_v"),
-            F.element_at("props", "src").alias("src_v"),
-        )
-
-    q["roundtrip_map"] = roundtrip_map
 
     # ---- real-Parquet container interop: encode -> PAR1 file (Thrift page
     # headers + footer) -> read back with OUR reader -> identity oracle
@@ -1112,14 +1007,18 @@ def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
     o["roundtrip_auto_all"] = "SELECT doc_id, text, lang, source, n_chars FROM documents"
-    o["roundtrip_plain_text"] = "SELECT doc_id, text FROM documents"
-    o["roundtrip_dict_lang"] = "SELECT doc_id, lang, source FROM documents"
-    o["roundtrip_fsst_text"] = "SELECT doc_id, text FROM documents"
-    o["roundtrip_dlba_text"] = "SELECT doc_id, text FROM documents"
-    o["roundtrip_dba_source"] = "SELECT doc_id, source FROM documents"
-    o["roundtrip_dbp_ints"] = "SELECT doc_id, n_chars FROM documents"
     o["roundtrip_reference_policy"] = "SELECT doc_id, text, lang, n_chars FROM documents"
-    o["roundtrip_auto_fast"] = "SELECT doc_id, text, source FROM documents"
+    o["roundtrip_text_codecs"] = (
+        "SELECT doc_id, text, text AS text_fsst, text AS text_dlba FROM documents"
+    )
+    o["roundtrip_string_codecs"] = (
+        "SELECT doc_id, lang, source AS src_dict, source AS src_dba, "
+        "text AS text_af, source AS src_af FROM documents"
+    )
+    o["roundtrip_scalar_codecs"] = (
+        "SELECT doc_id, n_chars, n_chars % 2 = 0 AS is_even, md5(text) AS h16_hex "
+        "FROM documents"
+    )
     o["roundtrip_dict_fallback"] = "SELECT doc_id, md5(text) AS h FROM documents"
     o["roundtrip_embeddings"] = (
         "SELECT vec_id, label, CAST(u.i - 1 AS INT) AS pos, CAST(u.val AS DOUBLE) AS val "
@@ -1127,36 +1026,34 @@ def oracle_sql() -> dict[str, str]:
         "unnest(generate_series(1, len(embedding))) AS i FROM embeddings) "
         "AS u(vec_id, label, val, i)"
     )
-    o["roundtrip_bool"] = "SELECT doc_id, n_chars % 2 = 0 AS is_even FROM documents"
-    o["roundtrip_flba"] = "SELECT doc_id, md5(text) AS h16_hex FROM documents"
     o["roundtrip_bss"] = "SELECT event_id, value FROM events"
     o["roundtrip_lineitem"] = (
         "SELECT l_orderkey, l_linenumber, l_extendedprice, l_returnflag FROM lineitem"
     )
-    o["roundtrip_struct"] = "SELECT doc_id, lang, n_chars FROM documents"
     o["pruned_scan"] = "SELECT doc_id, n_chars FROM documents WHERE n_chars > 300"
-    o["roundtrip_map"] = "SELECT doc_id, lang AS lang_v, source AS src_v FROM documents"
-    o["roundtrip_nested_lists"] = (
-        "SELECT doc_id, array_to_string(list_transform("
-        "regexp_split_to_array(text, '\\. '), "
-        "s -> array_to_string(regexp_split_to_array(trim(s), '\\s+'), ',')), '|') AS canon "
-        "FROM documents"
+    o["roundtrip_struct_map"] = (
+        "SELECT doc_id, lang, n_chars, lang AS lang2, "
+        "CASE WHEN doc_id % 7 = 0 THEN NULL ELSE source END AS src2, "
+        "n_chars AS n_chars2, lang AS lang_v, source AS src_v FROM documents"
+    )
+    o["roundtrip_deep_lists"] = (
+        "SELECT doc_id, "
+        "array_to_string(list_transform(regexp_split_to_array(text, '\\. '), "
+        "s -> array_to_string(regexp_split_to_array(trim(s), '\\s+'), ',')), '|') "
+        "AS sents_canon, "
+        "CASE WHEN doc_id % 9 = 0 THEN NULL ELSE "
+        "array_to_string(list_transform(regexp_split_to_array(text, '\\. '), "
+        "s -> array_to_string(list_transform(regexp_split_to_array(trim(s), '\\s+'), "
+        "w -> concat(w, '^', upper(w))), ',')), '|') END AS deep_canon, "
+        "CASE WHEN doc_id % 6 = 0 THEN NULL ELSE "
+        "array_to_string(regexp_split_to_array(trim(text), '\\s+'), ',') END AS tags_canon, "
+        "CASE WHEN doc_id % 6 = 0 THEN NULL ELSE "
+        "array_to_string(list_slice(regexp_split_to_array(trim(text), '\\s+'), 1, 3), ',') END "
+        "AS first3_canon FROM documents"
     )
     o["roundtrip_token_spans"] = (
-        "SELECT doc_id, u.tok AS tok, CAST(u.i - 1 AS INT) AS pos FROM ("
-        "SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok, "
-        "unnest(generate_series(1, len(regexp_split_to_array(trim(text), '\\s+')))) AS i "
-        "FROM documents) AS u(doc_id, tok, i)"
-    )
-    o["roundtrip_token_spans_nullable"] = (
-        "SELECT doc_id, u.tok AS tok, "
-        "CASE WHEN (u.i - 1) % 3 = 0 THEN NULL ELSE CAST(u.i - 1 AS INT) END AS pos FROM ("
-        "SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok, "
-        "unnest(generate_series(1, len(regexp_split_to_array(trim(text), '\\s+')))) AS i "
-        "FROM documents) AS u(doc_id, tok, i)"
-    )
-    o["roundtrip_token_spans_nested"] = (
-        "SELECT doc_id, u.tok AS tok, "
+        "SELECT doc_id, u.tok AS tok, CAST(u.i - 1 AS INT) AS pos, "
+        "CASE WHEN (u.i - 1) % 3 = 0 THEN NULL ELSE CAST(u.i - 1 AS INT) END AS pos_n, "
         "CASE WHEN (u.i - 1) % 5 = 0 THEN NULL ELSE upper(substring(u.tok, 1, 1)) END AS upos, "
         "CASE WHEN (u.i - 1) % 5 = 0 THEN NULL WHEN (u.i - 1) % 4 = 0 THEN NULL "
         "ELSE CAST(u.i - 1 AS INT) END AS feats FROM ("
@@ -1164,33 +1061,16 @@ def oracle_sql() -> dict[str, str]:
         "unnest(generate_series(1, len(regexp_split_to_array(trim(text), '\\s+')))) AS i "
         "FROM documents) AS u(doc_id, tok, i)"
     )
-    o["roundtrip_struct_nested"] = (
-        "SELECT doc_id, lang, "
-        "CASE WHEN doc_id % 7 = 0 THEN NULL ELSE source END AS src, n_chars FROM documents"
-    )
-    o["roundtrip_struct_list2"] = (
-        "SELECT doc_id, n_chars AS k, "
+    o["roundtrip_struct_fields"] = (
+        "SELECT doc_id, n_chars AS a, "
+        "CASE WHEN doc_id % 5 = 0 THEN NULL "
+        "ELSE array_to_string(regexp_split_to_array(trim(text), '\\s+'), ',') END "
+        "AS tags_canon, "
+        "n_chars AS k, "
         "CASE WHEN doc_id % 4 = 0 THEN NULL ELSE "
         "array_to_string(list_transform(regexp_split_to_array(text, '\\. '), "
         "s -> array_to_string(regexp_split_to_array(trim(s), '\\s+'), ',')), '|') END "
-        "AS canon FROM documents"
-    )
-    o["roundtrip_map_list"] = (
-        "SELECT doc_id, "
-        "CASE WHEN doc_id % 6 = 0 THEN NULL ELSE "
-        "array_to_string(regexp_split_to_array(trim(text), '\\s+'), ',') END AS tags_canon, "
-        "CASE WHEN doc_id % 6 = 0 THEN NULL ELSE "
-        "array_to_string(list_slice(regexp_split_to_array(trim(text), '\\s+'), 1, 3), ',') END "
-        "AS first3_canon FROM documents"
-    )
-    o["roundtrip_list3"] = (
-        "SELECT doc_id, CASE WHEN doc_id % 9 = 0 THEN NULL ELSE "
-        "array_to_string(list_transform(regexp_split_to_array(text, '\\. '), "
-        "s -> array_to_string(list_transform(regexp_split_to_array(trim(s), '\\s+'), "
-        "w -> concat(w, '^', upper(w))), ',')), '|') END AS canon FROM documents"
-    )
-    o["roundtrip_map_struct"] = (
-        "SELECT doc_id, "
+        "AS m_canon, "
         "CASE WHEN doc_id % 6 = 0 THEN NULL ELSE n_chars END AS m1_n, "
         "CASE WHEN doc_id % 6 = 0 THEN NULL ELSE lang END AS m1_s, "
         "CASE WHEN doc_id % 6 = 0 THEN NULL ELSE n_chars * 2 END AS m2_n, "
@@ -1206,12 +1086,6 @@ def oracle_sql() -> dict[str, str]:
         "UNION ALL "
         "SELECT doc_id, n_chars AS k, CAST(NULL AS VARCHAR) AS tok, CAST(NULL AS INT) AS pos "
         "FROM documents WHERE doc_id % 5 = 0"
-    )
-    o["roundtrip_struct_with_list"] = (
-        "SELECT doc_id, n_chars AS a, "
-        "CASE WHEN doc_id % 5 = 0 THEN NULL "
-        "ELSE array_to_string(regexp_split_to_array(trim(text), '\\s+'), ',') END "
-        "AS tags_canon FROM documents"
     )
     o["roundtrip_parquet_file"] = "SELECT doc_id, text, lang, n_chars FROM documents"
     o["export_parquet_roundtrip"] = "SELECT doc_id, text, lang, n_chars FROM documents"

@@ -42,8 +42,8 @@ POLICY = os.environ.get("P4S_BENCH_POLICY", "auto")
 
 HEADLINE_QUERIES = [
     "roundtrip_auto_all",
-    "roundtrip_fsst_text",
-    "roundtrip_dbp_ints",
+    "roundtrip_text_codecs",
+    "roundtrip_scalar_codecs",
     "roundtrip_reference_policy",
     "roundtrip_lineitem",
     "roundtrip_embeddings",

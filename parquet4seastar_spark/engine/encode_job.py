@@ -220,8 +220,14 @@ def _encode_partition_factory(
                     # binary type, so equal-length binary columns opt in here
                     arr = arr.cast(pa.binary(fixed_len[col]))
                 # row_id gets int auto-selection regardless of the value
-                # policy (sequential ids -> DBP ~free; random ids -> PLAIN)
-                cpolicy = "auto" if col == "row_id" else policy
+                # policy (sequential ids -> DBP ~free; random ids -> PLAIN);
+                # a dict policy maps column -> policy (default auto)
+                if col == "row_id":
+                    cpolicy = "auto"
+                elif isinstance(policy, dict):
+                    cpolicy = policy.get(col, "auto")
+                else:
+                    cpolicy = policy
                 if pa.types.is_struct(arr.type):
                     # struct-of-primitives: one leaf chunk per field, named
                     # '<col>.<idx>.<field>' so decode can reassemble in order
@@ -358,7 +364,7 @@ def encode_table(
     df: DataFrame,
     columns: list[str] | None = None,
     *,
-    policy: str = "auto",
+    policy: str | dict[str, str] = "auto",
     num_partitions: int | None = None,
     page_target_bytes: int = 1 << 20,
     chunk_target_bytes: int = 32 << 20,
