@@ -2569,3 +2569,229 @@ def decode_list3_chunk(deep_chunk: EncodedChunk, len2_chunk: EncodedChunk) -> pa
         [outer_validity, pa.py_buffer(np.ascontiguousarray(outer_offsets).tobytes())],
         children=[mid],
     )
+
+
+# ---------------------------------------------------------------------------
+# generic nested columns: ONE recursive Dremel walker (codecs/dremel.py)
+# subsumes the shape-enumerated struct/map/list<struct>/list<list>/list3
+# paths (reference: the single recursive record_reader,
+# record_reader.hh:469-505; level rule reader_schema.cc:79-93).  The engine
+# names these leaf chunks '<col>#g<i>'; chunk.logical carries
+# 'g:<node path>|<leaf logical>' so decode rebuilds the tree with no
+# shape-specific naming conventions.  Every node is OPTIONAL in this
+# geometry (type-determined, stable across chunks; constant def runs are
+# ~free under RLE).
+
+
+def dremel_leaf_sha(def_, rep, ptype, values, lengths, payload) -> str:
+    """Canonical per-leaf content sha: level streams + non-null values."""
+    h = hashlib.sha256()
+    h.update(np.ascontiguousarray(def_, dtype="<u4").tobytes())
+    h.update(np.ascontiguousarray(rep, dtype="<u4").tobytes())
+    _sha_update_values(h, ptype, values, lengths, payload)
+    return h.hexdigest()
+
+
+def encode_dremel_column(
+    arr: pa.Array,
+    *,
+    policy: str = "auto",
+    page_target_bytes: int = 1 << 20,
+    compression: str = "uncompressed",
+) -> dict[str, "EncodedChunk"]:
+    """Encode ANY nested arrow column -> {'#g<i>': leaf chunk}."""
+    from .dremel import shred
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    out: dict[str, EncodedChunk] = {}
+    for i, leaf in enumerate(shred(arr)):
+        out[f"#g{i}"] = _encode_dremel_leaf(
+            leaf, policy=policy, page_target_bytes=page_target_bytes,
+            compression=compression,
+        )
+    return out
+
+
+def _encode_dremel_leaf(leaf, *, policy, page_target_bytes, compression) -> "EncodedChunk":
+    vals = leaf.values
+    ptype, leaf_logical = pa_ptype_scalar(vals.type)
+    if leaf_logical == "timestamp_us":
+        vals = vals.cast(pa.int64())
+    elif leaf_logical == "date":
+        vals = vals.cast(pa.int32())
+    elif leaf_logical.startswith("decimal("):
+        vals = _decimal_to_physical(vals, ptype)
+    values, lengths, payload, nn_val_bytes, type_length = _leaf_components(vals, ptype)
+    def_ = np.ascontiguousarray(leaf.def_, dtype=np.uint64)
+    rep = np.ascontiguousarray(leaf.rep, dtype=np.uint64)
+    max_def, max_rep = leaf.max_def, leaf.max_rep
+    n_entries = len(def_)
+    enc_mask = def_ == max_def
+
+    # record-aligned paging (pages start at rep == 0 -- a parquet invariant,
+    # so these pages stay export-grade); sized by value bytes + ~1B/level
+    rec_starts = np.flatnonzero(rep == 0)
+    n_rows = len(rec_starts)
+    entry_bytes = np.ones(n_entries, dtype=np.int64)
+    entry_bytes[enc_mask] += nn_val_bytes
+    cs = np.zeros(n_entries + 1, dtype=np.int64)
+    np.cumsum(entry_bytes, out=cs[1:])
+    rec_ends = np.append(rec_starts[1:], n_entries)
+    rec_bytes = cs[rec_ends] - cs[rec_starts]
+    page_ends = _page_boundaries(rec_bytes, page_target_bytes)
+    n_pages = len(page_ends) if n_rows else 0
+    level_ends = rec_ends[page_ends - 1] if n_rows else np.array([0], dtype=np.int64)
+    enc_before = np.cumsum(enc_mask, dtype=np.int64)
+    nn_page_ends = enc_before[level_ends - 1] if n_rows else np.array([0], dtype=np.int64)
+
+    input_bytes = _plain_size(ptype, int(enc_mask.sum()), lengths, type_length)
+    chunk = EncodedChunk(
+        ptype=ptype,
+        logical=f"g:{leaf.path}|{leaf_logical}",
+        nullable=True,
+        num_rows=n_rows,
+        num_nulls=int(n_entries - enc_mask.sum()),
+        cardinality=0,
+        encodings=[],
+        compression=compression,
+        type_length=type_length,
+        input_bytes=input_bytes,
+        max_def=max_def,
+        max_rep=max_rep,
+        elem_nullable=True,
+    )
+    chunk.sha256 = dremel_leaf_sha(def_, rep, ptype, values, lengths, payload)
+    _chunk_stats(chunk, ptype, values, lengths, payload)
+
+    plan = _plan_codecs(policy, ptype, n_rows, None, values, lengths, payload, page_ends, nn_page_ends)
+    per_page_enc, dict_page_bytes, codes, cardinality, card_by_page, cached_bodies = plan
+    chunk.cardinality = cardinality
+    if dict_page_bytes is not None:
+        comp = _compress(dict_page_bytes, compression)
+        chunk.pages.append(
+            Page("dict", "PLAIN", cardinality, cardinality, len(dict_page_bytes), len(comp), comp)
+        )
+
+    nn_start = 0
+    lvl_start = 0
+    len_start = 0
+    chunk_fsst_table = None
+    for pi in range(n_pages):
+        lvl_end = int(level_ends[pi])
+        nn_end = int(nn_page_ends[pi])
+        enc = per_page_enc[pi]
+        if cached_bodies is not None:
+            body = cached_bodies[pi]
+        elif enc == "RLE_DICTIONARY":
+            body = dictionary.encode_dict_indices(codes[nn_start:nn_end], int(card_by_page[pi]))
+        elif ptype == "BYTE_ARRAY":
+            pl = lengths[nn_start:nn_end]
+            seg = payload[len_start : len_start + int(pl.sum())]
+            if enc == "FSST" and chunk_fsst_table is None:
+                chunk_fsst_table = _train_chunk_table(payload)
+            body = _encode_values(enc, ptype, None, pl, seg, chunk_fsst_table)
+        else:
+            body = _encode_values(enc, ptype, values[nn_start:nn_end])
+        # V1 page: [u32+rep (iff max_rep>0)][u32+def][values]
+        head = b""
+        if max_rep > 0:
+            head = encode_levels_v1(rep[lvl_start:lvl_end], max_rep)
+        head += encode_levels_v1(def_[lvl_start:lvl_end], max_def)
+        page_raw = head + body
+        comp = _compress(page_raw, compression)
+        chunk.pages.append(
+            Page("data", enc, lvl_end - lvl_start, nn_end - nn_start, len(page_raw), len(comp), comp)
+        )
+        if ptype == "BYTE_ARRAY":
+            len_start += int(lengths[nn_start:nn_end].sum())
+        nn_start = nn_end
+        lvl_start = lvl_end
+
+    chunk.encodings = sorted({p.encoding for p in chunk.pages if p.kind == "data"})
+    chunk.encoded_bytes = sum(p.uncompressed_size for p in chunk.pages)
+    chunk.compressed_bytes = sum(p.compressed_size for p in chunk.pages)
+    return chunk
+
+
+def _decode_dremel_leaf(chunk: "EncodedChunk", leaf_logical: str):
+    """Leaf chunk pages -> (def levels, rep levels, non-null typed values)."""
+    ptype = chunk.ptype
+    max_def, max_rep = chunk.max_def, chunk.max_rep
+    dict_entries = None
+    dict_size = 0
+    rep_parts: list[np.ndarray] = []
+    def_parts: list[np.ndarray] = []
+    fixed_parts: list[np.ndarray] = []
+    len_parts: list[np.ndarray] = []
+    payload_parts: list[np.ndarray] = []
+    for page in chunk.pages:
+        raw = _decompress(page.data, chunk.compression)
+        if page.kind == "dict":
+            dict_entries = _load_dict_page(raw, ptype, chunk.type_length, page.num_values)
+            dict_size = page.num_values
+            continue
+        off = 0
+        if max_rep > 0:
+            rep, off = decode_levels_v1(raw, max_rep, page.num_values)
+        else:
+            rep = np.zeros(page.num_values, dtype=np.int64)
+        def_, c2 = decode_levels_v1(memoryview(raw)[off:], max_def, page.num_values)
+        body = memoryview(raw)[off + c2 :]
+        nn = int((def_ == max_def).sum())
+        if page.num_non_null >= 0 and nn != page.num_non_null:
+            raise ValueError(f"dremel page value count mismatch: {nn} != {page.num_non_null}")
+        if page.encoding == "RLE_DICTIONARY":
+            codes = _decode_values("RLE_DICTIONARY", ptype, bytes(body), nn, dict_size)
+            _gather_dict_values(ptype, dict_entries, codes, len_parts, payload_parts, fixed_parts)
+        else:
+            out = _decode_values(page.encoding, ptype, bytes(body), nn, type_length=chunk.type_length)
+            if ptype == "BYTE_ARRAY":
+                lens, pl = out
+                len_parts.append(lens)
+                payload_parts.append(pl)
+            else:
+                fixed_parts.append(out)
+        rep_parts.append(np.asarray(rep))
+        def_parts.append(np.asarray(def_))
+    def_all = np.concatenate(def_parts) if def_parts else np.zeros(0, dtype=np.int64)
+    rep_all = np.concatenate(rep_parts) if rep_parts else np.zeros(0, dtype=np.int64)
+    nn_total = int((def_all == max_def).sum())
+    vals = _build_leaf_array(
+        ptype, leaf_logical, chunk.type_length, False,
+        np.ones(nn_total, dtype=bool), nn_total,
+        len_parts, payload_parts, fixed_parts,
+    )
+    return def_all.astype(np.uint32), rep_all.astype(np.uint32), vals
+
+
+def decode_dremel_column(chunks: dict[str, "EncodedChunk"]) -> pa.Array:
+    """{leaf name ending '#g<i>': chunk} -> reassembled arrow column."""
+    from .dremel import Leaf, assemble
+
+    leaves: dict[str, Leaf] = {}
+    n_rows = 0
+    for name in sorted(chunks, key=lambda s: int(s.rsplit("#g", 1)[1])):
+        c = chunks[name]
+        if not c.logical.startswith("g:"):
+            raise ValueError(f"not a dremel leaf chunk: {name} ({c.logical})")
+        path, leaf_logical = c.logical[2:].rsplit("|", 1)
+        def_, rep, vals = _decode_dremel_leaf(c, leaf_logical)
+        leaves[path] = Leaf(path, vals, def_, rep, c.max_def, c.max_rep)
+        n_rows = c.num_rows
+    return assemble(leaves, n_rows)
+
+
+def dremel_recompute_sha(chunk: "EncodedChunk") -> str:
+    """Decode a dremel leaf chunk and recompute its content sha (lineage
+    audit: detects page corruption without the source table)."""
+    leaf_logical = chunk.logical[2:].rsplit("|", 1)[1]
+    def_, rep, vals = _decode_dremel_leaf(chunk, leaf_logical)
+    if leaf_logical == "timestamp_us":
+        vals = vals.cast(pa.int64())
+    elif leaf_logical == "date":
+        vals = vals.cast(pa.int32())
+    elif leaf_logical.startswith("decimal("):
+        vals = _decimal_to_physical(vals, chunk.ptype)
+    values, lengths, payload, _, _ = _leaf_components(vals, chunk.ptype)
+    return dremel_leaf_sha(def_, rep, chunk.ptype, values, lengths, payload)

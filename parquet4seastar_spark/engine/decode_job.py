@@ -7,6 +7,11 @@ rows of the row_id chunk + the requested column chunks; output is
 (row_id, <column values>) rows, joinable back to the source for the
 round-trip sha256 verification (BASELINE.json per-row invariant).
 
+Nested columns arrive as '<col>#g<i>' leaf chunks from the ONE recursive
+Dremel walker (codecs/dremel.py); each leaf's chunk.logical carries the
+node-path spec, so reassembly needs no shape-specific naming conventions
+(reference: the single recursive record_reader, record_reader.hh:469-505).
+
 Arrow end-to-end: page payloads arrive as arrow binary, decoded values
 leave as arrow arrays -- the decoded strings never materialize as Python
 objects.
@@ -17,14 +22,13 @@ from __future__ import annotations
 import pyarrow as pa
 from pyspark.sql import DataFrame, functions as F
 
+from ..codecs.dremel import build_tree, tree_arrow_type
 from ..codecs.pages import (
     EncodedChunk,
     Page,
+    _elem_pa_type,
     decode_chunk,
-    decode_list3_chunk,
-    decode_map_chunk,
-    decode_struct_chunk,
-    decode_struct_list_chunk,
+    decode_dremel_column,
 )
 
 _SPARK_TYPES = {
@@ -71,60 +75,16 @@ def _pa_type(logical: str) -> pa.DataType:
     return _PA_TYPES[logical]
 
 
+def _spark_ddl_of_pa(t: pa.DataType) -> str:
+    from pyspark.sql.pandas.types import from_arrow_type
+
+    return from_arrow_type(t).simpleString()
+
+
 _META_FIELDS = (
     "ptype", "logical", "nullable", "num_rows", "num_nulls", "cardinality",
     "encodings", "compression", "type_length", "max_def", "max_rep", "elem_nullable",
 )
-
-
-def _group_fields(items):
-    """[(dotted_name, payload)] -> [(head, [(rest, payload)])], order kept.
-    Dot-joined leaf names carry struct-of-struct nesting (encode_struct_chunk)."""
-    groups: dict[str, list] = {}
-    order: list[str] = []
-    for fname, v in items:
-        head, _, rest = fname.partition(".")
-        if head not in groups:
-            groups[head] = []
-            order.append(head)
-        groups[head].append((rest, v))
-    return [(h, groups[h]) for h in order]
-
-
-def _sql_struct_type(items) -> str:
-    parts = []
-    for head, sub in _group_fields(items):
-        if len(sub) == 1 and sub[0][0] in ("", "#list"):
-            # '#list' marks a list-of-primitive field; its payload is
-            # already the full array<...> type
-            parts.append(f"`{head}`: {sub[0][1]}")
-        elif all(k.startswith("#list.") for k, _ in sub):
-            # list<struct> member: '#list.<elem path>' leaves carry the
-            # ELEMENT type; rebuild the element struct, wrap in array<>
-            inner = _sql_struct_type([(k[6:], v) for k, v in sub])
-            parts.append(f"`{head}`: array<{inner}>")
-        elif sorted(k for k, _ in sub) == ["#ll0", "#ll1"]:
-            # list<list<prim>> member: '#ll0' payload is the flat
-            # array<T> type; the member is one more array<> around it
-            flat_t = dict(sub)["#ll0"]
-            parts.append(f"`{head}`: array<{flat_t}>")
-        else:
-            parts.append(f"`{head}`: {_sql_struct_type(sub)}")
-    return "struct<" + ", ".join(parts) + ">"
-
-
-def _pa_struct_type(items) -> pa.DataType:
-    fields = []
-    for head, sub in _group_fields(items):
-        if len(sub) == 1 and sub[0][0] in ("", "#list"):
-            fields.append((head, sub[0][1]))
-        elif all(k.startswith("#list.") for k, _ in sub):
-            fields.append((head, pa.list_(_pa_struct_type([(k[6:], v) for k, v in sub]))))
-        elif sorted(k for k, _ in sub) == ["#ll0", "#ll1"]:
-            fields.append((head, pa.list_(dict(sub)["#ll0"])))
-        else:
-            fields.append((head, _pa_struct_type(sub)))
-    return pa.struct(fields)
 
 
 def _rebuild_chunk(tbl: pa.Table, idxs: list[int]) -> EncodedChunk:
@@ -241,99 +201,56 @@ def decode_table(
     ``kind='chunk'`` lineage rows (one row per chunk, payload column never
     touched) -- not from a scan of the page rows.
     """
-    # struct columns are stored as '<col>.<idx>.<field>' leaf chunks
+    # nested columns are stored as '<col>#g<i>' dremel leaf chunks
     name_filter = F.col("column").isin(["row_id", *columns])
     for c in columns:
-        name_filter = name_filter | F.col("column").startswith(f"{c}.")
+        name_filter = name_filter | F.col("column").startswith(f"{c}#g")
     pages = encoded.filter((F.col("kind") == "page") & name_filter)
 
     if schema is None:
         schema = {
-            r["column"]: r["logical"]
+            r["column"]: (r["logical"], int(r["type_length"] or 0))
             for r in encoded.filter((F.col("kind") == "chunk") & name_filter)
-            .select("column", "logical")
+            .select("column", "logical", "type_length")
             .distinct()
             .collect()
         }
-    # requested column -> None (scalar leaf), 'map', or ordered struct
-    # members [(leaf, field, logical)]
+    else:
+        schema = {c: (lg, 0) for c, lg in schema.items()}
+
+    # requested column -> None (scalar / plain-list leaf) or the ordered
+    # dremel leaf list [(leaf_name, path, leaf_logical, type_length)]
     members: dict = {}
     for c in columns:
         if c in schema:
             members[c] = None
-        elif f"{c}.#key" in schema and f"{c}.#value" in schema:
-            members[c] = "map"
-        elif f"{c}.#deep" in schema and f"{c}.#len2" in schema:
-            members[c] = "list3"
-        elif f"{c}.#key" in schema and any(
-            leaf.startswith(f"{c}.#value.") for leaf in schema
-        ):
-            # map with STRUCT values: '<col>.#value.<i>.<field path>' leaves
-            vf = []
-            for leaf in schema:
-                if leaf.startswith(f"{c}.#value."):
-                    idx, fname = leaf[len(c) + 8 :].split(".", 1)
-                    vf.append((int(idx), leaf, fname))
-            members[c] = (
-                "map_struct",
-                [(leaf, fname, schema[leaf]) for _, leaf, fname in sorted(vf)],
-            )
-        else:
-            m = []
-            for leaf in schema:
-                if leaf.startswith(f"{c}."):
-                    _, idx, fname = leaf.split(".", 2)
-                    m.append((int(idx), leaf, fname))
-            if not m:
-                raise ValueError(f"column not present in encoded table: {c}")
-            members[c] = [(leaf, fname, schema[leaf]) for _, leaf, fname in sorted(m)]
+            continue
+        leaves = []
+        for name, (lg, tl) in schema.items():
+            if name.startswith(f"{c}#g") and lg.startswith("g:"):
+                path, leaf_logical = lg[2:].rsplit("|", 1)
+                leaves.append((int(name.rsplit("#g", 1)[1]), name, path, leaf_logical, tl))
+        if not leaves:
+            raise ValueError(f"column not present in encoded table: {c}")
+        members[c] = [(name, path, lgl, tl) for _, name, path, lgl, tl in sorted(leaves)]
     if "row_id" not in schema:
         raise ValueError("row_id column not present in encoded table")
 
-    def _elem(logical: str) -> str:
-        return logical[5:-1] if logical.startswith("list<") else logical
-
-    def _is_struct_list(c: str) -> bool:
-        # '#list'-marked members are list FIELDS of a plain struct, not the
-        # per-field list chunks of an array<struct> column
-        m = members[c]
-        return (
-            isinstance(m, list)
-            and all(lg.startswith("list<") for _, _, lg in m)
-            and not any("#" in f for _, f, _ in m)
+    def _target_pa(c: str) -> pa.DataType:
+        tree = build_tree(
+            [(path, _elem_pa_type(lgl, tl)) for _, path, lgl, tl in members[c]]
         )
+        return tree_arrow_type(tree)
 
     def _spark_col_type(c: str) -> str:
         if members[c] is None:
-            return _spark_type(schema[c])
-        if members[c] == "list3":
-            # '#deep' logical is list<list<T>> with the middle level peeled
-            return f"array<{_spark_type(schema[f'{c}.#deep'])}>"
-        if members[c] == "map":
-            kt = _spark_type(_elem(schema[f"{c}.#key"]))
-            vt = _spark_type(_elem(schema[f"{c}.#value"]))
-            return f"map<{kt}, {vt}>"
-        if isinstance(members[c], tuple) and members[c][0] == "map_struct":
-            kt = _spark_type(_elem(schema[f"{c}.#key"]))
-            vt = _sql_struct_type(
-                [(f, _spark_type(_elem(lg))) for _, f, lg in members[c][1]]
-            )
-            return f"map<{kt}, {vt}>"
-        if _is_struct_list(c):
-            inner = _sql_struct_type([(f, _spark_type(_elem(lg))) for _, f, lg in members[c]])
-            return f"array<{inner}>"
-        # dot-joined leaf names encode struct-of-struct nesting; '#list.'
-        # leaves carry list<elem> logicals but contribute their ELEMENT type
-        return _sql_struct_type(
-            [
-                (f, _spark_type(_elem(lg)) if "#list." in f else _spark_type(lg))
-                for _, f, lg in members[c]
-            ]
-        )
+            return _spark_type(schema[c][0])
+        return _spark_ddl_of_pa(_target_pa(c))
 
     out_schema = ", ".join(["row_id long"] + [f"`{c}` {_spark_col_type(c)}" for c in columns])
     cols = columns
     logicals = schema
+    targets = {c: _target_pa(c) for c in columns if members[c] is not None}
 
     def decode_group(tbl: pa.Table) -> pa.Table:
         from parquet4seastar_spark import _alloc
@@ -348,53 +265,12 @@ def decode_table(
         for c in cols:
             if members[c] is None:
                 arr = decode_chunk(_rebuild_chunk(tbl, by_col[c]))
-                target = _pa_type(logicals[c])
-            elif members[c] == "list3":
-                arr = decode_list3_chunk(
-                    _rebuild_chunk(tbl, by_col[f"{c}.#deep"]),
-                    _rebuild_chunk(tbl, by_col[f"{c}.#len2"]),
-                )
-                target = pa.list_(_pa_type(logicals[f"{c}.#deep"]))
-            elif members[c] == "map":
-                arr = decode_map_chunk(
-                    _rebuild_chunk(tbl, by_col[f"{c}.#key"]),
-                    _rebuild_chunk(tbl, by_col[f"{c}.#value"]),
-                )
-                target = pa.map_(
-                    _pa_type(_elem(logicals[f"{c}.#key"])),
-                    _pa_type(_elem(logicals[f"{c}.#value"])),
-                )
-            elif isinstance(members[c], tuple) and members[c][0] == "map_struct":
-                vchunks = {
-                    fname: _rebuild_chunk(tbl, by_col[leaf])
-                    for leaf, fname, _ in members[c][1]
-                }
-                arr = decode_map_chunk(_rebuild_chunk(tbl, by_col[f"{c}.#key"]), vchunks)
-                target = pa.map_(
-                    _pa_type(_elem(logicals[f"{c}.#key"])),
-                    _pa_struct_type(
-                        [(f, _pa_type(_elem(lg))) for _, f, lg in members[c][1]]
-                    ),
-                )
-            elif _is_struct_list(c):
-                field_chunks = {
-                    fname: _rebuild_chunk(tbl, by_col[leaf]) for leaf, fname, _ in members[c]
-                }
-                arr = decode_struct_list_chunk(field_chunks)
-                target = pa.list_(
-                    _pa_struct_type([(f, _pa_type(_elem(lg))) for _, f, lg in members[c]])
-                )
+                target = _pa_type(logicals[c][0])
             else:
-                field_chunks = {
-                    fname: _rebuild_chunk(tbl, by_col[leaf]) for leaf, fname, _ in members[c]
-                }
-                arr = decode_struct_chunk(field_chunks)
-                target = _pa_struct_type(
-                    [
-                        (f, _pa_type(_elem(lg)) if "#list." in f else _pa_type(lg))
-                        for _, f, lg in members[c]
-                    ]
+                arr = decode_dremel_column(
+                    {name: _rebuild_chunk(tbl, by_col[name]) for name, _, _, _ in members[c]}
                 )
+                target = targets[c]
             if arr.type != target:
                 arr = arr.cast(target)
             out_arrays.append(arr)

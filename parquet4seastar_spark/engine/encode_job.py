@@ -33,13 +33,7 @@ import pandas as pd
 import pyarrow as pa
 from pyspark.sql import DataFrame, functions as F
 
-from ..codecs.pages import (
-    encode_chunk,
-    encode_list3_chunk,
-    encode_map_chunk,
-    encode_struct_chunk,
-    encode_struct_list_chunk,
-)
+from ..codecs.pages import encode_chunk, encode_dremel_column
 
 ENCODED_SCHEMA = (
     "kind string, part_key string, chunk_id string, column string, chunk_seq int, "
@@ -228,70 +222,21 @@ def _encode_partition_factory(
                     cpolicy = policy.get(col, "auto")
                 else:
                     cpolicy = policy
-                if pa.types.is_struct(arr.type):
-                    # struct-of-primitives: one leaf chunk per field, named
-                    # '<col>.<idx>.<field>' so decode can reassemble in order
-                    fchunks = encode_struct_chunk(
-                        arr,
-                        policy=cpolicy,
-                        page_target_bytes=page_target_bytes,
-                        compression=compression,
-                    )
-                    for i, (fname, fchunk) in enumerate(fchunks.items()):
-                        leaf_chunks.append((f"{col}.{i}.{fname}", fchunk))
-                elif (
+                is_plain_list = (
                     pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)
-                ) and pa.types.is_struct(arr.type.value_type):
-                    # list<struct<...>> (token spans): per-field list chunks,
-                    # '<col>.<idx>.<field>' with list< logicals marking the
-                    # list-of-struct reassembly on decode
-                    fchunks = encode_struct_list_chunk(
+                ) and not pa.types.is_nested(arr.type.value_type)
+                if pa.types.is_nested(arr.type) and not is_plain_list:
+                    # ANY nested shape beyond list<primitive> (struct, map,
+                    # list<struct>, list<list<...>>, any composition/depth)
+                    # goes through the ONE recursive Dremel walker: leaf
+                    # chunks '<col>#g<i>', tree spec in chunk.logical
+                    for suffix, gchunk in encode_dremel_column(
                         arr,
                         policy=cpolicy,
                         page_target_bytes=page_target_bytes,
                         compression=compression,
-                    )
-                    for i, (fname, fchunk) in enumerate(fchunks.items()):
-                        leaf_chunks.append((f"{col}.{i}.{fname}", fchunk))
-                elif (
-                    (pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type))
-                    and (
-                        pa.types.is_list(arr.type.value_type)
-                        or pa.types.is_large_list(arr.type.value_type)
-                    )
-                    and (
-                        pa.types.is_list(arr.type.value_type.value_type)
-                        or pa.types.is_large_list(arr.type.value_type.value_type)
-                    )
-                ):
-                    # list<list<list<T>>>: middle level peeled onto the
-                    # rep-2 path ('#deep' + '#len2' sibling chunks)
-                    lchunks = encode_list3_chunk(
-                        arr,
-                        policy=cpolicy,
-                        page_target_bytes=page_target_bytes,
-                        compression=compression,
-                    )
-                    leaf_chunks.append((f"{col}.#deep", lchunks["#deep"]))
-                    leaf_chunks.append((f"{col}.#len2", lchunks["#len2"]))
-                elif pa.types.is_map(arr.type):
-                    # map<k,v>: key/value list chunks sharing the map offsets;
-                    # STRUCT values decompose to '<col>.#value.<i>.<field>'
-                    mchunks = encode_map_chunk(
-                        arr,
-                        policy=cpolicy,
-                        page_target_bytes=page_target_bytes,
-                        compression=compression,
-                    )
-                    leaf_chunks.append((f"{col}.#key", mchunks["key"]))
-                    if "value" in mchunks:
-                        leaf_chunks.append((f"{col}.#value", mchunks["value"]))
-                    else:
-                        vi = 0
-                        for k2, c2 in mchunks.items():
-                            if k2.startswith("value."):
-                                leaf_chunks.append((f"{col}.#value.{vi}.{k2[6:]}", c2))
-                                vi += 1
+                    ).items():
+                        leaf_chunks.append((f"{col}{suffix}", gchunk))
                 else:
                     leaf_chunks.append(
                         (

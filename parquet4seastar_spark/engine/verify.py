@@ -49,7 +49,7 @@ def audit_lineage(encoded: DataFrame) -> DataFrame:
     """
     import pyarrow as pa
 
-    from ..codecs.pages import chunk_content_sha, decode_chunk
+    from ..codecs.pages import chunk_content_sha, decode_chunk, dremel_recompute_sha
     from .decode_job import _rebuild_chunk
 
     def audit_group(tbl: pa.Table) -> pa.Table:
@@ -70,20 +70,14 @@ def audit_lineage(encoded: DataFrame) -> DataFrame:
         chunk_seq = int(tbl.column("chunk_seq")[0].as_py())
         cols, oks, st, rec = [], [], [], []
         for c, sha in stored.items():
-            # '<col>.<i>.<path>.#list[.<elem path>]' (and the '#ll0'/'#ll1'
-            # list<list> peel siblings) carry struct levels ABOVE the
-            # repeated one: d_empty = struct depth + 1, derived from the
-            # path (marker position - 1)
-            parts = c.split(".")
-            d_empty = None
-            for marker in ("#list", "#ll0", "#ll1"):
-                if marker in parts and len(parts) >= 4:
-                    d_empty = parts.index(marker) - 1
-                    break
             try:
-                recomputed = chunk_content_sha(
-                    decode_chunk(_rebuild_chunk(tbl, by_col[c]), _d_empty=d_empty)
-                )
+                chunk = _rebuild_chunk(tbl, by_col[c])
+                if chunk.logical.startswith("g:"):
+                    # dremel leaf ('<col>#g<i>'): sha covers level streams
+                    # + non-null values (pages.dremel_leaf_sha)
+                    recomputed = dremel_recompute_sha(chunk)
+                else:
+                    recomputed = chunk_content_sha(decode_chunk(chunk))
             except Exception as e:  # corrupt pages may fail to decode at all
                 recomputed = f"decode-error:{type(e).__name__}"
             cols.append(c)

@@ -78,7 +78,8 @@ def test_audit_lineage_list_of_lists(spark):
     # corrupt one byte mid-payload of a PLAIN data page: recomputed sha must
     # diverge (the list2 sha now covers the value bytes)
     pdf = enc.toPandas()
-    pages = pdf[(pdf["kind"] == "page") & (pdf["column"] == "sents")]
+    # list<list> columns are dremel leaf chunks ('sents#g0')
+    pages = pdf[(pdf["kind"] == "page") & (pdf["column"].str.startswith("sents"))]
     target = max(pages.index, key=lambda i: len(pdf.at[i, "data"]))
     blob = bytearray(pdf.at[target, "data"])
     blob[len(blob) // 2] ^= 0x55
