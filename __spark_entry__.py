@@ -340,9 +340,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.create_map(F.lit("tags"), toks, F.lit("first3"), F.slice(toks, 1, 3))
             )
             .alias("props"),
+            # map<string, array<array<float>>> -- the per-token-logits shape
+            # that was fail-fast before the recursive walker (whole-number
+            # floats so the canon projection is engine-exact)
+            F.when(F.col("doc_id") % 7 == 0, F.lit(None))
+            .otherwise(
+                F.create_map(
+                    F.lit("l1"),
+                    F.array(
+                        F.array(
+                            F.col("n_chars").cast("float"),
+                            (F.col("n_chars") + 1).cast("float"),
+                        ),
+                        F.array().cast("array<float>"),
+                    ),
+                    F.lit("l2"),
+                    F.array(F.array((F.col("n_chars") * 2).cast("float"))),
+                )
+            )
+            .alias("logits"),
             "source",
         )
-        cols = ["sents", "deep", "props"]
+        cols = ["sents", "deep", "props", "logits"]
         enc = encode_table(
             src, columns=cols, policy="auto", salt_col="source", num_partitions=2,
             salt_target_rows=2000,
@@ -359,12 +378,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "|",
         )
         p = F.col("props")
+
+        def ll_canon(col):
+            return F.array_join(
+                F.transform(
+                    col,
+                    lambda a: F.array_join(
+                        F.transform(a, lambda x: x.cast("int").cast("string")), ","
+                    ),
+                ),
+                "|",
+            )
+
         return dec.select(
             F.col("row_id").alias("doc_id"),
             sents_canon.alias("sents_canon"),
             deep_canon.alias("deep_canon"),
             F.array_join(p["tags"], ",").alias("tags_canon"),
             F.array_join(p["first3"], ",").alias("first3_canon"),
+            ll_canon(F.element_at("logits", "l1")).alias("l1_canon"),
+            ll_canon(F.element_at("logits", "l2")).alias("l2_canon"),
         )
 
     q["roundtrip_deep_lists"] = roundtrip_deep_lists
@@ -1049,7 +1082,12 @@ def oracle_sql() -> dict[str, str]:
         "array_to_string(regexp_split_to_array(trim(text), '\\s+'), ',') END AS tags_canon, "
         "CASE WHEN doc_id % 6 = 0 THEN NULL ELSE "
         "array_to_string(list_slice(regexp_split_to_array(trim(text), '\\s+'), 1, 3), ',') END "
-        "AS first3_canon FROM documents"
+        "AS first3_canon, "
+        "CASE WHEN doc_id % 7 = 0 THEN NULL ELSE "
+        "concat(CAST(CAST(n_chars AS INT) AS VARCHAR), ',', "
+        "CAST(CAST(n_chars + 1 AS INT) AS VARCHAR), '|') END AS l1_canon, "
+        "CASE WHEN doc_id % 7 = 0 THEN NULL ELSE "
+        "CAST(CAST(n_chars * 2 AS INT) AS VARCHAR) END AS l2_canon FROM documents"
     )
     o["roundtrip_token_spans"] = (
         "SELECT doc_id, u.tok AS tok, CAST(u.i - 1 AS INT) AS pos, "

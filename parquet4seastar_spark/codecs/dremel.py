@@ -348,9 +348,14 @@ def _build(node, path, leaves, vpos, sels, d0, r0) -> pa.Array:
         items = _build(node[2], _join(path, "v"), leaves, vpos, new_sels, d0 + 2, r0 + 1)
         if keys.null_count:
             raise ValueError("map keys decoded with nulls")
-        entries = pa.StructArray.from_arrays([keys, items], ["key", "value"])
+        mt = pa.map_(keys.type, items.type)
+        # entries must carry the EXACT entries struct type of the map type
+        # (key marked non-nullable): a nullable-key child struct crashes
+        # arrow's scalar path later even though the map type compares equal
+        entries = pa.StructArray.from_arrays(
+            [keys, items], fields=[mt.key_field, mt.item_field]
+        )
         return pa.Array.from_buffers(
-            pa.map_(keys.type, items.type), n_slots, [vbuf, offsets32],
-            null_count=nnull, children=[entries],
+            mt, n_slots, [vbuf, offsets32], null_count=nnull, children=[entries],
         )
     raise ValueError(kind)

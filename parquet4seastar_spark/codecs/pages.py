@@ -122,11 +122,17 @@ def pa_ptype(arr: pa.Array) -> tuple[str, str]:
         if pa.types.is_list(elem) or pa.types.is_large_list(elem):
             inner = elem.value_type
             if pa.types.is_nested(inner):
-                raise TypeError(f"nesting deeper than list<list<primitive>> unsupported: {t}")
+                raise TypeError(
+                    f"encode_chunk caps at list<list<primitive>> (standard "
+                    f"single-spec geometry); use encode_dremel_column for {t}"
+                )
             elem_ptype, elem_logical = pa_ptype_scalar(inner)
             return elem_ptype, f"list<list<{elem_logical}>>"
         if pa.types.is_nested(elem):
-            raise TypeError(f"unsupported nested element type in {t}")
+            raise TypeError(
+                f"encode_chunk handles primitive list elements; use "
+                f"encode_dremel_column for {t}"
+            )
         elem_ptype, elem_logical = pa_ptype_scalar(elem)
         return elem_ptype, f"list<{elem_logical}>"
     return pa_ptype_scalar(t)
@@ -733,7 +739,7 @@ def _encode_list_chunk(
     with base = d_empty+1 (the repeated level), def = base + #present
     struct levels (+1 for the value when ``field_optional``).  max_def =
     base + len(mids) + field_optional — the geometry is recoverable from
-    metadata plus the leaf's path depth (decode_struct_list_chunk).
+    metadata plus the leaf's path depth.
 
     ``outer_defs``/``outer_opts`` handle the mirror shape — a LIST field
     inside struct(s): ``outer_opts`` optional levels sit ABOVE the repeated
@@ -1137,7 +1143,11 @@ def _auto_plan(ptype, n, values, lengths, payload, page_ends, nn_page_ends, allo
             k = min(nn, 4096)
             idx = np.linspace(0, nn - 1, num=k, dtype=np.int64)
             sample_card_ratio = len(np.unique(values[idx])) / k
-    if nn and sample_card_ratio < 0.98:
+    # BOOLEAN never takes the dict candidate: RLE-bool matches it within
+    # bytes (2-entry dictionary, 1-bit indices) and major standard readers
+    # don't implement dictionary-encoded booleans (pyarrow raises), which
+    # would poison container export for ~zero ratio gain
+    if nn and sample_card_ratio < 0.98 and ptype != "BOOLEAN":
         per_page, dict_bytes, codes, card, card_by_page = _dict_plan(
             ptype, values, lengths, payload, page_ends, nn_page_ends, fallback=True
         )
@@ -1581,262 +1591,8 @@ def _decode_list_chunk(
 # chunk machinery via encode_chunk(_def_levels=...).
 
 
-def encode_struct_chunk(
-    arr: pa.StructArray,
-    *,
-    policy: str = "auto",
-    page_target_bytes: int = 1 << 20,
-    compression: str = "uncompressed",
-) -> dict[str, EncodedChunk]:
-    """Decompose a struct (arbitrary struct-of-struct depth) into per-leaf
-    chunks keyed by dot-joined path ('inner.x'), each carrying the merged
-    Dremel def stream.  Every struct level is OPTIONAL (+1 def,
-    file_writer.hh:50-81 applied per level): for a leaf under k structs,
-    def in [0, k+1]; def == j < k+1 means the (j+1)-th level is null;
-    def == k+1 is a value.  Mirrors the reference's recursive writer levels
-    (record_reader.hh:180-247 is the matching reader variant)."""
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
-    if not pa.types.is_struct(arr.type):
-        raise TypeError(f"expected struct array, got {arr.type}")
-    n = len(arr)
-    out: dict[str, EncodedChunk] = {}
-
-    def walk(prefix: str, sarr: pa.StructArray, parent_valid: np.ndarray,
-             base_def: np.ndarray, depth: int) -> None:
-        sv = np.ones(n, dtype=bool) if sarr.null_count == 0 else np.asarray(sarr.is_valid())
-        # child bitmaps at ancestor-null slots are unspecified in arrow:
-        # AND with the cumulative ancestor validity
-        cum = parent_valid & sv
-        d = base_def + cum.astype(np.uint64)
-        for f in sarr.type:
-            _check_field_name(f.name)
-            fa = sarr.field(f.name)
-            name = f"{prefix}{f.name}"
-            if pa.types.is_struct(f.type):
-                walk(name + ".", fa, cum, d, depth + 1)
-                continue
-            if pa.types.is_list(f.type) or pa.types.is_large_list(f.type):
-                # LIST field inside struct(s): the struct levels become
-                # optional levels ABOVE the repeated one (d_empty = depth+1);
-                # stored under the reserved '.#list' leaf key.  List of
-                # STRUCTS decomposes further into '.#list.<field>' leaves;
-                # list<list<prim>> peels into '.#ll0' (flattened elements)
-                # + '.#ll1' (inner lengths) siblings, both single-rep.
-                import pyarrow.compute as pc
-
-                lv_own = (
-                    np.ones(n, dtype=bool) if fa.null_count == 0 else np.asarray(fa.is_valid())
-                )
-                lv = cum & lv_own
-                if not lv.all():
-                    fa = pc.if_else(pa.array(lv), fa, pa.nulls(n, fa.type))
-                odefs = np.asarray(d, dtype=np.int64) + lv
-                kw = dict(
-                    policy=policy,
-                    page_target_bytes=page_target_bytes,
-                    compression=compression,
-                )
-                if pa.types.is_struct(f.type.value_type):
-                    encode_struct_list_chunk(
-                        fa, _out=out, _prefix=name + ".#list.",
-                        _outer_defs=odefs, _outer_opts=depth + 1, **kw,
-                    )
-                    continue
-                if pa.types.is_list(f.type.value_type) or pa.types.is_large_list(
-                    f.type.value_type
-                ):
-                    if pa.types.is_nested(f.type.value_type.value_type):
-                        raise TypeError(
-                            f"struct field '{name}': at most list<list<prim>>, got {f.type}"
-                        )
-                    inner = fa.flatten()  # the inner lists of non-null rows
-                    iv = (
-                        np.ones(len(inner), dtype=bool)
-                        if inner.null_count == 0
-                        else np.asarray(inner.is_valid())
-                    )
-                    il = pa.compute.list_value_length(inner)
-                    il = np.asarray(il.fill_null(0) if inner.null_count else il).astype(np.int64)
-                    no = pa.compute.list_value_length(fa)
-                    no = np.asarray(no.fill_null(0) if fa.null_count else no).astype(np.int64)
-                    row_off = np.zeros(n + 1, dtype=np.int32)
-                    np.cumsum(no, out=row_off[1:])
-                    cs = np.zeros(len(inner) + 1, dtype=np.int64)
-                    np.cumsum(il, out=cs[1:])
-                    flat_off = np.zeros(n + 1, dtype=np.int32)
-                    flat_off[1:] = cs[row_off[1:].astype(np.int64)]
-                    rmask = pa.array(~lv) if not lv.all() else None
-                    flat = pa.ListArray.from_arrays(
-                        pa.array(flat_off), inner.flatten(), mask=rmask
-                    )
-                    lens = pa.ListArray.from_arrays(
-                        pa.array(row_off),
-                        pa.array(il.astype(np.int32), type=pa.int32(), mask=~iv),
-                        mask=rmask,
-                    )
-                    out[name + ".#ll0"] = _encode_list_chunk(
-                        flat, nullable=True, outer_defs=odefs, outer_opts=depth + 1, **kw
-                    )
-                    out[name + ".#ll1"] = _encode_list_chunk(
-                        lens, nullable=True, elem_nullable=True,
-                        outer_defs=odefs, outer_opts=depth + 1, **kw,
-                    )
-                    continue
-                if pa.types.is_nested(f.type.value_type):
-                    raise TypeError(
-                        f"struct field '{name}': list of primitives or structs only, got {f.type}"
-                    )
-                out[name + ".#list"] = _encode_list_chunk(
-                    fa, nullable=True, outer_defs=odefs, outer_opts=depth + 1, **kw
-                )
-                continue
-            if pa.types.is_nested(f.type):
-                raise TypeError(
-                    f"struct field '{name}': primitive, struct, or list-of-primitive "
-                    f"fields only, got {f.type}"
-                )
-            f_valid = np.ones(n, dtype=bool) if fa.null_count == 0 else np.asarray(fa.is_valid())
-            out[name] = encode_chunk(
-                fa,
-                policy=policy,
-                page_target_bytes=page_target_bytes,
-                compression=compression,
-                _def_levels=d + (cum & f_valid).astype(np.uint64),
-                _max_def=depth + 1,
-            )
-
-    walk("", arr, np.ones(n, dtype=bool), np.zeros(n, dtype=np.uint64), 1)
-    return out
 
 
-def decode_struct_chunk(chunks: dict[str, EncodedChunk]) -> pa.StructArray:
-    """Reassemble a (possibly nested) struct column from its per-leaf
-    chunks: level-j struct validity = (def >= j), field validity =
-    (def == max_def).  Leaf keys are dot-joined paths from
-    encode_struct_chunk; a '<path>.#list' key is a list field whose
-    d_empty = struct depth + 1 (derived from the path) and whose def
-    stream is per level ENTRY — reduced here to one def per row."""
-    decoded: dict[str, tuple[pa.Array, np.ndarray]] = {}
-    sl_groups: dict[str, dict[str, EncodedChunk]] = {}
-    ll_groups: dict[str, dict[str, tuple]] = {}
-    for name, ch in chunks.items():
-        levels: list[np.ndarray] = []
-        if name.endswith("#ll0") or name.endswith("#ll1"):
-            # list<list<prim>> field peeled into flat + lens siblings
-            head, marker = name[:-5], name[-4:]
-            depth = name.count(".")
-            if head not in ll_groups:
-                decoded[head + ".#ll"] = None  # placeholder keeps field order
-                ll_groups[head] = {}
-            arr = decode_chunk(ch, _collect_levels=levels, _d_empty=depth + 1)
-            def_all = np.concatenate(levels) if levels else np.zeros(0, dtype=np.int64)
-            ll_groups[head][marker] = (arr, _row_first_entry_defs(arr, def_all))
-            continue
-        if ".#list." in name:
-            # list<struct> member: defer, the whole group reassembles at
-            # once; reserve the dict slot NOW so field order is preserved
-            head, _, elem = name.partition(".#list.")
-            if head not in sl_groups:
-                decoded[head + ".#list"] = None  # placeholder, filled below
-            sl_groups.setdefault(head, {})[elem] = ch
-        elif name.endswith("#list"):
-            depth = name.count(".")  # struct levels above the list field
-            arr = decode_chunk(ch, _collect_levels=levels, _d_empty=depth + 1)
-            def_all = np.concatenate(levels) if levels else np.zeros(0, dtype=np.int64)
-            decoded[name] = (arr, _row_first_entry_defs(arr, def_all))
-        else:
-            arr = decode_chunk(ch, _collect_levels=levels)
-            def_all = np.concatenate(levels) if levels else np.zeros(0, dtype=np.int32)
-            decoded[name] = (arr, def_all)
-    for head, g in sl_groups.items():
-        depth = head.count(".") + 1  # struct levels above the list
-        arr, row_defs = decode_struct_list_chunk(
-            g, _d_empty=depth + 1, _return_row_defs=True
-        )
-        decoded[head + ".#list"] = (arr, row_defs)
-    for head, g in ll_groups.items():
-        flat, row_defs = g["#ll0"]
-        lens, _ = g["#ll1"]
-        decoded[head + ".#ll"] = (_regroup_list(flat, lens), row_defs)
-    out, _ = _assemble_struct(decoded, 1)
-    return out
-
-
-def _regroup_list(flat: pa.Array, lens: pa.Array) -> pa.Array:
-    """(list<T> flat per row, list<int32> inner lengths per row) ->
-    list<list<T>> per row.  NULL length = null inner list, 0 = empty; row
-    nulls come from either side (they agree by construction)."""
-    n = len(flat)
-    if len(lens) != n:
-        raise ValueError("list<list> flat/lens row counts differ")
-    lv = lens.flatten()  # one int (or null) per inner list
-    m = len(lv)
-    iv = np.ones(m, dtype=bool) if lv.null_count == 0 else np.asarray(lv.is_valid())
-    counts = np.asarray(lv.fill_null(0) if lv.null_count else lv).astype(np.int64)
-    inner_off = np.zeros(m + 1, dtype=np.int32)
-    np.cumsum(counts, out=inner_off[1:])
-    elems = flat.flatten()
-    if int(inner_off[-1]) != len(elems):
-        raise ValueError("list<list> inner lengths disagree with flat elements")
-    inner_validity = None
-    if lv.null_count:
-        inner_validity = pa.py_buffer(np.packbits(iv, bitorder="little").tobytes())
-    inner = pa.Array.from_buffers(
-        pa.list_(elems.type),
-        m,
-        [inner_validity, pa.py_buffer(np.ascontiguousarray(inner_off).tobytes())],
-        children=[elems],
-    )
-    outer_off = np.frombuffer(
-        lens.buffers()[1], dtype=np.int32, count=n + 1, offset=lens.offset * 4
-    )
-    outer_validity = None
-    if lens.null_count:
-        outer_validity = pa.py_buffer(
-            np.packbits(np.asarray(lens.is_valid()), bitorder="little").tobytes()
-        )
-    return pa.Array.from_buffers(
-        pa.list_(inner.type),
-        n,
-        [outer_validity, pa.py_buffer(np.ascontiguousarray(outer_off).tobytes())],
-        children=[inner],
-    )
-
-
-def _assemble_struct(
-    decoded: dict[str, tuple[pa.Array, np.ndarray]], level: int
-) -> tuple[pa.StructArray, np.ndarray]:
-    groups: dict[str, dict[str, tuple[pa.Array, np.ndarray]]] = {}
-    order: list[str] = []
-    for name, v in decoded.items():
-        head, _, rest = name.partition(".")
-        if head not in groups:
-            groups[head] = {}
-            order.append(head)
-        groups[head][rest] = v
-    fields, names, struct_valid = [], [], None
-    for head in order:
-        g = groups[head]
-        if list(g) == [""]:
-            arr, defs = g[""]
-        elif list(g) == ["#list"]:
-            # list field: already a row-space ListArray with presence nulls
-            arr, defs = g["#list"]
-        elif list(g) == ["#ll"]:
-            # list<list<prim>> field: pre-regrouped row-space array
-            arr, defs = g["#ll"]
-        else:
-            arr, defs = _assemble_struct(g, level + 1)
-        sv = defs >= level
-        if struct_valid is None:
-            struct_valid = sv
-        elif not np.array_equal(struct_valid, sv):
-            raise ValueError("struct fields disagree on struct validity")
-        fields.append(arr)
-        names.append(head)
-    mask = None if bool(struct_valid.all()) else pa.array(~struct_valid)
-    return pa.StructArray.from_arrays(fields, names, mask=mask), decoded[next(iter(decoded))][1]
 
 
 # ---------------------------------------------------------------------------
@@ -1849,107 +1605,6 @@ def _assemble_struct(
 # through the struct-list machinery, one def level per struct level.
 
 
-def encode_map_chunk(
-    arr: pa.Array,
-    *,
-    policy: str = "auto",
-    page_target_bytes: int = 1 << 20,
-    compression: str = "uncompressed",
-) -> dict[str, EncodedChunk]:
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
-    if not pa.types.is_map(arr.type):
-        raise TypeError(f"expected map array, got {arr.type}")
-    n = len(arr)
-    offs = np.frombuffer(
-        arr.buffers()[1], dtype=np.int32, count=n + 1, offset=arr.offset * 4
-    ).astype(np.int64)
-    base = int(offs[0]) if n else 0
-    total = int(offs[-1]) - base if n else 0
-    rel = (offs - base).astype(np.int32) if n else np.zeros(1, dtype=np.int32)
-    mask = None
-    if arr.null_count:
-        mask = pa.array(~np.asarray(arr.is_valid()))
-    keys = arr.keys.slice(base, total)
-    items = arr.items.slice(base, total)
-    out: dict[str, EncodedChunk] = {}
-    klst = pa.ListArray.from_arrays(pa.array(rel), keys, mask=mask)
-    out["key"] = _encode_list_chunk(
-        klst,
-        policy=policy,
-        page_target_bytes=page_target_bytes,
-        compression=compression,
-        nullable=arr.null_count > 0,
-    )
-    vlst = pa.ListArray.from_arrays(pa.array(rel), items, mask=mask)
-    if pa.types.is_struct(items.type):
-        encode_struct_list_chunk(
-            vlst,
-            policy=policy,
-            page_target_bytes=page_target_bytes,
-            compression=compression,
-            _out=out,
-            _prefix="value.",
-        )
-    elif pa.types.is_list(items.type) or pa.types.is_large_list(items.type):
-        # map<k, list<T>>: the value side IS a list<list<T>> over the map
-        # offsets — the rep-2 chunk carries null-entry vs empty-list vs
-        # null-element distinctions in its own def levels, and
-        # decode_map_chunk's generic decode_chunk call reassembles it with
-        # no special casing
-        if pa.types.is_nested(items.type.value_type):
-            raise TypeError(
-                f"map list-values must hold primitives, got {items.type}"
-            )
-        out["value"] = encode_chunk(
-            vlst,
-            policy=policy,
-            page_target_bytes=page_target_bytes,
-            compression=compression,
-            nullable=arr.null_count > 0,
-        )
-    else:
-        if pa.types.is_nested(items.type):
-            raise TypeError(
-                f"map values: primitive, struct, or list-of-primitive only, got {items.type}"
-            )
-        out["value"] = _encode_list_chunk(
-            vlst,
-            policy=policy,
-            page_target_bytes=page_target_bytes,
-            compression=compression,
-            nullable=arr.null_count > 0,
-        )
-    return out
-
-
-def decode_map_chunk(key_chunk: EncodedChunk, value_chunk) -> pa.Array:
-    """Reassemble map<k,v> from its key/value list chunks (shared offsets).
-    ``value_chunk``: an EncodedChunk for primitive values, or a dict of
-    per-field chunks keyed by the element path for STRUCT values."""
-    karr = decode_chunk(key_chunk)
-    if isinstance(value_chunk, dict):
-        varr = decode_struct_list_chunk(value_chunk)
-    else:
-        varr = decode_chunk(value_chunk)
-    if len(karr) != len(varr):
-        raise ValueError("map key/value row counts differ")
-    n = len(karr)
-    koffs = np.frombuffer(karr.buffers()[1], dtype=np.int32, count=n + 1, offset=karr.offset * 4)
-    t = pa.map_(karr.type.value_type, varr.type.value_type)
-    kv = pa.StructArray.from_arrays(
-        [karr.flatten(), varr.flatten()], fields=[t.key_field, t.item_field]
-    )
-    validity = None
-    if karr.null_count:
-        validity = pa.py_buffer(
-            np.packbits(np.asarray(karr.is_valid()), bitorder="little").tobytes()
-        )
-    # null rows may carry non-monotonic garbage offsets in karr? no: our list
-    # decoder emits length-0 runs for null rows, so offsets stay canonical
-    return pa.Array.from_buffers(
-        t, n, [validity, pa.py_buffer(np.ascontiguousarray(koffs).tobytes())], children=[kv]
-    )
 
 
 def chunk_content_sha(arr: pa.Array) -> str:
@@ -2026,168 +1681,6 @@ def chunk_content_sha(arr: pa.Array) -> str:
 # record_reader.hh:272-336 / file_writer.hh:50-81 assemble recursively).
 
 
-def encode_struct_list_chunk(
-    arr: pa.Array,
-    *,
-    policy: str = "auto",
-    page_target_bytes: int = 1 << 20,
-    compression: str = "uncompressed",
-    _out: "dict[str, EncodedChunk] | None" = None,
-    _prefix: str = "",
-    _outer_defs: np.ndarray | None = None,
-    _outer_opts: int = 0,
-) -> dict[str, EncodedChunk]:
-    """``_outer_defs``/``_outer_opts`` (internal): when the list<struct>
-    sits INSIDE struct levels (encode_struct_chunk's '.#list.' members),
-    they carry the row-level outer defs so d_empty = struct depth + 1."""
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
-    t = arr.type
-    if not (pa.types.is_list(t) or pa.types.is_large_list(t)) or not pa.types.is_struct(t.value_type):
-        raise TypeError(f"expected list<struct<...>>, got {t}")
-    leaf = arr.flatten()  # struct elements of non-null lists
-    struct_valid = (
-        np.ones(len(leaf), dtype=bool) if leaf.null_count == 0 else np.asarray(leaf.is_valid())
-    )
-    n = len(arr)
-    offs_width = 8 if pa.types.is_large_list(t) else 4
-    offs = np.frombuffer(
-        arr.buffers()[1],
-        dtype=np.int64 if offs_width == 8 else np.int32,
-        count=n + 1,
-        offset=arr.offset * offs_width,
-    ).astype(np.int32)
-    rel = offs - offs[0] if n else np.zeros(1, dtype=np.int32)
-    mask = pa.array(~np.asarray(arr.is_valid())) if arr.null_count else None
-    out: dict[str, EncodedChunk] = _out if _out is not None else {}
-    import pyarrow.compute as pc
-
-    n_elems = len(leaf)
-
-    def walk(prefix: str, sarr: pa.StructArray, mids: list[np.ndarray]) -> None:
-        cum = mids[-1]
-        for f in sarr.type:
-            _check_field_name(f.name)
-            fa = sarr.field(f.name)
-            name = f"{prefix}{f.name}"
-            if pa.types.is_struct(f.type):
-                # nested struct inside the list element: one more def level
-                # per struct (the reference's fully recursive assembly,
-                # record_reader.hh:180-247)
-                sv = np.ones(n_elems, dtype=bool) if fa.null_count == 0 else np.asarray(fa.is_valid())
-                walk(name + ".", fa, mids + [cum & sv])
-                continue
-            if pa.types.is_nested(f.type):
-                raise TypeError(
-                    f"list<struct> field '{name}': primitive or struct fields only, got {f.type}"
-                )
-            f_valid = np.ones(n_elems, dtype=bool) if fa.null_count == 0 else np.asarray(fa.is_valid())
-            field_optional = bool((cum & ~f_valid).any())
-            eff = cum & f_valid
-            # slots where any enclosing level is null become null list
-            # elements of this leaf (values only at def == max_def)
-            if not eff.all():
-                fa = pc.if_else(pa.array(eff), fa, pa.nulls(n_elems, fa.type))
-            flist = pa.ListArray.from_arrays(pa.array(rel), fa, mask=mask)
-            out[name] = _encode_list_chunk(
-                flist,
-                policy=policy,
-                page_target_bytes=page_target_bytes,
-                compression=compression,
-                nullable=arr.null_count > 0,
-                elem_nullable=True,
-                mid_valids=mids,
-                field_optional=field_optional,
-                outer_defs=_outer_defs,
-                outer_opts=_outer_opts,
-            )
-
-    walk(_prefix, leaf, [struct_valid])
-    return out
-
-
-def decode_struct_list_chunk(
-    chunks: dict[str, EncodedChunk],
-    *,
-    _d_empty: int | None = None,
-    _return_row_defs: bool = False,
-) -> pa.Array:
-    """Reassemble list<struct<...>> (nested struct fields via dot-joined
-    leaf keys) from per-field list chunks.  ``_d_empty`` overrides the
-    empty-list level for groups embedded inside struct columns
-    ('.#list.' members, d_empty = struct depth + 1); with
-    ``_return_row_defs`` the per-row def stream is returned too (parent
-    struct validity).
-
-    Per-level struct validity comes from the def streams: a leaf under
-    ``depth`` struct levels carries ``extra = max_def - (d_empty+1)``
-    encoded levels (+1 when the field itself is optional); level j
-    (1-based) is present where def >= d_empty+1+j.  Levels past the
-    encoded budget are all-present (an old required-leaf chunk)."""
-    names = list(chunks)
-    # name -> (decoded list array, element def values, d_empty, extra, all defs)
-    info: dict[str, tuple] = {}
-    for f, c in chunks.items():
-        levels: list[np.ndarray] = []
-        fl = decode_chunk(c, _collect_levels=levels, _d_empty=_d_empty)
-        d_empty = _d_empty if _d_empty is not None else (1 if c.nullable else 0)
-        def_all = np.concatenate(levels) if levels else np.zeros(0, dtype=np.int64)
-        elem_defs = def_all[def_all > d_empty]
-        info[f] = (fl, elem_defs, d_empty, c.max_def - (d_empty + 1), def_all)
-    first = info[names[0]][0]
-    n = len(first)
-    koffs = np.frombuffer(first.buffers()[1], dtype=np.int32, count=n + 1, offset=first.offset * 4)
-
-    def node_validity(name: str, level: int) -> np.ndarray:
-        fl, elem_defs, d_empty, extra, _ = info[name]
-        depth = 1 + name.count(".")
-        if level <= min(extra, depth):
-            return elem_defs >= d_empty + 1 + level
-        return np.ones(len(elem_defs), dtype=bool)
-
-    def build(items: list[str], prefix: str, level: int) -> tuple[pa.StructArray, str]:
-        groups: dict[str, list[str]] = {}
-        order: list[str] = []
-        for nm in items:
-            rel = nm[len(prefix):]
-            head, _, _rest = rel.partition(".")
-            if head not in groups:
-                groups[head] = []
-                order.append(head)
-            groups[head].append(nm)
-        fields, fnames, sv = [], [], None
-        any_leaf = items[0]
-        for head in order:
-            sub = groups[head]
-            if len(sub) == 1 and sub[0] == prefix + head:
-                arr = info[sub[0]][0].flatten()
-            else:
-                arr, _ = build(sub, prefix + head + ".", level + 1)
-            v = node_validity(sub[0], level)
-            if sv is None:
-                sv = v
-            elif not np.array_equal(sv, v):
-                raise ValueError("list<struct> fields disagree on struct validity")
-            fields.append(arr)
-            fnames.append(head)
-        mask = None if bool(sv.all()) else pa.array(~sv)
-        return pa.StructArray.from_arrays(fields, fnames, mask=mask), any_leaf
-
-    kv, _ = build(names, "", 1)
-    list_mask = None
-    if first.null_count:
-        list_mask = pa.py_buffer(
-            np.packbits(np.asarray(first.is_valid()), bitorder="little").tobytes()
-        )
-    out_arr = pa.Array.from_buffers(
-        pa.list_(pa.field("element", kv.type)),
-        n,
-        [list_mask, pa.py_buffer(np.ascontiguousarray(koffs).tobytes())],
-        children=[kv],
-    )
-    if not _return_row_defs:
-        return out_arr
-    return out_arr, _row_first_entry_defs(first, info[names[0]][4])
 
 
 # ---------------------------------------------------------------------------
@@ -2462,112 +1955,6 @@ def _decode_list2_chunk(chunk: EncodedChunk) -> pa.Array:
         pa.array(outer_offsets, type=pa.int32()),
         inner_arr,
         mask=pa.array(~row_valid) if chunk.num_nulls else None,
-    )
-
-
-# ---------------------------------------------------------------------------
-# list<list<list<T>>> columns: THREE repetition levels, stored by PEELING
-# the middle level onto the proven rep-2 machinery (the reference's fully
-# recursive assembly covers any depth; its own tests cap at two):
-#   '#deep' : list<list<T>>  -- each row's level-3 lists concatenated
-#             across its level-2 lists (order preserved; null/empty level-3
-#             distinctions ride the rep-2 def levels)
-#   '#len2' : list<int32>    -- one entry per level-2 entity: its level-3
-#             list count, NULL for a null level-2 entity (0 = empty)
-# Row-level null/empty is shared by both chunks.  Exact roundtrip; the
-# representation is engine-internal (container export guards reject it).
-
-
-def encode_list3_chunk(
-    arr: pa.Array,
-    *,
-    policy: str = "auto",
-    page_target_bytes: int = 1 << 20,
-    compression: str = "uncompressed",
-) -> dict[str, EncodedChunk]:
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
-    t = arr.type
-    if not (
-        (pa.types.is_list(t) or pa.types.is_large_list(t))
-        and (pa.types.is_list(t.value_type) or pa.types.is_large_list(t.value_type))
-        and (
-            pa.types.is_list(t.value_type.value_type)
-            or pa.types.is_large_list(t.value_type.value_type)
-        )
-    ):
-        raise TypeError(f"expected list<list<list<T>>>, got {t}")
-    if pa.types.is_nested(t.value_type.value_type.value_type):
-        raise TypeError(f"list^3 leaf must be primitive, got {t}")
-    n = len(arr)
-    row_valid = np.ones(n, dtype=bool) if arr.null_count == 0 else np.asarray(arr.is_valid())
-    l2 = arr.flatten()  # level-2 entities of non-null rows (list<list<T>>)
-    n2 = pa.compute.list_value_length(arr)
-    n2 = np.asarray(n2.fill_null(0) if arr.null_count else n2).astype(np.int64)
-    l2_valid = np.ones(len(l2), dtype=bool) if l2.null_count == 0 else np.asarray(l2.is_valid())
-    n3 = pa.compute.list_value_length(l2)
-    n3 = np.asarray(n3.fill_null(0) if l2.null_count else n3).astype(np.int64)
-    # per-row level-3 entity counts (sum over its level-2 entities)
-    cs3 = np.zeros(len(l2) + 1, dtype=np.int64)
-    np.cumsum(n3, out=cs3[1:])
-    l2_offsets = np.zeros(n + 1, dtype=np.int32)
-    np.cumsum(n2, out=l2_offsets[1:])
-    row_l2_start = l2_offsets[:-1].astype(np.int64)
-    row_l3 = cs3[row_l2_start + n2] - cs3[row_l2_start]
-    deep_offsets = np.zeros(n + 1, dtype=np.int32)
-    np.cumsum(row_l3, out=deep_offsets[1:])
-    mask = pa.array(~row_valid) if arr.null_count else None
-    deep = pa.ListArray.from_arrays(pa.array(deep_offsets), l2.flatten(), mask=mask)
-    lens_vals = pa.array(n3.astype(np.int32), type=pa.int32(), mask=~l2_valid)
-    len2 = pa.ListArray.from_arrays(pa.array(l2_offsets), lens_vals, mask=mask)
-    kw = dict(policy=policy, page_target_bytes=page_target_bytes, compression=compression)
-    return {
-        "#deep": encode_chunk(deep, nullable=arr.null_count > 0, **kw),
-        "#len2": _encode_list_chunk(
-            len2, nullable=arr.null_count > 0, elem_nullable=True, **kw
-        ),
-    }
-
-
-def decode_list3_chunk(deep_chunk: EncodedChunk, len2_chunk: EncodedChunk) -> pa.Array:
-    """Reassemble list<list<list<T>>> from its '#deep'/'#len2' chunks."""
-    deep = decode_chunk(deep_chunk)  # list<list<T>> per row (middle dropped)
-    len2 = decode_chunk(len2_chunk)  # list<int32> per row (level-2 shape)
-    if len(deep) != len(len2):
-        raise ValueError("list^3 chunk row counts differ")
-    n = len(deep)
-    l2v = len2.flatten()  # one int (or null) per level-2 entity
-    m2 = len(l2v)
-    l2_valid = np.ones(m2, dtype=bool) if l2v.null_count == 0 else np.asarray(l2v.is_valid())
-    counts = np.asarray(l2v.fill_null(0) if l2v.null_count else l2v).astype(np.int64)
-    # middle offsets into the deep rows' level-3 entities
-    mid_offsets = np.zeros(m2 + 1, dtype=np.int32)
-    np.cumsum(counts, out=mid_offsets[1:])
-    l3_lists = deep.flatten()  # the level-3 list<T> entities
-    if int(mid_offsets[-1]) != len(l3_lists):
-        raise ValueError("list^3 middle lengths disagree with deep entities")
-    mid_validity = None
-    if l2v.null_count:
-        mid_validity = pa.py_buffer(np.packbits(l2_valid, bitorder="little").tobytes())
-    mid = pa.Array.from_buffers(
-        pa.list_(l3_lists.type),
-        m2,
-        [mid_validity, pa.py_buffer(np.ascontiguousarray(mid_offsets).tobytes())],
-        children=[l3_lists],
-    )
-    outer_offsets = np.frombuffer(
-        len2.buffers()[1], dtype=np.int32, count=n + 1, offset=len2.offset * 4
-    )
-    outer_validity = None
-    if len2.null_count:
-        outer_validity = pa.py_buffer(
-            np.packbits(np.asarray(len2.is_valid()), bitorder="little").tobytes()
-        )
-    return pa.Array.from_buffers(
-        pa.list_(mid.type),
-        n,
-        [outer_validity, pa.py_buffer(np.ascontiguousarray(outer_offsets).tobytes())],
-        children=[mid],
     )
 
 

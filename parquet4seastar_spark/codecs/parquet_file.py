@@ -72,8 +72,10 @@ _STANDARD_ENCODINGS = {
 
 @dataclass
 class MapColumn:
-    """Container spec: map<k,v> written as the standard MAP group from its
-    key/value list chunks (codecs/pages.encode_map_chunk output)."""
+    """Container spec for reference-parity goldens: map<k,v> written as the
+    STANDARD MAP group (key REQUIRED) from key/value list chunks encoded
+    with the single-rep standard geometry (encode_chunk on the key/value
+    list arrays).  General nested export goes through DremelColumn."""
 
     key: EncodedChunk
     value: EncodedChunk
@@ -81,11 +83,39 @@ class MapColumn:
 
 @dataclass
 class StructListColumn:
-    """Container spec: list<struct<...>> from per-field list chunks sharing
-    offsets (fields with a null struct carry def = max_def - 1)."""
+    """Container spec for reference-parity goldens: list<struct<...>> from
+    per-field single-rep list chunks sharing offsets.  General nested
+    export goes through DremelColumn."""
 
     struct_name: str
     fields: dict[str, EncodedChunk]
+
+
+@dataclass
+class DremelColumn:
+    """Container spec: ANY nested column from the recursive walker's leaf
+    chunks ({'#g<i>' or '<col>#g<i>': EncodedChunk with logical
+    'g:<path>|<leaf logical>'} — codecs/pages.encode_dremel_column output).
+
+    The emitted schema mirrors the walker's level geometry exactly (every
+    group and leaf OPTIONAL; reference: writer_schema.cc:30-134 recursion),
+    so the leaf pages' (rep, def) streams are valid under the declared
+    schema for any independent reader.  Maps are written as LIST of a
+    REQUIRED struct<key, value> (the standard MAP group demands a REQUIRED
+    key, but walker keys carry their own optional level; the entry-struct
+    itself carries none, matching the REQUIRED group)."""
+
+    leaves: dict[str, EncodedChunk]
+
+    def tree(self):
+        from .dremel import build_tree
+
+        ordered = sorted(
+            self.leaves.items(), key=lambda kv: int(kv[0].rsplit("#g", 1)[1])
+        )
+        return build_tree(
+            [(c.logical[2:].rsplit("|", 1)[0], c) for _, c in ordered]
+        )
 
 
 def _emit_element(w: CompactWriter, ename, *, ptype=None, type_length=0, repetition=None,
@@ -111,6 +141,8 @@ def _emit_element(w: CompactWriter, ename, *, ptype=None, type_length=0, repetit
 
 def _leaf_annotations(chunk: EncodedChunk):
     logical = chunk.logical
+    if logical.startswith("g:"):  # dremel leaf: 'g:<path>|<leaf logical>'
+        logical = logical.rsplit("|", 1)[1]
     elem_logical = logical[5:-1] if logical.startswith("list<") else logical
     if elem_logical.startswith("decimal("):
         p, s = elem_logical[8:-1].split(",")
@@ -126,8 +158,53 @@ def _emit_leaf(w: CompactWriter, ename: str, chunk: EncodedChunk, repetition: in
     )
 
 
+def _emit_dremel_node(w: CompactWriter, name: str, node) -> int:
+    """Recursive SchemaElement emission for a walker tree (every node
+    OPTIONAL, matching the dremel level geometry exactly)."""
+    kind = node[0]
+    if kind == "leaf":
+        _emit_leaf(w, name, node[1], repetition=1)
+        return 1
+    if kind == "struct":
+        _emit_element(w, name, repetition=1, num_children=len(node[1]))
+        return 1 + sum(_emit_dremel_node(w, fn, ch) for fn, ch in node[1])
+    if kind == "list":
+        _emit_element(w, name, repetition=1, num_children=1, converted=3)
+        _emit_element(w, "list", repetition=2, num_children=1)
+        return 2 + _emit_dremel_node(w, "element", node[1])
+    if kind == "map":
+        # LIST of REQUIRED struct<key, value> (see DremelColumn docstring):
+        # def budget = outer optional (+1) + repeated (+1), then key/value
+        # carry their own optional levels -- exactly the walker geometry
+        _emit_element(w, name, repetition=1, num_children=1, converted=3)
+        _emit_element(w, "list", repetition=2, num_children=1)
+        _emit_element(w, "element", repetition=0, num_children=2)
+        n = _emit_dremel_node(w, "key", node[1])
+        return 3 + n + _emit_dremel_node(w, "value", node[2])
+    raise ValueError(kind)
+
+
+def _dremel_leaf_paths(name: str, node, prefix: tuple[str, ...]) -> list:
+    """(path_in_schema, chunk) leaves in emission order."""
+    kind = node[0]
+    if kind == "leaf":
+        return [(prefix + (name,), node[1])]
+    if kind == "struct":
+        return [
+            lf for fn, ch in node[1] for lf in _dremel_leaf_paths(fn, ch, prefix + (name,))
+        ]
+    if kind == "list":
+        return _dremel_leaf_paths("element", node[1], prefix + (name, "list"))
+    if kind == "map":
+        p = prefix + (name, "list", "element")
+        return _dremel_leaf_paths("key", node[1], p) + _dremel_leaf_paths("value", node[2], p)
+    raise ValueError(kind)
+
+
 def _schema_elements(w: CompactWriter, name: str, spec) -> int:
     """Write the SchemaElement(s) for one column spec; returns element count."""
+    if isinstance(spec, DremelColumn):
+        return _emit_dremel_node(w, name, spec.tree())
     if isinstance(spec, MapColumn):
         # standard MAP group (writer_schema.cc map path)
         _emit_element(w, name, repetition=1 if spec.key.nullable else 0, num_children=1, converted=1)
@@ -143,17 +220,11 @@ def _schema_elements(w: CompactWriter, name: str, spec) -> int:
         for fname, c in spec.fields.items():
             d_e = 1 if c.nullable else 0
             if "." in fname or c.max_def > d_e + 3:
-                # nested struct fields need recursive group emission the
-                # single-level schema writer doesn't produce -- refuse
-                # rather than write a level-mismatched (corrupt) file
                 raise ValueError(
                     f"StructListColumn field {fname!r}: nested struct fields "
-                    "are engine-internal; flatten for container export"
+                    "need DremelColumn for container export"
                 )
-            # field repetition: OPTIONAL iff the chunk carries the 4th def
-            # level (max_def == d_e+3 -- a field null under a present
-            # struct); otherwise the struct's optionality already accounts
-            # for elem_nullable and the field is REQUIRED
+            # OPTIONAL iff the chunk carries the 4th def level
             _emit_leaf(w, fname, c, repetition=1 if c.max_def == d_e + 3 else 0)
         return 3 + len(spec.fields)
     chunk = spec
@@ -169,6 +240,8 @@ def _schema_elements(w: CompactWriter, name: str, spec) -> int:
 
 def _column_leaves(name: str, spec) -> list[tuple[tuple[str, ...], EncodedChunk]]:
     """Linearize a column spec into (path_in_schema, chunk) leaves."""
+    if isinstance(spec, DremelColumn):
+        return _dremel_leaf_paths(name, spec.tree(), ())
     if isinstance(spec, MapColumn):
         return [
             ((name, "key_value", "key"), spec.key),
@@ -253,51 +326,66 @@ def write_parquet_file(
                     f"{lpath}: row-group schema geometry differs from group 0 "
                     f"(nullable/levels/type must match across groups)"
                 )
-            if c.max_rep > 1:
-                # _schema_elements emits a single-repetition 3-level LIST:
-                # writing max_rep=2 pages under it would produce a silently
-                # corrupt file (rep levels bit-packed at the wrong width).
-                # Mirror the reader's guard until a nested-LIST schema
-                # emitter exists; list<list> stays pages-table-only.
+            if c.logical.startswith("g:") and not isinstance(
+                groups[0][lpath[0]], DremelColumn
+            ):
+                # a raw dremel leaf passed as a flat column spec would write
+                # a level-mismatched (corrupt) file: its def/rep streams
+                # only make sense under the recursive schema DremelColumn
+                # emits
                 raise ValueError(
-                    f"{lpath}: max_rep={c.max_rep} not writable as a standard "
-                    "LIST schema (list<list> is engine-internal; flatten or "
-                    "re-encode one repetition level for container export)"
+                    f"{lpath}: dremel leaf chunk must be wrapped in "
+                    "DremelColumn for container export"
                 )
-            # def-level budget must match what the emitted schema implies, or
-            # readers decode def levels at the wrong bit width / positions
-            # (review finding: struct-leaf chunks with max_def=2 wrote files
-            # pyarrow read back with WRONG values, silently)
-            d_el = 1 if c.nullable else 0
-            if c.max_rep == 0 and c.max_def > d_el:
-                raise ValueError(
-                    f"{lpath}: flat chunk with max_def={c.max_def} carries merged "
-                    "struct def levels; engine-internal only — decode and "
-                    "re-encode per leaf for container export"
-                )
-            # list leaves must carry EXACTLY the def budget the emitted
-            # schema implies.  Bare/map leaves: d_el + repeated +
-            # elem_optional.  StructListColumn leaves (path
-            # name/list/struct/field) add the always-OPTIONAL struct group
-            # (+1) and may add an OPTIONAL field (+1, emitted as such).
-            if c.max_rep == 1:
-                is_sl_leaf = len(lpath) == 4 and lpath[1] == "list"
-                if is_sl_leaf:
-                    allowed = {d_el + 2, d_el + 3}
-                else:
-                    allowed = {d_el + 1 + (1 if c.elem_nullable else 0)}
-                if c.max_def not in allowed:
+            if not c.logical.startswith("g:"):
+                # legacy standard-geometry specs: the def/rep budgets must
+                # match what the emitted schema implies, or readers decode
+                # levels at the wrong bit width / positions (review finding:
+                # merged-def chunks wrote files pyarrow read back with WRONG
+                # values, silently).  DremelColumn leaves skip these checks:
+                # their schema is generated from the same tree as their
+                # streams, consistent by construction.
+                if c.max_rep > 1:
                     raise ValueError(
-                        f"{lpath}: list chunk max_def={c.max_def} does not match "
-                        f"the emitted schema's def budget {sorted(allowed)} "
-                        "(extra struct levels / '.#list' shapes are "
-                        "engine-internal only)"
+                        f"{lpath}: max_rep={c.max_rep} not writable as a "
+                        "standard single-repetition LIST schema; encode the "
+                        "column with encode_dremel_column and pass a "
+                        "DremelColumn spec instead"
                     )
+                d_el = 1 if c.nullable else 0
+                if c.max_rep == 0 and c.max_def > d_el:
+                    raise ValueError(
+                        f"{lpath}: flat chunk with max_def={c.max_def} carries "
+                        "merged struct def levels; wrap the column's dremel "
+                        "leaves in DremelColumn for container export"
+                    )
+                if c.max_rep == 1:
+                    # StructListColumn leaves (name/list/struct/field) add
+                    # the always-OPTIONAL struct group (+1) and may add an
+                    # OPTIONAL field (+1, emitted as such)
+                    is_sl_leaf = len(lpath) == 4 and lpath[1] == "list"
+                    if is_sl_leaf:
+                        allowed = {d_el + 2, d_el + 3}
+                    else:
+                        allowed = {d_el + 1 + (1 if c.elem_nullable else 0)}
+                    if c.max_def not in allowed:
+                        raise ValueError(
+                            f"{lpath}: list chunk max_def={c.max_def} does not "
+                            f"match the emitted schema's def budget "
+                            f"{sorted(allowed)}"
+                        )
             if c.compression not in codec_ids:
                 raise ValueError(f"{lpath}: unsupported compression {c.compression}")
             bad = set(c.encodings) - _STANDARD_ENCODINGS
             if bad:
                 raise ValueError(f"{lpath}: non-standard encodings {bad} (FSST is not parquet)")
+            if c.ptype == "BOOLEAN" and "RLE_DICTIONARY" in c.encodings:
+                # legal per the format but unimplemented in major readers
+                # (pyarrow: "Dictionary encoding not implemented for boolean")
+                raise ValueError(
+                    f"{lpath}: dictionary-encoded BOOLEAN is not readable by "
+                    "standard readers; re-encode with policy 'plain'/'auto'"
+                )
             if c.num_rows != nrows:
                 raise ValueError(f"{lpath}: row count {c.num_rows} != {nrows}")
 

@@ -21,7 +21,7 @@ import os
 import pyarrow as pa
 from pyspark.sql import DataFrame, functions as F
 
-from ..codecs.parquet_file import write_parquet_file
+from ..codecs.parquet_file import DremelColumn, write_parquet_file
 from .decode_job import _rebuild_chunk
 
 
@@ -31,9 +31,11 @@ def export_parquet_files(
     """Write each (part_key, chunk_seq) chunk group as a standard .parquet
     file under ``out_dir``; returns (part_key, chunk_seq, file, num_rows)."""
     os.makedirs(out_dir, exist_ok=True)
-    pages = encoded.filter(
-        (F.col("kind") == "page") & F.col("column").isin(["row_id", *columns])
-    )
+    name_filter = F.col("column").isin(["row_id", *columns])
+    for c in columns:
+        # nested columns are '<col>#g<i>' dremel leaf chunks
+        name_filter = name_filter | F.col("column").startswith(f"{c}#g")
+    pages = encoded.filter((F.col("kind") == "page") & name_filter)
     cols = ["row_id", *columns]
 
     def write_group(tbl: pa.Table) -> pa.Table:
@@ -46,8 +48,24 @@ def export_parquet_files(
             by_col.setdefault(c, []).append(i)
         part_key = tbl.column("part_key")[0].as_py()
         chunk_seq = int(tbl.column("chunk_seq")[0].as_py())
-        chunks = {c: _rebuild_chunk(tbl, by_col[c]) for c in cols}
-        num_rows = next(iter(chunks.values())).num_rows
+        chunks = {}
+        for c in cols:
+            if c in by_col:
+                chunks[c] = _rebuild_chunk(tbl, by_col[c])
+            else:
+                leaves = {
+                    name: _rebuild_chunk(tbl, idxs)
+                    for name, idxs in by_col.items()
+                    if name.startswith(f"{c}#g")
+                }
+                if not leaves:
+                    raise ValueError(f"column not present in encoded table: {c}")
+                chunks[c] = DremelColumn(leaves)
+        num_rows = next(
+            c.num_rows if not isinstance(c, DremelColumn)
+            else next(iter(c.leaves.values())).num_rows
+            for c in chunks.values()
+        )
         safe_key = "".join(ch if ch.isalnum() else "_" for ch in part_key)
         path = os.path.join(out_dir, f"part-{safe_key}-{chunk_seq:05d}.parquet")
         write_parquet_file(path, chunks, num_rows)

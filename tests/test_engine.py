@@ -311,3 +311,45 @@ def test_encode_table_rejects_no_columns(spark):
     df = spark.range(3).withColumnRenamed("id", "row_id").withColumn("x", F.lit("a"))
     with _pytest.raises(Exception, match="no encodable columns"):
         encode_table(df.select("row_id"), columns=None)
+
+
+def test_export_parquet_files_nested_columns(spark, tmp_path):
+    """Distributed export of NESTED columns (dremel leaf chunks wrapped in
+    DremelColumn): Spark's own parquet reader gets the values back."""
+    import pyspark.sql.functions as F
+
+    from parquet4seastar_spark.engine.encode_job import encode_table
+    from parquet4seastar_spark.engine.export import export_parquet_files
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.col("doc_id").alias("row_id"),
+        F.struct("lang", "n_chars").alias("meta"),
+        F.transform(
+            F.split("text", r"\. "), lambda s: F.split(F.trim(s), r"\s+")
+        ).alias("sents"),
+        "n_chars",
+        "source",
+    )
+    enc = encode_table(
+        docs, columns=["meta", "sents", "n_chars"], policy="auto_fast",
+        salt_col="source", num_partitions=2, salt_target_rows=2000,
+    )
+    out = str(tmp_path / "out")
+    export_parquet_files(enc, ["meta", "sents", "n_chars"], out).count()
+    back = spark.read.parquet(out)
+    src = docs.select(
+        "row_id",
+        F.col("meta.lang").alias("lang"),
+        F.col("meta.n_chars").alias("mn"),
+        F.array_join(F.transform("sents", lambda x: F.array_join(x, ",")), "|").alias("canon"),
+        "n_chars",
+    )
+    got = back.select(
+        "row_id",
+        F.col("meta.lang").alias("lang"),
+        F.col("meta.n_chars").alias("mn"),
+        F.array_join(F.transform("sents", lambda x: F.array_join(x, ",")), "|").alias("canon"),
+        "n_chars",
+    )
+    assert got.count() == src.count()
+    assert src.exceptAll(got).count() == 0 and got.exceptAll(src).count() == 0

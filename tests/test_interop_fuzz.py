@@ -161,3 +161,55 @@ def test_our_files_pyarrow_reads_bitexact(data, tmp_path_factory):
     if back.type != arr.type:
         back = back.cast(arr.type)
     assert back.to_pylist() == arr.to_pylist()
+
+
+# ---- nested direction: the recursive walker's container export ------------
+# random nested schemas (reusing test_dremel's strategies) encode through
+# encode_dremel_column, export via DremelColumn's recursive schema emitter,
+# and pyarrow (independent implementation) must read every row back equal.
+
+
+@settings(max_examples=20, deadline=None)
+@given(data=st.data())
+def test_our_nested_files_pyarrow_reads(data, tmp_path_factory):
+    from test_dremel import _types, _values_for
+
+    from parquet4seastar_spark.codecs.pages import encode_dremel_column
+    from parquet4seastar_spark.codecs.parquet_file import DremelColumn
+
+    t = data.draw(_types(3).filter(pa.types.is_nested))
+    n = data.draw(st.integers(1, 10))
+    rows = [
+        None if data.draw(st.booleans()) else _values_for(t, data.draw, depth=1)
+        for _ in range(n)
+    ]
+    arr = pa.array(rows, type=t)
+    # 'reference' dict-encodes BOOLEAN leaves (parity with the reference's
+    # static policy), which standard readers reject -- auto never does
+    has_bool = "bool" in str(t)
+    policy = data.draw(
+        st.sampled_from(
+            ["plain", "auto_fast"] if has_bool else ["plain", "auto_fast", "reference"]
+        )
+    )
+    ch = encode_dremel_column(arr, policy=policy, page_target_bytes=128)
+    path = str(tmp_path_factory.mktemp("nested") / "f.parquet")
+    write_parquet_file(path, {"c": DremelColumn(ch)}, len(arr))
+    back = pq.read_table(path).column("c").combine_chunks()
+
+    def canon(t_, v):
+        # maps export as LIST of struct<key,value>; canonicalize expected
+        if v is None:
+            return None
+        if pa.types.is_map(t_):
+            return [
+                {"key": canon(t_.key_type, k), "value": canon(t_.item_type, x)}
+                for k, x in v
+            ]
+        if pa.types.is_list(t_):
+            return [canon(t_.value_type, e) for e in v]
+        if pa.types.is_struct(t_):
+            return {f.name: canon(f.type, v[f.name]) for f in t_}
+        return v
+
+    assert back.to_pylist() == [canon(t, r) for r in rows]

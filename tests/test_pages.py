@@ -343,12 +343,27 @@ def test_decimal_roundtrip_physical_mappings(p, s, expected_ptype):
         assert decode_chunk(chunk).to_pylist() == vals, policy
 
 
+
+def _dremel_roundtrip(arr, policy="auto", page_target_bytes=256):
+    """Encode ANY nested shape through the ONE recursive walker's page
+    path and decode it back (engine-equivalent nested codec route)."""
+    from parquet4seastar_spark.codecs.pages import (
+        decode_dremel_column,
+        encode_dremel_column,
+    )
+
+    ch = encode_dremel_column(arr, policy=policy, page_target_bytes=page_target_bytes)
+    out = decode_dremel_column(ch)
+    if out.type != arr.type:
+        out = out.cast(arr.type)
+    out.validate(full=True)
+    return out, ch
+
+
 def test_struct_roundtrip_mirrors_file_writer_test():
     # file_writer_test.cc:61-130 analogue: struct-of-primitives with nulls at
     # both levels; def stream distinguishes struct-NULL (0) / field-NULL (1)
     # / value (2); every field chunk round-trips bit-identically
-    from parquet4seastar_spark.codecs.pages import decode_struct_chunk, encode_struct_chunk
-
     vals = [
         {"a": 1, "b": "x", "c": 1.5},
         None,
@@ -359,9 +374,8 @@ def test_struct_roundtrip_mirrors_file_writer_test():
         vals, type=pa.struct([("a", pa.int64()), ("b", pa.string()), ("c", pa.float64())])
     )
     for policy in ["auto", "plain", "reference"]:
-        chunks = encode_struct_chunk(arr, policy=policy, page_target_bytes=64)
-        assert all(c.max_def == 2 for c in chunks.values())
-        out = decode_struct_chunk(chunks)
+        out, ch = _dremel_roundtrip(arr, policy=policy, page_target_bytes=64)
+        assert all(c.max_def == 2 for c in ch.values())
         assert out.to_pylist() == arr.to_pylist(), policy
 
 
@@ -393,22 +407,23 @@ def test_list_exotic_element_types(vals, typ):
     assert decode_chunk(chunk).to_pylist() == arr.to_pylist()
 
 
-def test_struct_rejects_unsupported_nested_fields():
-    # struct fields go up to list<list<prim>> / list<struct>; THREE
-    # repetition levels under struct context fail fast, never mis-encode
-    from parquet4seastar_spark.codecs.pages import decode_struct_chunk, encode_struct_chunk
 
+def test_struct_deep_nested_fields_supported():
+    # three repetition levels under a struct: formerly fail-fast in the
+    # shape-enumerated paths, now just another walk for the recursive
+    # shredder (the guards are gone)
     ok = pa.array(
-        [{"a": 1, "tags": [1, 2]}, {"a": 2, "spans": None, "tags": []}],
+        [{"a": 1, "tags": [1, 2]}, {"a": 2, "tags": []}],
         type=pa.struct([("a", pa.int64()), ("tags", pa.list_(pa.int64()))]),
     )
-    assert decode_struct_chunk(encode_struct_chunk(ok)).to_pylist() == ok.to_pylist()
-    bad = pa.array(
-        [{"m": [[[1]]]}],
+    out, _ = _dremel_roundtrip(ok)
+    assert out.to_pylist() == ok.to_pylist()
+    deep = pa.array(
+        [{"m": [[[1]], []]}, {"m": None}, None],
         type=pa.struct([("m", pa.list_(pa.list_(pa.list_(pa.int64()))))]),
     )
-    with pytest.raises(TypeError, match="at most list<list"):
-        encode_struct_chunk(bad)
+    out2, _ = _dremel_roundtrip(deep)
+    assert out2.to_pylist() == deep.to_pylist()
 
 
 def test_list_of_list_roundtrip():
@@ -439,11 +454,10 @@ def test_list_of_list_roundtrip():
     assert decode_chunk(encode_chunk(sl, policy="plain")).to_pylist() == sl.to_pylist()
 
 
-def test_list3_roundtrip():
-    # list<list<list<T>>>: middle level peeled onto the rep-2 path
-    # ('#deep' list<list<T>> + '#len2' list<int32> sibling chunks)
-    from parquet4seastar_spark.codecs.pages import decode_list3_chunk, encode_list3_chunk
 
+def test_list3_roundtrip():
+    # list<list<list<T>>>: THREE repetition levels in ONE leaf stream
+    # (max_rep = 3) through the recursive walker
     t = pa.list_(pa.list_(pa.list_(pa.int64())))
     cases = [
         [[[1, 2], [3]], [[4]], []],
@@ -454,31 +468,26 @@ def test_list3_roundtrip():
     ] * 40
     arr = pa.array(cases, type=t)
     for policy in ["plain", "auto", "reference"]:
-        ch = encode_list3_chunk(arr, policy=policy, page_target_bytes=256)
-        assert ch["#deep"].max_rep == 2 and ch["#len2"].max_rep == 1
-        out = decode_list3_chunk(ch["#deep"], ch["#len2"])
-        out.validate(full=True)
+        out, ch = _dremel_roundtrip(arr, policy=policy)
+        (leaf,) = ch.values()
+        assert leaf.max_rep == 3
         assert out.to_pylist() == arr.to_pylist(), policy
     sl = arr.slice(3, 150)
-    ch2 = encode_list3_chunk(sl, policy="plain")
-    assert decode_list3_chunk(ch2["#deep"], ch2["#len2"]).to_pylist() == sl.to_pylist()
+    out2, _ = _dremel_roundtrip(pa.concat_arrays([sl]), policy="plain")
+    assert out2.to_pylist() == sl.to_pylist()
     # strings through dict/FSST candidates
     ts = pa.list_(pa.list_(pa.list_(pa.string())))
     s = pa.array(
         [[[["a", "bb"], ["c"]], [["d"]]], None, [[[]]], [[None, ["e"]]]] * 30, type=ts
     )
-    ch3 = encode_list3_chunk(s, policy="auto", page_target_bytes=512)
-    assert decode_list3_chunk(ch3["#deep"], ch3["#len2"]).to_pylist() == s.to_pylist()
+    out3, _ = _dremel_roundtrip(s, policy="auto", page_target_bytes=512)
+    assert out3.to_pylist() == s.to_pylist()
+
 
 
 def test_struct_list_chunk_roundtrip():
-    # list<struct<...>> (token spans): per-field list chunks, null struct
-    # elements at def = max_def - 1, fields required where struct present
-    from parquet4seastar_spark.codecs.pages import (
-        decode_struct_list_chunk,
-        encode_struct_list_chunk,
-    )
-
+    # list<struct<...>> (token spans): per-field leaf streams, null struct
+    # elements one def below the field levels
     t = pa.list_(pa.struct([("tok", pa.string()), ("pos", pa.int32())]))
     vals = [
         [{"tok": "a", "pos": 0}, {"tok": "bb", "pos": 1}],
@@ -488,30 +497,22 @@ def test_struct_list_chunk_roundtrip():
     ] * 50
     arr = pa.array(vals, type=t)
     for policy in ["auto", "plain", "reference"]:
-        ch = encode_struct_list_chunk(arr, policy=policy, page_target_bytes=128)
-        out = decode_struct_list_chunk(ch)
-        out.validate(full=True)
+        out, _ = _dremel_roundtrip(arr, policy=policy, page_target_bytes=128)
         assert out.to_pylist() == arr.to_pylist(), policy
     # sliced input
-    sl = arr.slice(3, 120)
-    assert decode_struct_list_chunk(encode_struct_list_chunk(sl)).to_pylist() == sl.to_pylist()
-    # a field null where its struct is present gets the 4th def level
-    # (round-2 rejected this shape; see test_struct_list_optional_fields)
+    sl = pa.concat_arrays([arr.slice(3, 120)])
+    out2, _ = _dremel_roundtrip(sl, policy="plain")
+    assert out2.to_pylist() == sl.to_pylist()
+    # a field null where its struct is present
     bad = pa.array([[{"tok": None, "pos": 1}]], type=t)
-    out = decode_struct_list_chunk(encode_struct_list_chunk(bad))
-    assert out.to_pylist() == bad.to_pylist()
+    out3, _ = _dremel_roundtrip(bad)
+    assert out3.to_pylist() == bad.to_pylist()
+
 
 
 def test_struct_list_optional_fields():
-    # the 4th Dremel def level (file_writer.hh:50-81 applied once more):
-    # OPTIONAL field inside list<struct> -- def d_empty+1 = struct null,
-    # max_def-1 = struct present / field null, max_def = value.  A real
-    # tokenized-corpus table (spans with a nullable attr) needs this shape.
-    from parquet4seastar_spark.codecs.pages import (
-        decode_struct_list_chunk,
-        encode_struct_list_chunk,
-    )
-
+    # OPTIONAL field inside list<struct>: all-optional geometry gives the
+    # leaf list(+2) + element struct(+1) + field(+1) = max_def 4
     t = pa.list_(pa.struct([("tok", pa.string()), ("attr", pa.int64())]))
     vals = [
         [{"tok": "a", "attr": 1}, {"tok": "b", "attr": None}],
@@ -522,35 +523,16 @@ def test_struct_list_optional_fields():
     ] * 40
     arr = pa.array(vals, type=t)
     for policy in ["auto", "plain", "reference"]:
-        ch = encode_struct_list_chunk(arr, policy=policy, page_target_bytes=256)
-        # both fields have nulls under present structs -> 4-level geometry
-        assert ch["tok"].max_def == 4 and ch["attr"].max_def == 4
-        out = decode_struct_list_chunk(ch)
-        out.validate(full=True)
+        out, ch = _dremel_roundtrip(arr, policy=policy)
+        assert all(c.max_def == 4 for c in ch.values())
         assert out.to_pylist() == arr.to_pylist(), policy
-    # mixed: required tok (3 levels) next to optional attr (4 levels)
-    vals2 = [[{"tok": "x", "attr": None}, {"tok": "y", "attr": 2}], None, [], [None]]
-    arr2 = pa.array(vals2, type=t)
-    ch2 = encode_struct_list_chunk(arr2, policy="plain")
-    assert ch2["tok"].max_def == 3 and ch2["attr"].max_def == 4
-    assert decode_struct_list_chunk(ch2).to_pylist() == arr2.to_pylist()
-    # non-nullable outer list: geometry shifts down by one
-    vals3 = [[{"tok": "x", "attr": None}], [{"tok": "y", "attr": 2}, None]]
-    arr3 = pa.array(vals3, type=t)
-    ch3 = encode_struct_list_chunk(arr3, policy="plain")
-    assert ch3["attr"].max_def == 3 and not ch3["attr"].nullable
-    assert decode_struct_list_chunk(ch3).to_pylist() == arr3.to_pylist()
+
 
 
 def test_struct_list_nested_struct_fields():
     # array<struct<tok, attrs:struct<...>>> -- the tokenized-corpus shape
     # with per-span annotation structs; one def level per struct level
     # (reference: fully recursive record assembly, record_reader.hh:180-247)
-    from parquet4seastar_spark.codecs.pages import (
-        decode_struct_list_chunk,
-        encode_struct_list_chunk,
-    )
-
     t = pa.list_(pa.struct([
         ("tok", pa.string()),
         ("attrs", pa.struct([("upos", pa.string()), ("feats", pa.int64())])),
@@ -566,26 +548,20 @@ def test_struct_list_nested_struct_fields():
     ] * 30
     arr = pa.array(vals, type=t)
     for policy in ["plain", "auto", "reference"]:
-        ch = encode_struct_list_chunk(arr, policy=policy, page_target_bytes=256)
-        # tok: depth 1 optional -> 4; attrs.*: depth 2 optional -> 5
-        assert ch["tok"].max_def == 4
-        assert ch["attrs.upos"].max_def == 5 and ch["attrs.feats"].max_def == 5
-        out = decode_struct_list_chunk(ch)
-        out.validate(full=True)
+        out, ch = _dremel_roundtrip(arr, policy=policy)
+        # tok: list(2) + struct(3) + field(4); attrs.*: one more struct level
+        by_path = {c.logical.split("|")[0][2:]: c for c in ch.values()}
+        assert by_path["l.stok"].max_def == 4
+        assert by_path["l.sattrs.supos"].max_def == 5
         assert out.to_pylist() == arr.to_pylist(), policy
-    # sliced input
-    sl = arr.slice(3, 90)
-    assert decode_struct_list_chunk(encode_struct_list_chunk(sl)).to_pylist() == sl.to_pylist()
+    sl = pa.concat_arrays([arr.slice(3, 90)])
+    out2, _ = _dremel_roundtrip(sl)
+    assert out2.to_pylist() == sl.to_pylist()
+
 
 
 def test_struct_with_list_field():
-    # LIST field inside struct(s): struct levels become optional levels
-    # ABOVE the repeated one (d_empty = depth+1), stored under '.#list'
-    from parquet4seastar_spark.codecs.pages import (
-        decode_struct_chunk,
-        encode_struct_chunk,
-    )
-
+    # LIST field inside struct(s): struct levels sit ABOVE the repeated one
     t = pa.struct([("a", pa.int64()), ("tags", pa.list_(pa.string()))])
     data = [
         {"a": 1, "tags": ["x", "y"]},
@@ -596,13 +572,12 @@ def test_struct_with_list_field():
     ] * 30
     arr = pa.array(data, type=t)
     for policy in ["plain", "auto"]:
-        ch = encode_struct_chunk(arr, policy=policy, page_target_bytes=256)
-        assert set(ch) == {"a", "tags.#list"}
-        assert ch["tags.#list"].max_def == 4 and ch["tags.#list"].max_rep == 1
-        out = decode_struct_chunk(ch)
-        out.validate(full=True)
+        out, ch = _dremel_roundtrip(arr, policy=policy)
+        by_path = {c.logical.split("|")[0][2:]: c for c in ch.values()}
+        assert set(by_path) == {"sa", "stags.l"}
+        assert by_path["stags.l"].max_def == 4 and by_path["stags.l"].max_rep == 1
         assert out.to_pylist() == arr.to_pylist(), policy
-    # nested: the list under TWO struct levels (d_empty = 3)
+    # nested: the list under TWO struct levels
     t2 = pa.struct([("meta", pa.struct([("tags", pa.list_(pa.int64())), ("k", pa.int32())]))])
     d2 = [
         {"meta": {"tags": [1, 2], "k": 1}},
@@ -612,21 +587,16 @@ def test_struct_with_list_field():
         {"meta": {"tags": [], "k": None}},
     ] * 20
     a2 = pa.array(d2, type=t2)
-    ch2 = encode_struct_chunk(a2, policy="auto")
-    assert ch2["meta.tags.#list"].max_def == 4  # 3 outer levels + value
-    out2 = decode_struct_chunk(ch2)
+    out2, ch2 = _dremel_roundtrip(a2)
+    by_path = {c.logical.split("|")[0][2:]: c for c in ch2.values()}
+    assert by_path["smeta.stags.l"].max_def == 5  # 2 structs + list(2) + elem
     assert out2.to_pylist() == a2.to_pylist()
 
 
-def test_struct_with_list_of_structs():
-    # the full mixed tree: struct levels ABOVE the repeated level (outer
-    # defs) + struct levels BELOW it (mid stack) in one leaf geometry;
-    # '<path>.#list.<elem path>' keys
-    from parquet4seastar_spark.codecs.pages import (
-        decode_struct_chunk,
-        encode_struct_chunk,
-    )
 
+def test_struct_with_list_of_structs():
+    # the full mixed tree: struct levels ABOVE the repeated level + struct
+    # levels BELOW it in one leaf geometry
     t = pa.struct([
         ("a", pa.int64()),
         ("spans", pa.list_(pa.struct([("tok", pa.string()), ("pos", pa.int32())]))),
@@ -640,12 +610,11 @@ def test_struct_with_list_of_structs():
     ] * 30
     arr = pa.array(data, type=t)
     for policy in ["plain", "auto"]:
-        ch = encode_struct_chunk(arr, policy=policy, page_target_bytes=256)
-        assert set(ch) == {"a", "spans.#list.tok", "spans.#list.pos"}
-        # d_empty=2 (struct+list) + repeated + elem struct + optional field
-        assert ch["spans.#list.tok"].max_def == 5
-        out = decode_struct_chunk(ch)
-        out.validate(full=True)
+        out, ch = _dremel_roundtrip(arr, policy=policy)
+        by_path = {c.logical.split("|")[0][2:]: c for c in ch.values()}
+        assert set(by_path) == {"sa", "sspans.l.stok", "sspans.l.spos"}
+        # struct(1) + list(3) + elem struct(4) + field(5)
+        assert by_path["sspans.l.stok"].max_def == 5
         assert out.to_pylist() == arr.to_pylist(), policy
     # deep: struct<meta:struct<spans:list<struct<tok, attrs:struct<u>>>, k>>
     t2 = pa.struct([("meta", pa.struct([
@@ -664,21 +633,18 @@ def test_struct_with_list_of_structs():
         {"meta": {"spans": [None, {"tok": None, "attrs": {"u": None}}], "k": 3}},
     ] * 20
     a2 = pa.array(d2, type=t2)
-    ch2 = encode_struct_chunk(a2, policy="auto", page_target_bytes=512)
-    assert ch2["meta.spans.#list.attrs.u"].max_def == 7
-    out2 = decode_struct_chunk(ch2)
+    out2, ch2 = _dremel_roundtrip(a2, page_target_bytes=512)
+    by_path = {c.logical.split("|")[0][2:]: c for c in ch2.values()}
+    assert by_path["smeta.sspans.l.sattrs.su"].max_def == 7
     assert out2.to_pylist() == a2.to_pylist()  # field order preserved too
-    sl = a2.slice(3, 80)
-    out3 = decode_struct_chunk(encode_struct_chunk(sl, policy="plain"))
+    sl = pa.concat_arrays([a2.slice(3, 80)])
+    out3, _ = _dremel_roundtrip(sl, policy="plain")
     assert out3.to_pylist() == sl.to_pylist()
 
 
-def test_struct_with_list_of_lists_field():
-    # list<list<prim>> field inside struct(s): peeled into '.#ll0'
-    # (flattened elements) + '.#ll1' (inner lengths) siblings, both
-    # single-rep chunks with outer struct def levels
-    from parquet4seastar_spark.codecs.pages import decode_struct_chunk, encode_struct_chunk
 
+def test_struct_with_list_of_lists_field():
+    # list<list<prim>> field inside struct(s): one leaf with max_rep = 2
     t = pa.struct([("a", pa.int64()), ("m", pa.list_(pa.list_(pa.int64())))])
     data = [
         {"a": 1, "m": [[1, 2], [3]]},
@@ -689,20 +655,21 @@ def test_struct_with_list_of_lists_field():
     ] * 30
     arr = pa.array(data, type=t)
     for policy in ["plain", "auto"]:
-        ch = encode_struct_chunk(arr, policy=policy, page_target_bytes=256)
-        assert {"m.#ll0", "m.#ll1"} <= set(ch)
-        out = decode_struct_chunk(ch)
-        out.validate(full=True)
+        out, ch = _dremel_roundtrip(arr, policy=policy)
+        by_path = {c.logical.split("|")[0][2:]: c for c in ch.values()}
+        assert by_path["sm.l.l"].max_rep == 2 and by_path["sm.l.l"].max_def == 6
         assert out.to_pylist() == arr.to_pylist(), policy
-    sl = arr.slice(3, 90)
-    assert decode_struct_chunk(encode_struct_chunk(sl, policy="plain")).to_pylist() == sl.to_pylist()
-    # three repetition levels under a struct stay fail-fast
-    bad = pa.array(
-        [{"m": [[[1]]]}],
+    sl = pa.concat_arrays([arr.slice(3, 90)])
+    out2, _ = _dremel_roundtrip(sl, policy="plain")
+    assert out2.to_pylist() == sl.to_pylist()
+    # three repetition levels under a struct: supported (guards deleted)
+    deep = pa.array(
+        [{"m": [[[1]]]}, {"m": None}],
         type=pa.struct([("m", pa.list_(pa.list_(pa.list_(pa.int64()))))]),
     )
-    with pytest.raises(TypeError, match="at most list<list"):
-        encode_struct_chunk(bad)
+    out3, _ = _dremel_roundtrip(deep)
+    assert out3.to_pylist() == deep.to_pylist()
+
 
 
 def test_struct_of_struct_writer_levels():
@@ -711,10 +678,7 @@ def test_struct_of_struct_writer_levels():
     # o.m.z under three struct levels, max_def = 4 and the def stream is
     # exactly the number of present levels -- the reference's writer-levels
     # rule.
-    from parquet4seastar_spark.codecs.pages import (
-        decode_struct_chunk,
-        encode_struct_chunk,
-    )
+    from parquet4seastar_spark.codecs.dremel import shred
 
     t3 = pa.struct([("o", pa.struct([("m", pa.struct([("z", pa.int64())]))]))])
     rows = [
@@ -725,13 +689,10 @@ def test_struct_of_struct_writer_levels():
         {"o": {"m": {"z": None}}},  # def 3: field null
     ]
     arr = pa.array(rows, type=t3)
-    ch = encode_struct_chunk(arr, policy="plain")
-    assert list(ch) == ["o.m.z"] and ch["o.m.z"].max_def == 4
-    levels: list = []
-    decode_chunk(ch["o.m.z"], _collect_levels=levels)
-    assert np.concatenate(levels).tolist() == [4, 2, 1, 0, 3]
-    out = decode_struct_chunk(ch)
-    out.validate(full=True)
+    (leaf,) = shred(arr)
+    assert leaf.path == "so.sm.sz" and leaf.max_def == 4
+    assert leaf.def_.tolist() == [4, 2, 1, 0, 3]
+    out, _ = _dremel_roundtrip(arr, policy="plain")
     assert out.to_pylist() == arr.to_pylist()
     # two-level mixed tree: primitives next to a nested struct
     t2 = pa.struct(
@@ -745,35 +706,30 @@ def test_struct_of_struct_writer_levels():
     ] * 30
     arr2 = pa.array(rows2, type=t2)
     for policy in ["auto", "plain"]:
-        ch2 = encode_struct_chunk(arr2, policy=policy, page_target_bytes=128)
-        assert ch2["a"].max_def == 2 and ch2["inner.x"].max_def == 3
-        out2 = decode_struct_chunk(ch2)
+        out2, ch2 = _dremel_roundtrip(arr2, policy=policy, page_target_bytes=128)
+        by_path = {c.logical.split("|")[0][2:]: c for c in ch2.values()}
+        assert by_path["sa"].max_def == 2 and by_path["sinner.sx"].max_def == 3
         assert out2.to_pylist() == arr2.to_pylist(), policy
+
 
 
 def test_sliced_nested_arrays_roundtrip():
     # arrow slices carry parent offsets; every nested path must rebase them
     from decimal import Decimal
 
-    from parquet4seastar_spark.codecs.pages import (
-        decode_map_chunk,
-        decode_struct_chunk,
-        encode_map_chunk,
-        encode_struct_chunk,
-    )
-
     sarr = pa.array(
         [{"a": i, "b": str(i)} if i % 3 else None for i in range(100)],
         type=pa.struct([("a", pa.int64()), ("b", pa.string())]),
     ).slice(10, 50)
-    assert decode_struct_chunk(encode_struct_chunk(sarr)).to_pylist() == sarr.to_pylist()
+    out, _ = _dremel_roundtrip(sarr)
+    assert out.to_pylist() == sarr.to_pylist()
 
     marr = pa.array(
         [{f"k{i}": i} if i % 4 else None for i in range(100)],
         type=pa.map_(pa.string(), pa.int64()),
     ).slice(7, 60)
-    ch = encode_map_chunk(marr)
-    assert decode_map_chunk(ch["key"], ch["value"]).to_pylist() == marr.to_pylist()
+    out2, _ = _dremel_roundtrip(marr)
+    assert out2.to_pylist() == marr.to_pylist()
 
     larr = pa.array(
         [[float(i), float(i + 1)] if i % 5 else None for i in range(100)],
@@ -787,11 +743,9 @@ def test_sliced_nested_arrays_roundtrip():
     assert decode_chunk(encode_chunk(darr)).to_pylist() == darr.to_pylist()
 
 
-def test_map_struct_values_roundtrip():
-    # map<k, struct<...>>: value side decomposes to per-field leaves
-    # ('value.<field>') through the struct-list machinery
-    from parquet4seastar_spark.codecs.pages import decode_map_chunk, encode_map_chunk
 
+def test_map_struct_values_roundtrip():
+    # map<k, struct<...>>: per-field value leaves sharing the map offsets
     t = pa.map_(pa.string(), pa.struct([("score", pa.int64()), ("tag", pa.string())]))
     data = [
         [("a", {"score": 1, "tag": "x"}), ("b", {"score": None, "tag": "y"})],
@@ -801,23 +755,18 @@ def test_map_struct_values_roundtrip():
     ] * 25
     arr = pa.array(data, type=t)
     for policy in ["plain", "auto"]:
-        ch = encode_map_chunk(arr, policy=policy, page_target_bytes=256)
-        assert sorted(ch) == ["key", "value.score", "value.tag"]
-        vchunks = {k[6:]: v for k, v in ch.items() if k.startswith("value.")}
-        dec = decode_map_chunk(ch["key"], vchunks)
-        dec.validate(full=True)
-        assert dec.to_pylist() == arr.to_pylist(), policy
-    sl = arr.slice(3, 70)
-    ch2 = encode_map_chunk(sl, policy="plain")
-    v2 = {k[6:]: v for k, v in ch2.items() if k.startswith("value.")}
-    assert decode_map_chunk(ch2["key"], v2).to_pylist() == sl.to_pylist()
+        out, ch = _dremel_roundtrip(arr, policy=policy)
+        by_path = {c.logical.split("|")[0][2:]: c for c in ch.values()}
+        assert set(by_path) == {"k", "v.sscore", "v.stag"}
+        assert out.to_pylist() == arr.to_pylist(), policy
+    sl = pa.concat_arrays([arr.slice(3, 70)])
+    out2, _ = _dremel_roundtrip(sl, policy="plain")
+    assert out2.to_pylist() == sl.to_pylist()
+
 
 
 def test_map_list_values_roundtrip():
-    # map<k, list<T>>: the value side is a rep-2 chunk over the map offsets
-    # (null-entry / empty-list / null-element ride its def levels)
-    from parquet4seastar_spark.codecs.pages import decode_map_chunk, encode_map_chunk
-
+    # map<k, list<T>>: the value side is a rep-2 leaf over the map offsets
     t = pa.map_(pa.string(), pa.list_(pa.int64()))
     data = [
         [("a", [1, 2]), ("b", [])],
@@ -827,32 +776,28 @@ def test_map_list_values_roundtrip():
     ] * 30
     arr = pa.array(data, type=t)
     for policy in ["plain", "auto"]:
-        ch = encode_map_chunk(arr, policy=policy, page_target_bytes=256)
-        assert ch["value"].max_rep == 2
-        dec = decode_map_chunk(ch["key"], ch["value"])
-        dec.validate(full=True)
-        assert dec.to_pylist() == arr.to_pylist(), policy
-    # deeper nesting under the value stays fail-fast
-    bad = pa.array(
-        [[("k", [[1]])]], type=pa.map_(pa.string(), pa.list_(pa.list_(pa.int64())))
+        out, ch = _dremel_roundtrip(arr, policy=policy)
+        by_path = {c.logical.split("|")[0][2:]: c for c in ch.values()}
+        assert by_path["v.l"].max_rep == 2
+        assert out.to_pylist() == arr.to_pylist(), policy
+    # deeper nesting under the value: supported (guards deleted)
+    deep = pa.array(
+        [[("k", [[1]])], None], type=pa.map_(pa.string(), pa.list_(pa.list_(pa.int64())))
     )
-    with pytest.raises(TypeError, match="primitives"):
-        encode_map_chunk(bad)
+    out2, _ = _dremel_roundtrip(deep)
+    assert out2.to_pylist() == deep.to_pylist()
+
 
 
 def test_map_chunk_roundtrip():
-    # map<k,v> via key/value list chunks with shared offsets; level geometry
-    # matches the parquet MAP group (key REQUIRED, value OPTIONAL)
-    from parquet4seastar_spark.codecs.pages import decode_map_chunk, encode_map_chunk
-
+    # map<k,v> via key/value leaves with shared offsets (all-optional
+    # internal geometry: key leaf max_def = 3; export marks keys REQUIRED)
     vals = [{"a": 1, "b": 2}, None, {}, {"c": 3}, {"d": None}] * 100
     arr = pa.array(vals, type=pa.map_(pa.string(), pa.int64()))
     for policy in ["auto", "plain", "reference"]:
-        chunks = encode_map_chunk(arr, policy=policy, page_target_bytes=256)
-        assert chunks["key"].max_def == 2 and not chunks["key"].elem_nullable
-        assert chunks["value"].max_def == 3 and chunks["value"].elem_nullable
-        out = decode_map_chunk(chunks["key"], chunks["value"])
-        out.validate(full=True)
+        out, ch = _dremel_roundtrip(arr, policy=policy)
+        by_path = {c.logical.split("|")[0][2:]: c for c in ch.values()}
+        assert by_path["k"].max_def == 3 and by_path["v"].max_def == 3
         assert out.to_pylist() == arr.to_pylist(), policy
 
 

@@ -302,64 +302,63 @@ def test_boolean_rle_interop_both_directions(tmp_path):
     assert pq.read_table(our_path).column("b").to_pylist() == vals
 
 
+
 def test_write_parquet_rejects_engine_internal_def_levels(tmp_path):
-    # review finding: struct-leaf chunks (merged def levels, max_def>1 at
-    # max_rep=0) and '.#list' chunks (struct levels above the repeated one)
-    # previously wrote files that readers decoded to WRONG values silently
-    from parquet4seastar_spark.codecs.pages import encode_struct_chunk
+    # a raw dremel leaf passed as a flat column spec would write a
+    # level-mismatched (corrupt) file: the writer must demand the
+    # DremelColumn wrapper whose schema matches the leaf streams
+    from parquet4seastar_spark.codecs.pages import encode_dremel_column
 
     sarr = pa.array(
         [{"x": 1}, None, {"x": None}, {"x": 4}],
         type=pa.struct([("x", pa.int64())]),
     )
-    flat = encode_struct_chunk(sarr, policy="plain")["x"]
-    assert flat.max_def == 2 and flat.max_rep == 0
-    with pytest.raises(ValueError, match="merged struct def levels"):
-        write_parquet_file(str(tmp_path / "a.parquet"), {"x": flat}, len(sarr))
+    leaves = encode_dremel_column(sarr, policy="plain")
+    (leaf,) = leaves.values()
+    assert leaf.max_def == 2 and leaf.max_rep == 0
+    with pytest.raises(ValueError, match="DremelColumn"):
+        write_parquet_file(str(tmp_path / "a.parquet"), {"x": leaf}, len(sarr))
 
-    tarr = pa.array(
-        [{"tags": ["a"]}, None, {"tags": None}],
-        type=pa.struct([("tags", pa.list_(pa.string()))]),
-    )
-    lst = encode_struct_chunk(tarr, policy="plain")["tags.#list"]
-    # d_empty=2 (struct+list) but the bare 3-level schema implies d_empty=1:
-    # def budget mismatch, must refuse
-    assert lst.max_rep == 1 and lst.max_def == 3 and not lst.elem_nullable
-    with pytest.raises(ValueError, match="def budget"):
-        write_parquet_file(str(tmp_path / "b.parquet"), {"tags": lst}, len(tarr))
 
 
 def test_struct_rejects_reserved_field_names():
-    # review finding: a field named 'a.b' silently restructured into nested
-    # structs on decode; '#'-prefixed names collide with reserved markers
-    from parquet4seastar_spark.codecs.pages import encode_struct_chunk, encode_struct_list_chunk
+    # a field named 'a.b' would silently restructure the dot-joined leaf
+    # paths on decode; '#'-containing names collide with the '#g' markers --
+    # the walker fails fast on both
+    from parquet4seastar_spark.codecs.pages import encode_dremel_column
 
     dotted = pa.array(
         [{"a.b": 1, "c": 2}], type=pa.struct([("a.b", pa.int64()), ("c", pa.int64())])
     )
     with pytest.raises(ValueError, match="reserved"):
-        encode_struct_chunk(dotted)
+        encode_dremel_column(dotted)
     marker = pa.array(
         [[{"#list": "x"}]], type=pa.list_(pa.struct([("#list", pa.string())]))
     )
     with pytest.raises(ValueError, match="reserved"):
-        encode_struct_list_chunk(marker)
-    # suffix collision: 'x#list' previously passed the prefix-only guard and
-    # crashed decode via the endswith('#list') branch (review finding)
-    suffix = pa.array([{"x#list": 1}], type=pa.struct([("x#list", pa.int64())]))
+        encode_dremel_column(marker)
+    suffix = pa.array([{"x#g0": 1}], type=pa.struct([("x#g0", pa.int64())]))
     with pytest.raises(ValueError, match="reserved"):
-        encode_struct_chunk(suffix)
+        encode_dremel_column(suffix)
 
 
-def test_write_parquet_rejects_list_of_lists(tmp_path):
-    # ADVICE: _schema_elements emits a single-repetition LIST schema; pages
-    # with max_rep=2 under it would be silently corrupt.  Writer must refuse
-    # (the reader already guards max_rep>1).
-    arr = pa.array([[[1, 2], [3]], [[4]]], type=pa.list_(pa.list_(pa.int64())))
+
+def test_write_parquet_nested_lists(tmp_path):
+    # legacy standard-geometry rep-2 chunks still refuse (their schema
+    # emitter is single-repetition), but the SAME column exports fine as a
+    # DremelColumn: recursive schema, pyarrow reads it back equal
+    from parquet4seastar_spark.codecs.pages import encode_dremel_column
+    from parquet4seastar_spark.codecs.parquet_file import DremelColumn
+
+    arr = pa.array([[[1, 2], [3]], [[4]], None, [[], [5, None]]], type=pa.list_(pa.list_(pa.int64())))
     chunk = encode_chunk(arr, policy="plain")
     assert chunk.max_rep == 2
     with pytest.raises(ValueError, match="max_rep"):
         write_parquet_file(str(tmp_path / "x.parquet"), {"ll": chunk}, len(arr))
+    ch = encode_dremel_column(arr, policy="plain")
+    path = str(tmp_path / "ll.parquet")
+    write_parquet_file(path, {"ll": DremelColumn(ch)}, len(arr))
+    assert pq.read_table(path).column("ll").combine_chunks().to_pylist() == arr.to_pylist()
 
 
 def test_column_metadata_sizes(tmp_path):
@@ -407,12 +406,13 @@ def test_reader_rejects_corrupt_containers(tmp_path):
         ParquetFileReader(truncated)
 
 
+
 def test_write_struct_list_optional_field_pyarrow_reads(tmp_path):
-    # an OPTIONAL field inside list<struct> (4-level def geometry) must be
-    # emitted with OPTIONAL repetition so independent readers compute the
-    # same max_def as our pages carry
-    from parquet4seastar_spark.codecs.pages import encode_struct_list_chunk
-    from parquet4seastar_spark.codecs.parquet_file import StructListColumn
+    # list<struct> with an OPTIONAL field: the recursive schema emitter
+    # writes every node OPTIONAL, so independent readers compute the same
+    # max_def as the walker's leaf pages carry
+    from parquet4seastar_spark.codecs.pages import encode_dremel_column
+    from parquet4seastar_spark.codecs.parquet_file import DremelColumn
 
     t = pa.list_(pa.struct([("tok", pa.string()), ("attr", pa.int64())]))
     vals = [
@@ -422,14 +422,15 @@ def test_write_struct_list_optional_field_pyarrow_reads(tmp_path):
         [{"tok": "c", "attr": 3}, None, {"tok": "d", "attr": None}],
     ] * 25
     arr = pa.array(vals, type=t)
-    ch = encode_struct_list_chunk(arr, policy="plain")
-    assert ch["attr"].max_def == 4  # optional-field geometry
+    ch = encode_dremel_column(arr, policy="plain")
+    by_path = {c.logical.split("|")[0][2:]: c for c in ch.values()}
+    assert by_path["l.sattr"].max_def == 4  # list(2) + struct(3) + field(4)
     path = str(tmp_path / "spans.parquet")
-    write_parquet_file(path, {"spans": StructListColumn("element", ch)}, len(arr))
+    write_parquet_file(path, {"spans": DremelColumn(ch)}, len(arr))
     back = pq.read_table(path).column("spans").combine_chunks()
     assert back.to_pylist() == arr.to_pylist()
     # our own reader computes the 4-level geometry from the schema and
-    # decodes each leaf with merged nulls (struct-null OR field-null)
+    # decodes the leaf with merged nulls (struct-null OR field-null)
     r = ParquetFileReader(path)
     leaf = r.column(("spans", "list", "element", "attr"))
     assert leaf.max_def == 4 and leaf.max_rep == 1
