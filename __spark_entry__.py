@@ -256,10 +256,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_chars",
             F.floor(F.col("n_chars") / 200).cast("string").alias("bucket"),
         )
+        # persist the pages frame: prune_chunks consumes it twice (drop-set
+        # subtree + the main decode pass) and an unpersisted lineage would
+        # re-run the ENTIRE encode job for the drop set (r3 bench regression;
+        # at cluster scale the encoded table is a stored table and the drop
+        # set reads only its tiny chunk rows)
         enc = encode_table(
             src, columns=["n_chars"], salt_col="bucket", num_partitions=4,
             salt_target_rows=2000, size_col="bucket",
-        )
+        ).persist()
         pruned = prune_chunks(enc, "n_chars", gt=300)
         return (
             decode_table(pruned, ["n_chars"])
