@@ -214,7 +214,8 @@ def minhash_lsh_pairs(
 
 
 def connected_components(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20,
+    checkpoint_interval: int = 5,
 ) -> DataFrame:
     """(id, rep): connected components over near-duplicate pairs, rep = min
     id in the component — the step that turns pairwise matches into
@@ -234,6 +235,13 @@ def connected_components(
     iteration chain lazily would be far worse) — the caller unpersists it
     when done.  Superseded per-round frames and the edge frame are
     unpersisted here.
+
+    Every ``checkpoint_interval`` rounds the label frame is
+    localCheckpoint'ed: persists bound recompute but the PLAN still grows
+    one join deeper per round, so a long-diameter graph (adversarial
+    chains; LSH groups are diameter <= 2 and never hit this) would pay
+    linearly growing optimizer time and an unbounded recovery lineage.
+    The checkpoint truncates it.
     """
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (
@@ -243,7 +251,7 @@ def connected_components(
     )
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn("rep", F.col("id"))
     labels = labels.persist()
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr = (
             edges.join(
                 labels.select(F.col("id").alias("dst"), F.col("rep").alias("nrep")), "dst"
@@ -251,14 +259,14 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("nrep").alias("min_nbr"))
         )
-        new_labels = (
-            labels.join(nbr.withColumnRenamed("src", "id"), "id", "left")
-            .select(
-                "id",
-                F.least(F.col("rep"), F.coalesce("min_nbr", F.col("rep"))).alias("rep"),
-            )
-            .persist()
+        new_labels = labels.join(nbr.withColumnRenamed("src", "id"), "id", "left").select(
+            "id",
+            F.least(F.col("rep"), F.coalesce("min_nbr", F.col("rep"))).alias("rep"),
         )
+        if (it + 1) % checkpoint_interval == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.join(labels.withColumnRenamed("rep", "old"), "id")
             .filter(F.col("rep") != F.col("old"))

@@ -475,3 +475,19 @@ def test_windowed_event_counts_streaming_mode(spark, tmp_path):
         for r in spark.sql("select * from win_counts").collect()
     }
     assert streamed == batch
+
+
+def test_connected_components_long_chain_checkpointed(spark):
+    """Adversarial diameter-50 chain: min-label propagation needs ~50
+    rounds; localCheckpoint every 5 truncates the per-round join lineage so
+    the plan stays bounded and the run converges."""
+    from parquet4seastar_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "id_a long, id_b long"
+    )
+    comps = connected_components(edges, max_iter=60, checkpoint_interval=5)
+    rows = comps.collect()
+    assert len(rows) == 51
+    assert all(r["rep"] == 0 for r in rows)
+    comps.unpersist()
