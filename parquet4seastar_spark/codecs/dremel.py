@@ -243,20 +243,34 @@ def leaf_paths(node, prefix: str = "") -> list[str]:
 
 
 def assemble(leaves: dict[str, Leaf], n_rows: int) -> pa.Array:
-    """Inverse of shred: leaf streams -> the original arrow array.
+    """Inverse of shred: leaf streams -> the original arrow array
+    (engine-internal all-OPTIONAL geometry)."""
+    tree = build_tree([(p, l.values.type) for p, l in leaves.items()])
+    return assemble_tree(tree, leaves, n_rows)
+
+
+def assemble_tree(tree, leaves: dict[str, Leaf], n_rows: int, opts=None) -> pa.Array:
+    """General Dremel assembly with per-node OPTIONAL flags.
+
+    ``opts`` maps a node's token-path prefix ('' = the column root,
+    'sa.l' = the list element under field a, ...) to whether that node is
+    OPTIONAL in the level geometry; missing entries default to True, so
+    the engine-internal all-optional format needs no table.  A standard
+    parquet schema with REQUIRED fields passes its real flags (the
+    container reader path).
 
     Reconstruction is top-down: a node's slots are the stream entries with
     rep <= r0 (r0 = repeated ancestors above it); its validity is
-    def >= d0+1 at those entries; a list/map node's element domain is the
-    entries with def >= d0+2 (every deeper entry always satisfies this, so
-    def alone delimits domains -- no rep test needed for filtering).
+    def >= d0+opt at those entries; a list/map node's element domain is
+    the entries with def >= d0+opt+1 (every deeper entry always satisfies
+    this, so def alone delimits domains -- no rep test needed for
+    filtering).
     """
-    tree = build_tree([(p, l.values.type) for p, l in leaves.items()])
     # value position per stream entry (cumulative count of value-carrying
     # entries), computed once per leaf
     vpos = {p: np.cumsum(l.def_ == l.max_def) - 1 for p, l in leaves.items()}
     sels = {p: np.arange(len(lf.def_), dtype=np.int64) for p, lf in leaves.items()}
-    arr = _build(tree, "", leaves, vpos, sels, 0, 0)
+    arr = _build(tree, "", leaves, vpos, sels, 0, 0, opts or {})
     if len(arr) != n_rows:
         raise ValueError(f"assembled {len(arr)} rows, expected {n_rows}")
     return arr
@@ -277,13 +291,14 @@ def _validity_buf(valid: np.ndarray):
     return pa.py_buffer(np.packbits(valid, bitorder="little").tobytes()), int((~valid).sum())
 
 
-def _build(node, path, leaves, vpos, sels, d0, r0) -> pa.Array:
+def _build(node, path, leaves, vpos, sels, d0, r0, opts) -> pa.Array:
     kind = node[0]
+    opt = 1 if opts.get(path, True) else 0
     if kind == "leaf":
         leaf = leaves[path]
         sel = sels[path]
         d = leaf.def_[sel]
-        valid = d == d0 + 1
+        valid = d == d0 + opt
         codes = np.zeros(len(sel), dtype=np.int64)
         codes[valid] = vpos[path][sel[valid]]
         idx = pa.array(codes, type=pa.int64(), mask=~valid)
@@ -292,26 +307,25 @@ def _build(node, path, leaves, vpos, sels, d0, r0) -> pa.Array:
         rp = _rep_leaf(path, leaves)
         sel = sels[rp]
         slot = leaves[rp].rep[sel] <= r0
-        valid = leaves[rp].def_[sel][slot] >= d0 + 1
+        valid = leaves[rp].def_[sel][slot] >= d0 + opt if opt else None
         children = []
         names = []
         for fname, child in node[1]:
             children.append(
-                _build(child, _join(path, f"s{fname}"), leaves, vpos, sels, d0 + 1, r0)
+                _build(child, _join(path, f"s{fname}"), leaves, vpos, sels, d0 + opt, r0, opts)
             )
             names.append(fname)
-        vbuf, nnull = _validity_buf(valid)
-        return pa.StructArray.from_arrays(
-            children, names, mask=pa.array(~valid) if nnull else None
-        )
+        mask = pa.array(~valid) if (opt and not valid.all()) else None
+        return pa.StructArray.from_arrays(children, names, mask=mask)
     # list / map share slot & offset construction
+    d_elem = d0 + opt + 1  # def at which an element exists under this node
     rp = _rep_leaf(path, leaves)
     sel = sels[rp]
     d = leaves[rp].def_[sel]
     r = leaves[rp].rep[sel]
     slot_pos = np.flatnonzero(r <= r0)
     n_slots = len(slot_pos)
-    elem_pos = np.flatnonzero((r <= r0 + 1) & (d >= d0 + 2))
+    elem_pos = np.flatnonzero((r <= r0 + 1) & (d >= d_elem))
     # element count per slot: which slot each element-start falls under
     owner = np.searchsorted(slot_pos, elem_pos, side="right") - 1
     lengths = np.bincount(owner, minlength=n_slots).astype(np.int64)
@@ -319,8 +333,11 @@ def _build(node, path, leaves, vpos, sels, d0, r0) -> pa.Array:
     np.cumsum(lengths, out=offsets[1:])
     if offsets[-1] > (1 << 31) - 1:
         raise ValueError("list chunk exceeds int32 offsets")
-    valid = d[slot_pos] >= d0 + 1
-    vbuf, nnull = _validity_buf(valid)
+    if opt:
+        valid = d[slot_pos] >= d0 + 1
+        vbuf, nnull = _validity_buf(valid)
+    else:
+        vbuf, nnull = None, 0
     offsets32 = pa.py_buffer(offsets.astype(np.int32))
 
     def child_sels(tok):
@@ -329,13 +346,13 @@ def _build(node, path, leaves, vpos, sels, d0, r0) -> pa.Array:
         for p in leaves:
             if p == child_prefix or p.startswith(child_prefix + "."):
                 s = sels[p]
-                out[p] = s[leaves[p].def_[s] >= d0 + 2]
+                out[p] = s[leaves[p].def_[s] >= d_elem]
         return out
 
     if kind == "list":
         new_sels = dict(sels)
         new_sels.update(child_sels("l"))
-        child = _build(node[1], _join(path, "l"), leaves, vpos, new_sels, d0 + 2, r0 + 1)
+        child = _build(node[1], _join(path, "l"), leaves, vpos, new_sels, d_elem, r0 + 1, opts)
         return pa.Array.from_buffers(
             pa.list_(child.type), n_slots, [vbuf, offsets32], null_count=nnull,
             children=[child],
@@ -344,8 +361,8 @@ def _build(node, path, leaves, vpos, sels, d0, r0) -> pa.Array:
         new_sels = dict(sels)
         new_sels.update(child_sels("k"))
         new_sels.update(child_sels("v"))
-        keys = _build(node[1], _join(path, "k"), leaves, vpos, new_sels, d0 + 2, r0 + 1)
-        items = _build(node[2], _join(path, "v"), leaves, vpos, new_sels, d0 + 2, r0 + 1)
+        keys = _build(node[1], _join(path, "k"), leaves, vpos, new_sels, d_elem, r0 + 1, opts)
+        items = _build(node[2], _join(path, "v"), leaves, vpos, new_sels, d_elem, r0 + 1, opts)
         if keys.null_count:
             raise ValueError("map keys decoded with nulls")
         mt = pa.map_(keys.type, items.type)

@@ -508,11 +508,13 @@ class ParquetFileReader:
         # writers -- including the reference's fixture generator -- emit
         # inaccurate path_in_schema labels)
         self._groups: list[list[dict]] = []
+        self._group_rows: list[int] = []
         for rg in row_groups:
             cols = rg[1]
             if len(cols) != len(self.leaves):
                 raise ValueError(f"{len(cols)} column chunks != {len(self.leaves)} schema leaves")
             self._groups.append([c[3] for c in cols])
+            self._group_rows.append(int(rg[3]))
         for i, leaf in enumerate(self.leaves):
             leaf.chunk_meta = self._groups[0][i]
 
@@ -598,7 +600,23 @@ class ParquetFileReader:
 
     def _read_group_column(self, leaf: LeafColumn, cm: dict):
         if leaf.max_rep > 1:
-            raise ValueError(f"{leaf.path}: nested repetition depth {leaf.max_rep} unsupported")
+            raise ValueError(
+                f"{leaf.path}: nested repetition depth {leaf.max_rep} is not a "
+                "single list<...> leaf; use read_column_tree for full nested "
+                "assembly"
+            )
+        chunk = self._scan_chunk_pages(leaf, cm)
+        # row count: flat -> level entries; list -> count of rep==0 entries,
+        # which decode validates internally; precompute via a cheap pass
+        if leaf.max_rep == 0:
+            chunk.num_rows = sum(p.num_values for p in chunk.pages if p.kind == "data")
+        else:
+            chunk.num_rows = self._count_rows(chunk)
+        return decode_chunk(chunk)
+
+    def _scan_chunk_pages(self, leaf: LeafColumn, cm: dict) -> EncodedChunk:
+        """Incremental Thrift page scan of one leaf chunk -> EncodedChunk
+        (pages decompressed; num_rows left at -1 for the caller)."""
         if not cm:
             raise ValueError(f"{leaf.path}: no column chunk in row group")
         codec = {0: "uncompressed", 1: "snappy", 2: "gzip"}.get(cm[4])
@@ -671,13 +689,130 @@ class ParquetFileReader:
             ),
             pages=pages,
         )
-        # row count: flat -> level entries; list -> count of rep==0 entries,
-        # which decode validates internally; precompute via a cheap pass
-        if leaf.max_rep == 0:
-            chunk.num_rows = sum(p.num_values for p in pages if p.kind == "data")
-        else:
-            chunk.num_rows = self._count_rows(chunk)
-        return decode_chunk(chunk)
+        return chunk
+
+    # ---- general nested read: schema tree -> Dremel assembly -------------
+
+    def _schema_raw_tree(self) -> list[dict]:
+        """Nested SchemaElement form: [{'el': dict, 'children': [...]}] for
+        each top-level column."""
+        elements = self.meta[2]
+        pos = [1]
+
+        def walk():
+            el = elements[pos[0]]
+            pos[0] += 1
+            n = el.get(5)
+            return {"el": el, "children": [walk() for _ in range(n)] if n else []}
+
+        return [walk() for _ in range(elements[0].get(5, 0))]
+
+    def _el_base_logical(self, el: dict) -> tuple[str, str, int]:
+        """(ptype, base logical, type_length) for a leaf SchemaElement."""
+        ptype = PHYSICAL[el[1]]
+        type_length = el.get(2, 0)
+        conv = el.get(6)
+        if conv == 5 and el.get(8) is not None:
+            return ptype, f"decimal({el[8]},{el.get(7, 0)})", type_length
+        if ptype == "INT96":
+            return "FIXED_LEN_BYTE_ARRAY", "flba", 12
+        if ptype == "FIXED_LEN_BYTE_ARRAY":
+            return ptype, "flba", type_length
+        if ptype == "BYTE_ARRAY":
+            return ptype, "string" if conv in (0, 4, 19) else "binary", 0
+        if conv == 6:
+            return ptype, "date", 0
+        if conv == 10:
+            return ptype, "timestamp_us", 0
+        return ptype, {"BOOLEAN": "bool", "INT32": "int32", "INT64": "int64",
+                       "FLOAT": "float", "DOUBLE": "double"}[ptype], 0
+
+    def _column_token_tree(self, name: str):
+        """Top-level column -> (token tree, opts, [(token_path, leaf_index,
+        base_logical)] in schema-leaf order).  Modern 3-level LIST/MAP and
+        struct groups only; legacy 1/2-level list shapes stay on
+        read_column's level-budget path."""
+        from .pages import _elem_pa_type
+
+        raw = next(
+            (r for r in self._schema_raw_tree() if r["el"][4].decode() == name), None
+        )
+        if raw is None:
+            raise KeyError(name)
+        opts: dict[str, bool] = {}
+        leaf_infos: list[tuple[str, int, str]] = []
+        counter = [0]
+        leaf_by_path = {tuple(l.path): i for i, l in enumerate(self.leaves)}
+
+        def join(p, tok):
+            return f"{p}.{tok}" if p else tok
+
+        def conv_node(node, prefix, spath):
+            el = node["el"]
+            rep = el.get(3, 0)
+            kids = node["children"]
+            conv = el.get(6)
+            lt = el.get(10) or {}
+            opts[prefix] = rep == 1
+            if not kids:
+                ptype, base, tl = self._el_base_logical(el)
+                li = leaf_by_path[spath]
+                leaf_infos.append((prefix, li, base))
+                return ("leaf", _elem_pa_type(base, tl))
+            # ConvertedType LIST=3 / MAP=1 / MAP_KEY_VALUE=2;
+            # LogicalType union: MAP = field 2, LIST = field 3
+            is_list = conv == 3 or 3 in lt
+            is_map = conv in (1, 2) or 2 in lt
+            if (is_list or is_map) and len(kids) == 1 and kids[0]["el"].get(3) == 2:
+                mid = kids[0]
+                mkids = mid["children"]
+                mname = mid["el"][4].decode()
+                if is_map and len(mkids) == 2:
+                    k = conv_node(mkids[0], join(prefix, "k"),
+                                  spath + (mname, mkids[0]["el"][4].decode()))
+                    v = conv_node(mkids[1], join(prefix, "v"),
+                                  spath + (mname, mkids[1]["el"][4].decode()))
+                    return ("map", k, v)
+                if len(mkids) == 1:
+                    child = conv_node(mkids[0], join(prefix, "l"),
+                                      spath + (mname, mkids[0]["el"][4].decode()))
+                    return ("list", child)
+                raise ValueError(
+                    f"{spath}: legacy 2-level list shape; use read_column"
+                )
+            if el.get(3) == 2 or any(k["el"].get(3) == 2 for k in kids):
+                raise ValueError(f"{spath}: legacy repeated-group shape; use read_column")
+            fields = []
+            for k in kids:
+                fname = k["el"][4].decode()
+                fields.append((fname, conv_node(k, join(prefix, f"s{fname}"), spath + (fname,))))
+            return ("struct", fields)
+
+        tree = conv_node(raw, "", (name,))
+        return tree, opts, leaf_infos
+
+    def read_column_tree(self, name: str) -> pa.Array:
+        """Assemble a FULL top-level column of ANY nesting (struct / 3-level
+        LIST / MAP, any composition) via the general Dremel assembler with
+        the schema's real OPTIONAL flags (reference: record_reader.hh:469-505
+        recursive assembly).  Returns one arrow array across all row groups;
+        flat and single-list columns work too (same result as read_column)."""
+        from .dremel import Leaf, assemble_tree
+        from .pages import _decode_dremel_leaf
+
+        tree, opts, leaf_infos = self._column_token_tree(name)
+        parts = []
+        for g, nrows in zip(self._groups, self._group_rows):
+            leaves = {}
+            for tok_path, li, base in leaf_infos:
+                leaf = self.leaves[li]
+                chunk = self._scan_chunk_pages(leaf, g[li])
+                def_, rep, vals = _decode_dremel_leaf(chunk, base)
+                leaves[tok_path] = Leaf(
+                    tok_path, vals, def_, rep, leaf.max_def, leaf.max_rep
+                )
+            parts.append(assemble_tree(tree, leaves, nrows, opts))
+        return parts[0] if len(parts) == 1 else pa.concat_arrays(parts)
 
     @staticmethod
     def _reframe_v2_page(data: bytes, dp2: dict, leaf: LeafColumn, codec: str) -> bytes:

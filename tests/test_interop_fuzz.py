@@ -213,3 +213,29 @@ def test_our_nested_files_pyarrow_reads(data, tmp_path_factory):
         return v
 
     assert back.to_pylist() == [canon(t, r) for r in rows]
+
+
+@settings(max_examples=20, deadline=None)
+@given(data=st.data())
+def test_pyarrow_nested_files_our_tree_reader(data, tmp_path_factory):
+    # 4th direction: pyarrow writes RANDOM nested schemas (struct/list/map,
+    # mixed encodings); our general Dremel tree reader must assemble every
+    # row identically
+    from test_dremel import _types, _values_for
+
+    t = data.draw(_types(3).filter(pa.types.is_nested))
+    n = data.draw(st.integers(1, 12))
+    rows = [
+        None if data.draw(st.booleans()) else _values_for(t, data.draw, depth=1)
+        for _ in range(n)
+    ]
+    arr = pa.array(rows, type=t)
+    tbl = pa.table({"c": arr})
+    path = str(tmp_path_factory.mktemp("pan") / "f.parquet")
+    pq.write_table(
+        tbl, path,
+        use_dictionary=data.draw(st.booleans()),
+        row_group_size=data.draw(st.sampled_from([2, 5, 1000])),
+    )
+    out = ParquetFileReader(path).read_column_tree("c")
+    assert out.to_pylist() == arr.to_pylist()

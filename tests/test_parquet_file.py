@@ -460,3 +460,57 @@ def test_write_parquet_decimal_column(tmp_path):
     back = pq.read_table(path).column("d").combine_chunks()
     assert back.cast(pa.decimal128(12, 2)).to_pylist() == vals
     assert ParquetFileReader(path).read_column("d").to_pylist() == vals
+
+
+def test_read_column_tree_pyarrow_nested(tmp_path):
+    # general nested READ: a pyarrow-written file with struct / map /
+    # list<list> / list<struct>, REQUIRED and OPTIONAL fields mixed, two
+    # row groups -- assembled through the general Dremel path with the
+    # schema's real repetition flags
+    t = pa.schema([
+        pa.field("s", pa.struct([
+            pa.field("a", pa.int64(), nullable=False),
+            pa.field("tags", pa.list_(pa.string())),
+        ])),
+        pa.field("m", pa.map_(pa.string(), pa.list_(pa.int64()))),
+        pa.field("ll", pa.list_(pa.list_(pa.float64()))),
+        pa.field("spans", pa.list_(pa.struct([("tok", pa.string()), ("pos", pa.int32())]))),
+    ])
+    rows = [
+        {"s": {"a": 1, "tags": ["x", None]}, "m": [("k", [1, None]), ("e", [])],
+         "ll": [[1.0], []], "spans": [{"tok": "a", "pos": 0}, None]},
+        {"s": None, "m": None, "ll": None, "spans": None},
+        {"s": {"a": 3, "tags": None}, "m": [], "ll": [None, [2.5]], "spans": []},
+        {"s": {"a": 4, "tags": []}, "m": [("z", None)], "ll": [[]], "spans": [{"tok": None, "pos": None}]},
+    ]
+    tbl = pa.table(
+        {f.name: pa.array([r[f.name] for r in rows], type=f.type) for f in t}, schema=t
+    )
+    path = str(tmp_path / "nested.parquet")
+    pq.write_table(tbl, path, use_dictionary=False, row_group_size=2)
+    r = ParquetFileReader(path)
+    for name in ["s", "m", "ll", "spans"]:
+        out = r.read_column_tree(name)
+        assert out.to_pylist() == tbl.column(name).combine_chunks().to_pylist(), name
+
+
+def test_read_column_tree_roundtrips_our_nested_export(tmp_path):
+    # the loop closes: our nested export read back by OUR OWN reader
+    from parquet4seastar_spark.codecs.pages import encode_dremel_column
+    from parquet4seastar_spark.codecs.parquet_file import DremelColumn
+
+    arr = pa.array(
+        [[[1, 2], [3]], None, [], [[4, None]]], type=pa.list_(pa.list_(pa.int64()))
+    )
+    path = str(tmp_path / "ours.parquet")
+    write_parquet_file(
+        path, {"ll": DremelColumn(encode_dremel_column(arr, policy="plain"))}, len(arr)
+    )
+    out = ParquetFileReader(path).read_column_tree("ll")
+    assert out.cast(arr.type).to_pylist() == arr.to_pylist()
+    # flat and single-list columns give the same result as read_column
+    flat = pa.array(["a", None, "c"])
+    p2 = str(tmp_path / "flat.parquet")
+    write_parquet_file(p2, {"t": encode_chunk(flat, policy="plain")}, len(flat))
+    r2 = ParquetFileReader(p2)
+    assert r2.read_column_tree("t").to_pylist() == r2.read_column("t").to_pylist()
