@@ -583,15 +583,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
     # ---- real-Parquet container interop: encode -> PAR1 file (Thrift page
-    # headers + footer) -> read back with OUR reader -> identity oracle
+    # headers + footer) -> read back with OUR reader -> identity oracle.
+    # Includes a NESTED column (struct via DremelColumn + read_column_tree:
+    # the general recursive container write+read path), projected to
+    # scalars for the compare harness.
     def roundtrip_parquet_file(spark, sf_dir):
         import tempfile
 
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        from parquet4seastar_spark.codecs.pages import encode_chunk
+        from parquet4seastar_spark.codecs.pages import encode_chunk, encode_dremel_column
         from parquet4seastar_spark.codecs.parquet_file import (
+            DremelColumn,
             ParquetFileReader,
             write_parquet_file,
         )
@@ -602,6 +606,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             c: encode_chunk(tbl.column(c).combine_chunks(), policy="auto_fast")
             for c in cols
         }
+        meta = pa.StructArray.from_arrays(
+            [tbl.column("lang").combine_chunks(), tbl.column("n_chars").combine_chunks()],
+            ["lang", "n_chars"],
+        )
+        chunks["meta"] = DremelColumn(encode_dremel_column(meta, policy="auto_fast"))
         with tempfile.TemporaryDirectory() as tmp:
             path = f"{tmp}/docs.parquet"
             write_parquet_file(path, chunks, tbl.num_rows)
@@ -611,6 +620,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 a = r.read_column(c)
                 want = tbl.column(c).type
                 arrays[c] = a.cast(want) if a.type != want else a
+            m = r.read_column_tree("meta")
+            arrays["m_lang"] = m.field("lang")
+            arrays["m_n"] = m.field("n_chars").cast(pa.int64())
             out = pa.table(arrays)
         return spark.createDataFrame(out.to_pandas())
 
@@ -1130,7 +1142,10 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, n_chars AS k, CAST(NULL AS VARCHAR) AS tok, CAST(NULL AS INT) AS pos "
         "FROM documents WHERE doc_id % 5 = 0"
     )
-    o["roundtrip_parquet_file"] = "SELECT doc_id, text, lang, n_chars FROM documents"
+    o["roundtrip_parquet_file"] = (
+        "SELECT doc_id, text, lang, n_chars, lang AS m_lang, n_chars AS m_n "
+        "FROM documents"
+    )
     o["export_parquet_roundtrip"] = "SELECT doc_id, text, lang, n_chars FROM documents"
     o["roundtrip_decimal"] = (
         "SELECT l_orderkey * 100 + l_linenumber AS rid, "
