@@ -8,19 +8,17 @@ run entirely JVM-side (whole-stage codegen, no Python stage in the plan):
 is the actual media decode (``decode_image``), which is where a real
 image/audio library would sit -- it is STUBBED (no such libs in this
 container): raises NotImplementedError unless ``fake=True``, in which case
-a deterministic fake decoder derives a thumbnail from the payload bytes,
-so the mapInPandas plumbing (schema, Arrow batch shape, UDF signature) is
-exercisable end-to-end.
+a deterministic fake decoder derives a thumbnail from the payload bytes
+with one vectorized numpy pass (mapInArrow; no per-row Python), so the
+plumbing (schema, Arrow batch shape, UDF signature) is exercisable
+end-to-end.
 """
 
 from __future__ import annotations
 
 from typing import Iterator
 
-import hashlib
-
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 MEDIA_SCHEMA = (
@@ -56,25 +54,65 @@ def decode_image(media: DataFrame, fake: bool = False) -> DataFrame:
     """Decode/resize stub.
 
     Real decode requires an image library not present in this container;
-    the Spark plumbing (schema, batch shape) is what this function pins.
-    ``fake=True`` derives a deterministic 8x8 'thumbnail' from the payload
-    hash so downstream feature-extraction plumbing can be tested.
+    the Spark plumbing (mapInArrow over the binary column, batch shape,
+    list<int> output schema) is what this function pins -- a real decoder
+    slots into the same UDF body.  ``fake=True`` derives a deterministic
+    8x8 'thumbnail' from a vectorized per-payload byte fold (one numpy
+    pass over the concatenated buffer, segment-reduced -- no per-row
+    Python) so downstream feature-extraction plumbing is testable.
     """
     if not fake:
         raise NotImplementedError(
             "media decode requires an image/audio library not available in "
             "this environment; run with fake=True for the deterministic stub"
         )
+    import pyarrow as pa
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            thumbs = []
-            for blob in pdf["media"]:
-                h = hashlib.sha256(bytes(blob)).digest()
-                thumbs.append(np.frombuffer((h * 2)[:64], dtype=np.uint8).astype(np.int32).tolist())
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "thumb8x8": thumbs})
+    def decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from parquet4seastar_spark import _alloc
 
-    return media.select("doc_id", "media").mapInPandas(decode, schema="doc_id long, thumb8x8 array<int>")
+        _alloc.tune_allocator()
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            tbl = pa.Table.from_batches([rb])
+            blobs = tbl.column("media").combine_chunks().cast(pa.large_binary())
+            n = len(blobs)
+            bufs = blobs.buffers()
+            offsets = np.frombuffer(bufs[1], dtype=np.int64, count=n + 1, offset=blobs.offset * 8)
+            data = (
+                np.frombuffer(bufs[2], dtype=np.uint8)
+                if bufs[2] is not None
+                else np.zeros(0, dtype=np.uint8)
+            )
+            starts = offsets[:-1] - offsets[0]
+            lens = np.diff(offsets)
+            seg = data[offsets[0] : offsets[-1]].astype(np.uint64)
+            # position-weighted fold per payload: digest_i = sum over the
+            # payload of byte * (pos_in_payload + 1) * PRIME, one reduceat
+            within = np.arange(len(seg), dtype=np.uint64) - np.repeat(
+                starts.astype(np.uint64), lens
+            )
+            val = seg * (within + np.uint64(1)) * np.uint64(1099511628211)
+            idx = np.minimum(starts, max(len(val) - 1, 0))
+            digests = (
+                np.add.reduceat(val, idx) if len(val) else np.zeros(n, dtype=np.uint64)
+            )
+            digests = np.where(lens > 0, digests, np.uint64(0))
+            # 8 bytes of digest tiled to an 8x8 thumbnail
+            shifts = (np.arange(64, dtype=np.uint64) % 8) * np.uint64(8)
+            thumb = ((digests[:, None] >> shifts[None, :]) & np.uint64(0xFF)).astype(np.int32)
+            flat = pa.array(thumb.reshape(-1), type=pa.int32())
+            offs = pa.py_buffer((np.arange(n + 1, dtype=np.int32) * 64).tobytes())
+            thumbs = pa.Array.from_buffers(pa.list_(pa.int32()), n, [None, offs], children=[flat])
+            yield pa.RecordBatch.from_arrays(
+                [tbl.column("doc_id").combine_chunks().cast(pa.int64()), thumbs],
+                names=["doc_id", "thumb8x8"],
+            )
+
+    return media.select("doc_id", "media").mapInArrow(
+        decode, schema="doc_id long, thumb8x8 array<int>"
+    )
 
 
 def frame_sample(media: DataFrame, every_n_bytes: int = 4096) -> DataFrame:
