@@ -260,7 +260,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # subtree + the main decode pass) and an unpersisted lineage would
         # re-run the ENTIRE encode job for the drop set (r3 bench regression;
         # at cluster scale the encoded table is a stored table and the drop
-        # set reads only its tiny chunk rows)
+        # set reads only its tiny chunk rows).  The cache deliberately lives
+        # for the session (decode is lazy, so there is no safe unpersist
+        # point inside this function); each invocation caches one small
+        # single-column pages frame, bounded by how often the harness runs
+        # the query (once or twice per session)
         enc = encode_table(
             src, columns=["n_chars"], salt_col="bucket", num_partitions=4,
             salt_target_rows=2000, size_col="bucket",
@@ -471,7 +475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- structs with nested container FIELDS in ONE encode job:
     # struct<a, tags:array<string>> (optional levels above the repeated
-    # level), struct<k, m:array<array<string>>> ('.#ll0'+'.#ll1' peel), and
+    # level), struct<k, m:array<array<string>>> (rep-2 leaf under a struct), and
     # map<string, struct<...>> (per-field value leaves sharing map offsets)
     def roundtrip_struct_fields(spark, sf_dir):
         from parquet4seastar_spark.engine.decode_job import decode_table

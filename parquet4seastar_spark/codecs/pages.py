@@ -688,17 +688,6 @@ def chunk_sha256(ptype, valid, values, lengths, payload) -> str:
 #   rep 0 starts a new row; rep 1 continues the current list.
 
 
-def _row_first_entry_defs(arr: pa.Array, def_all: np.ndarray) -> np.ndarray:
-    """Per-row def = the FIRST level entry's def.  A decoded list row
-    carries max(len, 1) entries (null/empty rows decode to length 0 but
-    still occupy one level entry)."""
-    lvl = pa.compute.list_value_length(arr)
-    lengths = np.asarray(lvl.fill_null(0) if arr.null_count else lvl).astype(np.int64)
-    counts = np.maximum(lengths, 1)
-    starts = np.zeros(len(arr), dtype=np.int64)
-    starts[1:] = np.cumsum(counts)[:-1]
-    return def_all[starts]
-
 
 def _check_field_name(name: str) -> None:
     """Leaf paths are dot-joined and '#list'/'#key'/'#value' are reserved
@@ -728,25 +717,11 @@ def _encode_list_chunk(
     compression: str,
     nullable: bool | None,
     elem_nullable: bool | None = None,
-    mid_valids: list[np.ndarray] | None = None,
-    field_optional: bool = False,
-    outer_defs: np.ndarray | None = None,
-    outer_opts: int = 0,
 ) -> EncodedChunk:
-    """``mid_valids`` (per element, cumulative: mids[j] implies mids[j-1])
-    adds one def level per enclosing struct for a leaf inside
-    list<struct<... struct<...>>> (file_writer.hh:50-81 applied per level):
-    with base = d_empty+1 (the repeated level), def = base + #present
-    struct levels (+1 for the value when ``field_optional``).  max_def =
-    base + len(mids) + field_optional — the geometry is recoverable from
-    metadata plus the leaf's path depth.
-
-    ``outer_defs``/``outer_opts`` handle the mirror shape — a LIST field
-    inside struct(s): ``outer_opts`` optional levels sit ABOVE the repeated
-    level (d_empty = outer_opts), and ``outer_defs`` gives each row's def
-    when it carries no elements (= the number of present outer levels; a
-    row at outer_defs == d_empty is a present-but-empty list).  Decoders
-    recover d_empty from the leaf's path depth (decode_struct_chunk)."""
+    """Single-repetition list<primitive> chunk with the STANDARD parquet
+    3-level geometry (file_writer.hh:50-81 level rule) -- the container
+    interop codec path.  Deeper/mixed nesting goes through the recursive
+    walker (encode_dremel_column)."""
     ptype, logical = pa_ptype(arr)
     n = len(arr)
     num_nulls = arr.null_count
@@ -762,20 +737,7 @@ def _encode_list_chunk(
         leaf = _decimal_to_physical(leaf, ptype)
     if elem_nullable is None:
         elem_nullable = leaf.null_count > 0
-    if mid_valids is not None:
-        elem_nullable = True
-        if outer_defs is not None:  # list<struct> nested INSIDE struct(s)
-            nullable = True
-            d_empty = outer_opts
-        else:
-            d_empty = 1 if nullable else 0
-        max_def = d_empty + 1 + len(mid_valids) + (1 if field_optional else 0)
-    elif outer_defs is not None:
-        nullable = True
-        d_empty = outer_opts
-        max_def = d_empty + 1 + (1 if elem_nullable else 0)
-    else:
-        max_def, d_empty = _list_level_geometry(nullable, elem_nullable)
+    max_def, d_empty = _list_level_geometry(nullable, elem_nullable)
     max_rep = 1
 
     row_valid = np.ones(n, dtype=bool) if num_nulls == 0 else np.asarray(arr.is_valid())
@@ -801,24 +763,13 @@ def _encode_list_chunk(
         dst = np.repeat(level_starts[has], g) + (
             np.arange(int(g.sum()), dtype=np.int64) - np.repeat(np.cumsum(g) - g, g)
         )
-        if mid_valids is not None:
-            base = d_empty + 1
-            elem_def = np.full(len(leaf), base, dtype=np.int64)
-            for m in mid_valids:
-                elem_def += m  # cumulative, so the sum is the prefix count
-            if field_optional:
-                elem_def += elem_valid  # elem_valid implies all mids valid
-        else:
-            elem_def = np.where(elem_valid, max_def, max_def - 1)
+        elem_def = np.where(elem_valid, max_def, max_def - 1)
         def_[dst] = elem_def.astype(np.uint64)
     empty_rows = ~has
     if empty_rows.any():
-        if outer_defs is not None:
-            def_[level_starts[empty_rows]] = outer_defs[empty_rows].astype(np.uint64)
-        else:
-            def_[level_starts[empty_rows]] = np.where(
-                row_valid[empty_rows], d_empty, 0
-            ).astype(np.uint64)
+        def_[level_starts[empty_rows]] = np.where(
+            row_valid[empty_rows], d_empty, 0
+        ).astype(np.uint64)
 
     # ---- paginate in ROW space by estimated bytes (elements + level entry)
     row_bytes = np.zeros(n, dtype=np.int64)
@@ -1278,7 +1229,7 @@ def _gather_dict_values(ptype: str, dict_entries, codes, len_parts, payload_part
 
 
 def decode_chunk(
-    chunk: EncodedChunk, *, _collect_levels: list | None = None, _d_empty: int | None = None
+    chunk: EncodedChunk,
 ) -> pa.Array:
     """Decode pages back into a (nullable) arrow array.
 
@@ -1286,13 +1237,11 @@ def decode_chunk(
     a DICTIONARY page loads the dictionary, DATA pages decode def levels then
     values; values exist only where def == max_def.  List chunks
     (max_rep > 0) go through Dremel record reassembly (_decode_list_chunk).
-    ``_collect_levels`` (internal): struct reassembly passes a list to
-    receive the raw per-page def-level arrays.
     """
     if chunk.max_rep == 2:
         return _decode_list2_chunk(chunk)
     if chunk.max_rep > 0:
-        return _decode_list_chunk(chunk, _collect_levels=_collect_levels, _d_empty=_d_empty)
+        return _decode_list_chunk(chunk)
     ptype = chunk.ptype
     max_def = chunk.max_def if chunk.max_def >= 0 else (1 if chunk.nullable else 0)
     dict_entries = None  # decoded dictionary in flat form
@@ -1310,8 +1259,6 @@ def decode_chunk(
             dict_size = page.num_values
             continue
         levels, consumed = decode_levels_v1(raw, max_def, page.num_values)
-        if _collect_levels is not None:
-            _collect_levels.append(levels)
         mask = levels == max_def if max_def else np.ones(page.num_values, dtype=bool)
         nn = int(mask.sum())
         body = memoryview(raw)[consumed:]
@@ -1489,26 +1436,20 @@ def _build_leaf_array(
 
 
 def _decode_list_chunk(
-    chunk: EncodedChunk, *, _collect_levels: list | None = None, _d_empty: int | None = None
+    chunk: EncodedChunk,
 ) -> pa.Array:
-    """Dremel record reassembly for one list column chunk.
+    """Dremel record reassembly for one list column chunk (standard
+    single-repetition geometry -- the container interop path; the engine's
+    nested columns reassemble via dremel.assemble instead).
 
     Mirrors record_reader list logic (record_reader.hh:272-297, 469-505):
     rep == 0 starts a row; def tells NULL list / empty list / NULL element /
     value.  Values decode through the same codec dispatch as flat chunks.
-    ``_collect_levels`` receives the per-page def arrays (list<struct>
-    reassembly reads struct-vs-field nullity off them).  ``_d_empty``
-    overrides the empty-list def level for chunks with extra optional
-    levels ABOVE the repeated one (a list field inside structs, where
-    d_empty = struct depth + 1 and only the reassembler knows the depth).
     """
     ptype = chunk.ptype
     max_def = chunk.max_def
     max_rep = chunk.max_rep
-    if _d_empty is not None:
-        d_empty = _d_empty
-    else:
-        _, d_empty = _list_level_geometry(chunk.nullable, chunk.elem_nullable)
+    _, d_empty = _list_level_geometry(chunk.nullable, chunk.elem_nullable)
     dict_entries = None
     dict_size = 0
 
@@ -1547,8 +1488,6 @@ def _decode_list_chunk(
                 fixed_parts.append(out)
         rep_parts.append(rep)
         def_parts.append(def_)
-        if _collect_levels is not None:
-            _collect_levels.append(def_)
 
     rep_all = np.concatenate(rep_parts) if rep_parts else np.zeros(0, dtype=np.int32)
     def_all = np.concatenate(def_parts) if def_parts else np.zeros(0, dtype=np.int32)
@@ -1673,12 +1612,6 @@ def chunk_content_sha(arr: pa.Array) -> str:
     return chunk_sha256(ptype, valid, values, lengths, payload)
 
 
-# ---------------------------------------------------------------------------
-# list<struct<...>> columns (token spans, annotated sequences): decomposed
-# into per-field LIST chunks sharing the outer offsets.  Element-side
-# struct levels (incl. nested annotation structs) each add one def level
-# via the mid_valids stack; optional fields add one more (the Dremel shape
-# record_reader.hh:272-336 / file_writer.hh:50-81 assemble recursively).
 
 
 

@@ -75,10 +75,10 @@ def _pa_type(logical: str) -> pa.DataType:
     return _PA_TYPES[logical]
 
 
-def _spark_ddl_of_pa(t: pa.DataType) -> str:
+def _spark_type_of_pa(t: pa.DataType):
     from pyspark.sql.pandas.types import from_arrow_type
 
-    return from_arrow_type(t).simpleString()
+    return from_arrow_type(t)
 
 
 _META_FIELDS = (
@@ -196,10 +196,11 @@ def decode_table(
     """Decode the given columns from a pages DataFrame.
 
     Returns a DataFrame (row_id, *columns).  Output types follow the chunk
-    metadata (logical types).  ``schema`` (column -> logical type) skips
-    discovery entirely; otherwise logical types are read from the tiny
-    ``kind='chunk'`` lineage rows (one row per chunk, payload column never
-    touched) -- not from a scan of the page rows.
+    metadata (logical types).  ``schema`` (leaf name -> logical type, or
+    -> (logical, type_length) for FLBA leaves) skips discovery entirely;
+    otherwise logical types are read from the tiny ``kind='chunk'`` lineage
+    rows (one row per chunk, payload column never touched) -- not from a
+    scan of the page rows.
     """
     # nested columns are stored as '<col>#g<i>' dremel leaf chunks
     name_filter = F.col("column").isin(["row_id", *columns])
@@ -216,7 +217,11 @@ def decode_table(
             .collect()
         }
     else:
-        schema = {c: (lg, 0) for c, lg in schema.items()}
+        # values may be 'logical' or ('logical', type_length) -- FLBA leaves
+        # need the width to build their target type
+        schema = {
+            c: (v if isinstance(v, tuple) else (v, 0)) for c, v in schema.items()
+        }
 
     # requested column -> None (scalar / plain-list leaf) or the ordered
     # dremel leaf list [(leaf_name, path, leaf_logical, type_length)]
@@ -242,12 +247,21 @@ def decode_table(
         )
         return tree_arrow_type(tree)
 
-    def _spark_col_type(c: str) -> str:
-        if members[c] is None:
-            return _spark_type(schema[c][0])
-        return _spark_ddl_of_pa(_target_pa(c))
+    # build the output schema as a real StructType (a DDL string would need
+    # backtick-escaping of every nested field name; types.from_arrow_type
+    # sidesteps parsing entirely)
+    from pyspark.sql.types import LongType, StructField, StructType
+    from pyspark.sql.types import _parse_datatype_string
 
-    out_schema = ", ".join(["row_id long"] + [f"`{c}` {_spark_col_type(c)}" for c in columns])
+    def _spark_col_type(c: str):
+        if members[c] is None:
+            return _parse_datatype_string(_spark_type(schema[c][0]))
+        return _spark_type_of_pa(_target_pa(c))
+
+    out_schema = StructType(
+        [StructField("row_id", LongType())]
+        + [StructField(c, _spark_col_type(c)) for c in columns]
+    )
     cols = columns
     logicals = schema
     targets = {c: _target_pa(c) for c in columns if members[c] is not None}

@@ -335,10 +335,10 @@ def encode_table(
             f"(input has {df.columns}; defaults cover {DATA_COLUMNS})"
         )
     for c in ["row_id", *columns]:
-        # leaf names are built as '<col>.<i>.<field>' / '<col>.#key' etc.:
-        # a top-level column named with '.' or '#' would silently
-        # restructure on decode (review finding) — fail fast, like struct
-        # field names do at the codec layer
+        # nested leaf names are built as '<col>#g<i>' (and dremel field
+        # paths are dot-joined): a top-level column named with '.' or '#'
+        # would silently misroute on decode — fail fast, like struct field
+        # names do at the codec layer
         if "." in c or "#" in c:
             raise ValueError(
                 f"column name {c!r} collides with the dot-joined leaf path "

@@ -251,6 +251,7 @@ def connected_components(
     )
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn("rep", F.col("id"))
     labels = labels.persist()
+    prev_checkpointed = False
     for it in range(max_iter):
         nbr = (
             edges.join(
@@ -263,7 +264,8 @@ def connected_components(
             "id",
             F.least(F.col("rep"), F.coalesce("min_nbr", F.col("rep"))).alias("rep"),
         )
-        if (it + 1) % checkpoint_interval == 0:
+        checkpointed = (it + 1) % checkpoint_interval == 0
+        if checkpointed:
             new_labels = new_labels.localCheckpoint(eager=True)
         else:
             new_labels = new_labels.persist()
@@ -273,8 +275,12 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
+        if not prev_checkpointed:
+            # unpersist is a no-op on localCheckpoint blocks (those are
+            # released by the ContextCleaner once the frame is unreferenced)
+            labels.unpersist()
         labels = new_labels
+        prev_checkpointed = checkpointed
         if changed == 0:
             break
     edges.unpersist()

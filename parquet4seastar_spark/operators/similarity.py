@@ -235,8 +235,10 @@ def embedding_near_dups(
         # PERSISTED ids-only signature frame (it materializes here instead of
         # at the first size aggregation -- same total work, one fewer scan of
         # the vectors), then MASK the packed bucket down to the effective
-        # bits.  Masking keeps the low `eff` hyperplane signs, identical to
-        # having computed bits=eff up front.
+        # bits.  Masking keeps the low `eff` signs of THIS plane layout --
+        # not the same hyperplanes a direct bits=eff run would draw (plane
+        # layout depends on the packed width), but any random planes are
+        # valid LSH and the sign-preservation guarantees are unchanged.
         hi = 24
         sig = banded_hyperplane_buckets(
             embeddings, bands=bands, bits=hi, seed=seed, extra_bits=split_bits,

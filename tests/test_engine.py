@@ -353,3 +353,33 @@ def test_export_parquet_files_nested_columns(spark, tmp_path):
     )
     assert got.count() == src.count()
     assert src.exceptAll(got).count() == 0 and got.exceptAll(src).count() == 0
+
+
+def test_decode_nested_field_names_with_spaces(spark):
+    """Nested field names that aren't plain identifiers survive the decode
+    schema hand-off (the output schema is a real StructType, never a DDL
+    string that would need backtick escaping)."""
+    import pyspark.sql.functions as F
+
+    from parquet4seastar_spark.engine.decode_job import decode_table
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.col("doc_id").alias("row_id"),
+        F.struct(
+            F.col("lang").alias("my lang"), F.col("n_chars").alias("char-count")
+        ).alias("meta"),
+        "source",
+    )
+    enc = encode_table(
+        docs, columns=["meta"], policy="plain", salt_col="source",
+        num_partitions=2, salt_target_rows=2000,
+    )
+    dec = decode_table(enc, ["meta"])
+    got = dec.select(
+        "row_id",
+        F.col("meta").getField("my lang").alias("l"),
+        F.col("meta").getField("char-count").alias("n"),
+    )
+    src = docs.select("row_id", F.col("meta").getField("my lang").alias("l"),
+                      F.col("meta").getField("char-count").alias("n"))
+    assert got.exceptAll(src).count() == 0 and src.exceptAll(got).count() == 0
