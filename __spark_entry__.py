@@ -882,19 +882,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # cosines top out ~0.6) -- so the rank-1 neighbor of each query is
     # itself.  That subset is the checked projection (oracle: identity rows);
     # full top-k recall is pytest-gated against brute force.
-    def ann_lsh(spark, sf_dir):
+    def ann_indexed(spark, sf_dir):
+        # BOTH approximate indexes in one checked row: LSH and IVF rank-1
+        # neighbors side by side (each must be the query itself)
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        topk = similarity.lsh_topk(emb, _queries_df(spark, sf_dir), k=5, bits=4)
-        return topk.filter(F.col("rank") == 1).select("query_id", "neighbor_id")
+        qdf = _queries_df(spark, sf_dir)
+        lsh = (
+            similarity.lsh_topk(emb, qdf, k=5, bits=4)
+            .filter(F.col("rank") == 1)
+            .select("query_id", F.col("neighbor_id").alias("lsh_neighbor"))
+        )
+        ivf = (
+            similarity.ivf_topk(emb, qdf, k=5, n_clusters=8, n_probe=4)
+            .filter(F.col("rank") == 1)
+            .select("query_id", F.col("neighbor_id").alias("ivf_neighbor"))
+        )
+        return lsh.join(ivf, "query_id")
 
-    q["ann_lsh_topk"] = ann_lsh
-
-    def ann_ivf(spark, sf_dir):
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        topk = similarity.ivf_topk(emb, _queries_df(spark, sf_dir), k=5, n_clusters=8, n_probe=4)
-        return topk.filter(F.col("rank") == 1).select("query_id", "neighbor_id")
-
-    q["ann_ivf_topk"] = ann_ivf
+    q["ann_indexed_topk"] = ann_indexed
 
     def embedding_near_dups(spark, sf_dir):
         # plant near-duplicates by positive scaling (cosine 1.0, and signs --
@@ -961,6 +966,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return all_docs.join(drop, "doc_id", "left_anti").select("doc_id")
 
     q["dedup_filtered_corpus"] = dedup_filtered_corpus
+
+    # ---- benchmark decontamination: planted 24-char canaries; the
+    # blocklist's shingles broadcast, the corpus never shuffles its text.
+    # A 24-char blocklist entry has exactly ONE 24-shingle (itself), so
+    # contaminated <=> the doc contains that exact substring — one SQL
+    # contains() for the oracle.
+    def decontaminate_docs(spark, sf_dir):
+        canary = "XQZ-BENCHMARK-CANARY-001"
+        absent = "XQZ-BENCHMARK-CANARY-002"
+        tainted = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.concat(
+                "text",
+                F.when(F.col("doc_id") % 9 == 0, F.lit(" " + canary)).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        blocklist = spark.createDataFrame([(canary,), (absent,)], ["text"])
+        return dedup.decontaminate(tainted, blocklist, shingle_k=24)
+
+    q["decontaminate"] = decontaminate_docs
+
+    # ---- sequence packing: fixed-token-budget bins, per-stratum prefix sums
+    q["pack_sequences"] = lambda spark, sf_dir: text.pack_sequences(
+        _docs(spark, sf_dir), max_tokens=500
+    )
 
     # ---- multimodal plumbing (deterministic fake decode; SQL-oracled meta)
     def multimodal_ingest(spark, sf_dir):
@@ -1283,11 +1313,23 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_ngram_jaccard"] = _planted_pairs
     # self-match invariant: each query vector is drawn from the corpus and is
     # its own rank-1 neighbor under cosine (see queries() comment)
-    _self_match = (
-        "SELECT vec_id AS query_id, vec_id AS neighbor_id FROM embeddings WHERE vec_id < 5"
+    o["ann_indexed_topk"] = (
+        "SELECT vec_id AS query_id, vec_id AS lsh_neighbor, vec_id AS ivf_neighbor "
+        "FROM embeddings WHERE vec_id < 5"
     )
-    o["ann_lsh_topk"] = _self_match
-    o["ann_ivf_topk"] = _self_match
+    o["decontaminate"] = (
+        "SELECT doc_id, "
+        "CASE WHEN doc_id % 9 = 0 THEN 1 ELSE 0 END AS n_hits, "
+        "doc_id % 9 = 0 AS contaminated FROM documents"
+    )
+    o["pack_sequences"] = (
+        "SELECT doc_id, lang, "
+        "len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens, "
+        "CAST(floor(coalesce(sum(len(regexp_split_to_array(trim(text), '\\s+'))) "
+        "OVER (PARTITION BY lang ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 500) AS BIGINT) "
+        "AS seq_bin FROM documents"
+    )
     o["ann_bruteforce_topk"] = """
         WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
         scored AS (

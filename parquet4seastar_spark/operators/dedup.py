@@ -429,3 +429,77 @@ def ngram_jaccard_dedup(
 
     out = joined.mapInArrow(exact, schema="doc_a long, doc_b long, jaccard double")
     return out.filter(F.col("jaccard") >= threshold)
+
+
+def _shingle_hashes(
+    df: DataFrame, shingle_k: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, shingle): exploded per-doc UNIQUE k-shingle hashes (sentinel 0
+    rows for null/short docs included; callers filter them)."""
+
+    def compute(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from parquet4seastar_spark import _alloc
+
+        _alloc.tune_allocator()
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            starts, counts, h = _shingle_stream(_batch_text(rb, text_col), shingle_k)
+            ids = np.repeat(
+                np.asarray(
+                    pa.Table.from_batches([rb]).column(id_col).combine_chunks().cast(pa.int64())
+                ),
+                counts,
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, type=pa.int64()),
+                    pa.array(h.view(np.int64), type=pa.int64()),
+                ],
+                names=[id_col, "shingle"],
+            )
+
+    return df.select(id_col, text_col).mapInArrow(
+        compute, schema=f"{id_col} long, shingle long"
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    shingle_k: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_hits, contaminated): flag documents sharing any k-byte
+    n-gram with a benchmark/blocklist corpus — the decontamination pass a
+    training-data pipeline runs so evaluation data never leaks into
+    training data.
+
+    Scale shape: the blocklist's distinct shingle set is tiny relative to
+    the corpus (benchmarks are MBs against 100 TB), so it BROADCASTS; each
+    document's shingles match map-side (the inner broadcast join keeps only
+    matching rows — near-zero at contamination rates), and one doc-keyed
+    aggregate counts hits.  The corpus text itself never shuffles.
+    ``n_hits`` counts the document's distinct matching shingles.
+    """
+    doc_sh = _shingle_hashes(docs, shingle_k, id_col, text_col).filter(
+        F.col("shingle") != 0
+    )
+    bl = blocklist.select(
+        F.monotonically_increasing_id().alias("_bid"), F.col(text_col)
+    )
+    bl_sh = (
+        _shingle_hashes(bl, shingle_k, "_bid", text_col)
+        .filter(F.col("shingle") != 0)
+        .select("shingle")
+        .distinct()
+    )
+    hits = doc_sh.join(F.broadcast(bl_sh), "shingle").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return docs.select(id_col).join(hits, id_col, "left").select(
+        id_col,
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+    )

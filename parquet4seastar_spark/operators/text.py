@@ -210,3 +210,39 @@ def top_terms_by_lang(docs: DataFrame, k: int = 5) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("lang", "term", "cnt", "rank")
     )
+
+
+def pack_sequences(
+    docs: DataFrame, max_tokens: int = 2048, strata_col: str = "lang",
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, <strata>, n_tokens, seq_bin): contiguous sequence packing —
+    the step that groups documents into fixed-token-budget training
+    sequences.  A document is assigned to the bin where its tokens START:
+    seq_bin = floor(exclusive_prefix_sum(n_tokens) / max_tokens) in id
+    order WITHIN its stratum.
+
+    Scale shape: the running sum is a window per STRATUM, so the sort
+    parallelizes across strata instead of serializing on one global
+    ordering (at 100 TB a single total order is the bottleneck; packing
+    within a partition key is what pipelines do anyway so sequences stay
+    domain-coherent).  Deterministic: same input -> same bins on any
+    cluster size.
+    """
+    from pyspark.sql import Window
+
+    n_tok = F.size(F.split(F.trim(text_col), r"\s+"))
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        docs.select(id_col, strata_col, n_tok.alias("n_tokens"))
+        .withColumn(
+            "seq_bin",
+            F.floor(
+                F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / F.lit(max_tokens)
+            ).cast("long"),
+        )
+    )

@@ -491,3 +491,46 @@ def test_connected_components_long_chain_checkpointed(spark):
     assert len(rows) == 51
     assert all(r["rep"] == 0 for r in rows)
     comps.unpersist()
+
+
+def test_decontaminate_planted_canaries(spark, docs):
+    from parquet4seastar_spark.operators.dedup import decontaminate
+
+    canary = "XQZ-BENCHMARK-CANARY-001"
+    absent = "XQZ-BENCHMARK-CANARY-002"
+    assert len(canary) == 24 and len(absent) == 24
+    tainted = docs.select(
+        "doc_id",
+        F.concat(
+            "text",
+            F.when(F.col("doc_id") % 9 == 0, F.lit(" " + canary)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    blocklist = spark.createDataFrame([(canary,), (absent,)], ["text"])
+    out = {r["doc_id"]: (r["n_hits"], r["contaminated"])
+           for r in decontaminate(tainted, blocklist, shingle_k=24).collect()}
+    for did, (n, c) in out.items():
+        if did % 9 == 0:
+            assert c and n >= 1, did
+        else:
+            assert not c and n == 0, did
+    # the broadcast side is the blocklist: corpus text never shuffles
+    from parquet4seastar_spark.operators.dedup import decontaminate as _d
+    plan = _d(tainted, blocklist, shingle_k=24)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_pack_sequences_contiguous_budget(spark, docs):
+    from parquet4seastar_spark.operators.text import pack_sequences
+
+    out = pack_sequences(docs, max_tokens=500).collect()
+    by_lang = {}
+    for r in sorted(out, key=lambda r: (r["lang"], r["doc_id"])):
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rows in by_lang.items():
+        run = 0
+        for r in rows:
+            assert r["seq_bin"] == run // 500, (lang, r)
+            run += r["n_tokens"]
+        # bins are non-decreasing and start at 0
+        assert rows[0]["seq_bin"] == 0
