@@ -1324,8 +1324,8 @@ def oracle_sql() -> dict[str, str]:
     )
     o["pack_sequences"] = (
         "SELECT doc_id, lang, "
-        "len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens, "
-        "CAST(floor(coalesce(sum(len(regexp_split_to_array(trim(text), '\\s+'))) "
+        "len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+')) AS n_tokens, "
+        "CAST(floor(coalesce(sum(len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'))) "
         "OVER (PARTITION BY lang ORDER BY doc_id "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 500) AS BIGINT) "
         "AS seq_bin FROM documents"

@@ -446,10 +446,7 @@ def _shingle_hashes(
                 continue
             starts, counts, h = _shingle_stream(_batch_text(rb, text_col), shingle_k)
             ids = np.repeat(
-                np.asarray(
-                    pa.Table.from_batches([rb]).column(id_col).combine_chunks().cast(pa.int64())
-                ),
-                counts,
+                np.asarray(_batch_text(rb, id_col).cast(pa.int64())), counts
             )
             yield pa.RecordBatch.from_arrays(
                 [

@@ -231,7 +231,11 @@ def pack_sequences(
     """
     from pyspark.sql import Window
 
-    n_tok = F.size(F.split(F.trim(text_col), r"\s+"))
+    # coalesce NULL text: size(split(NULL)) is -1 under Spark's legacy
+    # sizeOfNull, which would silently corrupt the prefix sums (negative
+    # bins); an empty doc counts as 1 token, same as the '' convention in
+    # dedup's shingle stream
+    n_tok = F.size(F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"))
     w = (
         Window.partitionBy(strata_col)
         .orderBy(id_col)

@@ -532,5 +532,17 @@ def test_pack_sequences_contiguous_budget(spark, docs):
         for r in rows:
             assert r["seq_bin"] == run // 500, (lang, r)
             run += r["n_tokens"]
-        # bins are non-decreasing and start at 0
-        assert rows[0]["seq_bin"] == 0
+
+
+def test_pack_sequences_null_text(spark):
+    """NULL text must not poison the prefix sums (size(split(NULL)) is -1
+    in Spark): nulls count as one empty token, bins stay non-negative."""
+    from parquet4seastar_spark.operators.text import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, "en", "a b c"), (2, "en", None), (3, "en", "d e")],
+        ["doc_id", "lang", "text"],
+    )
+    rows = {r["doc_id"]: r for r in pack_sequences(df, max_tokens=4).collect()}
+    assert rows[2]["n_tokens"] == 1
+    assert rows[1]["seq_bin"] == 0 and rows[2]["seq_bin"] == 0 and rows[3]["seq_bin"] == 1
