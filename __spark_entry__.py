@@ -675,8 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
-    q["lineage_audit"] = lineage_audit
-
+    
     # ---- DECIMAL logical type: all three physical mappings
     # (p<=9 -> INT32, p<=18 -> INT64, else FLBA big-endian two's complement)
     def roundtrip_decimal(spark, sf_dir):
@@ -732,8 +731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return metrics_summary(enc)
 
-    q["encode_metrics_documents"] = encode_metrics_documents
-
+    
     def encode_metrics_source_repos(spark, sf_dir):
         from parquet4seastar_spark.engine.encode_job import encode_table
         from parquet4seastar_spark.engine.generator import generate_source_repos
@@ -743,8 +741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         enc = encode_table(src, policy="auto", num_partitions=4)
         return metrics_summary(enc)
 
-    q["encode_metrics_source_repos"] = encode_metrics_source_repos
-
+    
     # ---- documents stats (SQL-oracled)
     def doc_stats_by_lang(spark, sf_dir):
         return (
@@ -816,8 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["dedup_minhash_lsh"] = dedup_minhash_lsh
-    q["dedup_simhash"] = lambda spark, sf_dir: dedup.simhash(_docs(spark, sf_dir))
-
+    
     def dedup_simhash_pairs(spark, sf_dir):
         # planted exact duplicates: identical text -> identical fingerprint
         # -> hamming 0, and by pigeonhole the banded join is GUARANTEED to
@@ -1046,6 +1042,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             enc = spark.read.parquet(f"{tmp}/out")
             return metrics_summary(enc).select("column", "rows", "chunks").localCheckpoint()
 
+    # ---- rows-only queries register LAST: every oracled query stays
+    # inside the driver's ~50-entry CORRECTNESS window regardless of the
+    # exact cap
+    q["lineage_audit"] = lineage_audit
+    q["encode_metrics_documents"] = encode_metrics_documents
+    q["encode_metrics_source_repos"] = encode_metrics_source_repos
+    q["dedup_simhash"] = lambda spark, sf_dir: dedup.simhash(_docs(spark, sf_dir))
     q["stream_encode_smoke"] = stream_encode_smoke
 
     def stream_dedup_smoke(spark, sf_dir):
