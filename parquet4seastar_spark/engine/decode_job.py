@@ -191,7 +191,11 @@ def prune_chunks(
 
 
 def decode_table(
-    encoded: DataFrame, columns: list[str], *, schema: dict[str, str] | None = None
+    encoded: DataFrame,
+    columns: list[str],
+    *,
+    schema: dict[str, str] | None = None,
+    include_part_key: bool = False,
 ) -> DataFrame:
     """Decode the given columns from a pages DataFrame.
 
@@ -258,8 +262,11 @@ def decode_table(
             return _parse_datatype_string(_spark_type(schema[c][0]))
         return _spark_type_of_pa(_target_pa(c))
 
+    from pyspark.sql.types import StringType
+
     out_schema = StructType(
-        [StructField("row_id", LongType())]
+        ([StructField("_part_key", StringType())] if include_part_key else [])
+        + [StructField("row_id", LongType())]
         + [StructField(c, _spark_col_type(c)) for c in columns]
     )
     cols = columns
@@ -276,6 +283,10 @@ def decode_table(
             by_col.setdefault(c, []).append(i)
         out_arrays = [decode_chunk(_rebuild_chunk(tbl, by_col["row_id"])).cast(pa.int64())]
         names = ["row_id"]
+        if include_part_key:
+            pk = tbl.column("part_key")[0].as_py()
+            out_arrays.insert(0, pa.array([pk] * len(out_arrays[0]), type=pa.string()))
+            names.insert(0, "_part_key")
         for c in cols:
             if members[c] is None:
                 arr = decode_chunk(_rebuild_chunk(tbl, by_col[c]))

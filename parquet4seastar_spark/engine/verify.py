@@ -38,6 +38,72 @@ def roundtrip_verify(source: DataFrame, encoded: DataFrame, columns: list[str]) 
     return totals
 
 
+def roundtrip_verify_fast(
+    source: DataFrame, encoded: DataFrame, columns: list[str], salt_col: str = "repo"
+) -> DataFrame:
+    """Round-trip verification WITHOUT any row-level shuffle of the values
+    (the stretch goal PLANS.md §2 flags: the classic verify join shuffles
+    BOTH sides on row_id — two full passes over the value bytes at 100 TB).
+
+    Per-part_key COMMUTATIVE content hashes instead: each side computes
+    sum(xxhash64(row_id, values) mod 2^31) grouped by part_key — a
+    multiset hash, so row order inside a partition is irrelevant.
+
+    - source side: part_key is recomputed from the LINEAGE's own key space
+      (bucket counts = max salt per key + 1, a tiny broadcast), then the
+      aggregate partial-combines map-side: only one (part_key, hash, count)
+      row per task reaches the shuffle.
+    - decoded side: decode emits part_key with each row and the frame is
+      already partitioned by it, so the aggregate is map-side too.
+    The final equality join runs over one row per part_key (tiny).
+    Overflow-safe by construction: per-key row counts are bounded by the
+    salt target (~2^14) and each term < 2^31, so sums stay < 2^45.
+
+    Returns (part_key, rows_src, rows_dec, match) — every row must have
+    match = true.
+    """
+    from .decode_job import decode_table
+
+    chunk_keys = (
+        encoded.filter(F.col("kind") == "chunk").select("part_key").distinct()
+    )
+    sep = F.expr("substring_index(part_key, '#', -1)")
+    buckets = (
+        chunk_keys.withColumn("_salt", sep.cast("int"))
+        .withColumn("_key", F.expr("substring(part_key, 1, length(part_key) - length(substring_index(part_key, '#', -1)) - 1)"))
+        .groupBy("_key")
+        .agg((F.max("_salt") + 1).alias("_salt_buckets"))
+    )
+    src = source.join(
+        F.broadcast(buckets), F.col(salt_col).cast("string") == F.col("_key")
+    ).withColumn(
+        "_part_key",
+        F.concat_ws("#", F.col(salt_col), F.pmod(F.xxhash64("row_id"), F.col("_salt_buckets")).cast("int")),
+    )
+
+    def side_hash(df):
+        h = F.pmod(F.xxhash64("row_id", *columns), F.lit(1 << 31))
+        return df.groupBy("_part_key").agg(
+            F.sum(h).alias("_h"), F.count(F.lit(1)).alias("_n")
+        )
+
+    s = side_hash(src)
+    d = side_hash(decode_table(encoded, columns, include_part_key=True))
+    return (
+        s.alias("s")
+        .join(d.alias("d"), "_part_key", "full_outer")
+        .select(
+            F.col("_part_key").alias("part_key"),
+            F.col("s._n").alias("rows_src"),
+            F.col("d._n").alias("rows_dec"),
+            (
+                F.col("s._h").eqNullSafe(F.col("d._h"))
+                & F.col("s._n").eqNullSafe(F.col("d._n"))
+            ).alias("match"),
+        )
+    )
+
+
 def audit_lineage(encoded: DataFrame) -> DataFrame:
     """Self-contained integrity audit: decode every chunk, recompute its
     content sha256 and compare against the lineage -- detects bit rot /

@@ -383,3 +383,46 @@ def test_decode_nested_field_names_with_spaces(spark):
     src = docs.select("row_id", F.col("meta").getField("my lang").alias("l"),
                       F.col("meta").getField("char-count").alias("n"))
     assert got.exceptAll(src).count() == 0 and src.exceptAll(got).count() == 0
+
+
+def test_roundtrip_verify_fast_no_row_shuffle(spark):
+    """Shuffle-free verify (PLANS.md §2 stretch): per-part_key commutative
+    hashes match on clean data, catch a corrupted page, and the physical
+    plan contains NO exchange of the decoded row values — only the tiny
+    partial-aggregate and final per-key joins."""
+    import pyspark.sql.functions as F
+
+    from parquet4seastar_spark.engine.encode_job import encode_table
+    from parquet4seastar_spark.engine.verify import roundtrip_verify_fast
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.col("doc_id").alias("row_id"), "text", "n_chars", "source"
+    )
+    enc = encode_table(
+        docs, columns=["text", "n_chars"], policy="plain", salt_col="source",
+        num_partitions=2, salt_target_rows=2000,
+    ).cache()
+    out = roundtrip_verify_fast(docs, enc, ["text", "n_chars"], salt_col="source")
+    rows = out.collect()
+    assert rows and all(r["match"] for r in rows)
+    assert sum(r["rows_src"] for r in rows) == docs.count()
+    # plan: the decoded side aggregates in place -- no Exchange between the
+    # decode (FlatMapGroupsIn*) and its partial aggregate
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # plans print parents above children: the segment between the decode's
+    # partial HashAggregate (nearest above) and the FlatMapGroupsIn node
+    # must carry no Exchange -- the page-grouping shuffle BELOW the decode
+    # is decode's own and inherent
+    pre = plan[: plan.index("FlatMapGroupsIn")]
+    last_agg = pre.rindex("HashAggregate")
+    assert "Exchange" not in pre[last_agg:], pre[last_agg:]
+    # corruption detection: flip a byte in one text page
+    pdf = enc.toPandas()
+    target = pdf[(pdf["kind"] == "page") & (pdf["column"] == "text")].index[0]
+    blob = bytearray(pdf.at[target, "data"])
+    blob[len(blob) // 2] ^= 0x01
+    pdf.at[target, "data"] = bytes(blob)
+    corrupted = spark.createDataFrame(pdf, schema=enc.schema)
+    bad = roundtrip_verify_fast(docs, corrupted, ["text", "n_chars"], salt_col="source")
+    assert bad.filter(~F.col("match")).count() >= 1
+    enc.unpersist()
