@@ -110,14 +110,29 @@ def cmd_decode(args):
 
 
 def cmd_verify(args):
-    from parquet4seastar_spark.engine.verify import roundtrip_verify
+    import pyspark.sql.functions as F
+
+    from parquet4seastar_spark.engine.verify import roundtrip_verify, roundtrip_verify_fast
 
     spark = _spark(args)
     source = spark.read.parquet(args.source)
+    if "row_id" not in source.columns:
+        # same synthesis as cmd_encode, so the ids line up deterministically
+        source = source.withColumn("row_id", F.xxhash64(*source.columns))
     encoded = spark.read.parquet(args.encoded)
-    res = roundtrip_verify(source, encoded, args.columns.split(",")).collect()[0]
-    print(dict(res.asDict()))
-    bad = sum(v for k, v in res.asDict().items() if k.endswith("_mismatches"))
+    cols = args.columns.split(",")
+    if args.fast:
+        # shuffle-free per-part_key commutative hashes (the 100 TB path);
+        # the row-level join stays the default for pinpointing divergences
+        rows = roundtrip_verify_fast(source, encoded, cols, salt_col=args.salt_col).collect()
+        bad = [r for r in rows if not r["match"]]
+        print({"part_keys": len(rows), "mismatched": len(bad)})
+        for r in bad[:20]:
+            print(dict(r.asDict()))
+    else:
+        res = roundtrip_verify(source, encoded, cols).collect()[0]
+        print(dict(res.asDict()))
+        bad = sum(v for k, v in res.asDict().items() if k.endswith("_mismatches"))
     spark.stop()
     sys.exit(1 if bad else 0)
 
@@ -180,6 +195,9 @@ def main():
     p.add_argument("--source", required=True)
     p.add_argument("--encoded", required=True)
     p.add_argument("--columns", required=True)
+    p.add_argument("--fast", action="store_true",
+                   help="shuffle-free per-part_key hash verify (100 TB path)")
+    p.add_argument("--salt-col", default="repo")
     p.set_defaults(fn=cmd_verify)
 
     p = sub.add_parser("metrics")
