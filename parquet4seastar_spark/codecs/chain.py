@@ -43,16 +43,18 @@ def chain_visit(nxt: np.ndarray, start: int = 0) -> np.ndarray:
     return np.flatnonzero(visited)
 
 
-def chain_visit_bounded(mlen: np.ndarray, max_jump: int = 8, block: int = 256) -> np.ndarray:
+def chain_visit_bounded(mlen: np.ndarray, max_jump: int = 8, block: int = 96) -> np.ndarray:
     """Enumerate the chain ``pos -> pos + mlen[pos]`` from 0, for jump
     lengths bounded by ``max_jump`` (< block).
 
     Two-level scheme that keeps every pass cache-resident instead of the
     O(log n) whole-array gather compositions of :func:`chain_visit`:
 
-    1. per 256-byte block, compute ``exit[i]`` (first position >= block end
-       reached from i) with a backward sweep -- 256 vectorized passes over
-       (n/256)-element columns;
+    1. per block, compute ``exit[i]`` (first position >= block end reached
+       from i) with a backward sweep -- ``block`` vectorized passes over
+       (n/block)-element columns.  The sweep's cost is numpy CALL overhead
+       times ``block`` plus gather work; block=96 measured fastest on
+       256 KiB segments (17% over 256);
     2. bounded jumps mean every block is entered at an offset < max_jump, so
        block entry offsets live in a (n/256 x max_jump) graph; enumerate it
        with pointer doubling (tiny);

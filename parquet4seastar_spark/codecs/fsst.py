@@ -29,7 +29,8 @@ from .chain import chain_visit_bounded
 __all__ = ["train_symbol_table", "fsst_encode", "fsst_decode", "SymbolTable"]
 
 _ESCAPE = 255
-_MAX_SYMBOLS = 254
+_MAX_SYMBOLS = 254  # codes 0..253; 254 = lut2 miss sentinel, 255 = escape
+_SENTINEL = 254
 _MAX_LEN = 8
 _MASKS = np.array([(1 << (8 * L)) - 1 for L in range(9)], dtype=np.uint64)
 
@@ -47,9 +48,16 @@ class SymbolTable:
         self.vals_by_code[: self.n] = self.values
         self.lens_by_code[: self.n] = self.lengths
         self.mask_by_code = _MASKS[self.lens_by_code.astype(np.int64)]  # (256,) uint64
-        # encoder lookup tables
-        self.lut1 = np.full(256, -1, dtype=np.int16)
-        self.lut2 = np.full(65536, -1, dtype=np.int16)
+        # encoder lookup tables: misses map to SENTINEL codes instead of -1,
+        # so _match needs no miss-test passes -- lut1 miss is the escape code
+        # directly, and the lut2 sentinel's (mask=0, vals=~0) entry makes the
+        # window compare unconditionally false.  uint8 LUTs also halve the
+        # 2-byte table to 64 KiB (L2-resident during the gather).
+        self.vals_by_code[_SENTINEL] = np.uint64(0xFFFFFFFFFFFFFFFF)
+        self.mask_by_code[_SENTINEL] = np.uint64(0)
+        self.lens_by_code[_SENTINEL] = 1
+        self.lut1 = np.full(256, _ESCAPE, dtype=np.uint8)
+        self.lut2 = np.full(65536, _SENTINEL, dtype=np.uint8)
         for code in range(self.n):
             ln = int(self.lengths[code])
             v = int(self.values[code])
@@ -58,8 +66,8 @@ class SymbolTable:
             else:
                 prefix = v & 0xFFFF
                 # keep the longest symbol per prefix (ties: first=highest gain)
-                cur = self.lut2[prefix]
-                if cur < 0 or int(self.lens_by_code[cur]) < ln:
+                cur = int(self.lut2[prefix])
+                if cur == _SENTINEL or int(self.lens_by_code[cur]) < ln:
                     self.lut2[prefix] = code
         # decode support: matrix of symbol bytes in code order
         mat = np.zeros((256, _MAX_LEN), dtype=np.uint8)
@@ -118,19 +126,16 @@ def _match(data: np.ndarray, win: np.ndarray, table: SymbolTable) -> tuple[np.nd
     nxt_byte[: n - 1] = data[1:]
     nxt_byte[n - 1] = 0
     pre |= nxt_byte << 8
-    c2 = table.lut2[pre]  # int16, -1 for miss
-    c2c = np.maximum(c2, np.int16(0))
-    ln2 = table.lens_by_code[c2c]  # int8
-    ok2 = (c2 >= 0) & ((win & table.mask_by_code[c2c]) == table.vals_by_code[c2c])
+    c2 = table.lut2[pre]  # uint8; miss -> _SENTINEL (compare below fails)
+    ln2 = table.lens_by_code[c2]  # int8
+    ok2 = (win & table.mask_by_code[c2]) == table.vals_by_code[c2]
     # a match may not run past the end of the buffer (windows are 0-padded);
     # only the final 8 positions can overrun -- patch just the tail.
     tail = min(8, n)
     ok2[n - tail :] &= (np.arange(n - tail, n) + ln2[n - tail :]) <= n
-    c1 = table.lut1[data]  # int16, -1 for miss
-    code = np.where(c1 >= 0, c1, np.int16(_ESCAPE))
-    code[ok2] = c2[ok2]
-    mlen = np.ones(n, dtype=np.int8)
-    mlen[ok2] = ln2[ok2]
+    c1 = table.lut1[data]  # uint8; miss -> _ESCAPE directly
+    code = np.where(ok2, c2, c1)
+    mlen = np.where(ok2, ln2, np.int8(1))
     return mlen, code
 
 
