@@ -205,8 +205,9 @@ def fsst_decode(buf) -> bytes:
     escape = is_255 & (run_offset % 2 == 0)
     literal = np.zeros(n, dtype=bool)
     literal[1:] = escape[:-1]
-    code_pos = np.flatnonzero(~literal & ~escape)
-    token_pos = np.sort(np.concatenate([code_pos, np.flatnonzero(escape)]))
+    # every position is escape marker, literal byte, or code: the token set
+    # is exactly the non-literals, already position-sorted
+    token_pos = np.flatnonzero(~literal)
     is_esc_token = escape[token_pos]
     token_codes = payload[token_pos]
     out_lens = np.where(is_esc_token, 1, table.lens_by_code[token_codes]).astype(np.int64)
