@@ -43,71 +43,92 @@ def chain_visit(nxt: np.ndarray, start: int = 0) -> np.ndarray:
     return np.flatnonzero(visited)
 
 
-def chain_visit_bounded(mlen: np.ndarray, max_jump: int = 8, block: int = 96) -> np.ndarray:
+def chain_visit_bounded(
+    mlen: np.ndarray, max_jump: int = 8, block_shift: int = 7, compact_every: int = 8
+) -> np.ndarray:
     """Enumerate the chain ``pos -> pos + mlen[pos]`` from 0, for jump
-    lengths bounded by ``max_jump`` (< block).
+    lengths bounded by ``max_jump`` (< block = 1 << block_shift).
 
     Two-level scheme that keeps every pass cache-resident instead of the
     O(log n) whole-array gather compositions of :func:`chain_visit`:
 
     1. per block, compute ``exit[i]`` (first position >= block end reached
        from i) with a backward sweep -- ``block`` vectorized passes over
-       (n/block)-element columns.  The sweep's cost is numpy CALL overhead
-       times ``block`` plus gather work; block=96 measured fastest on
-       256 KiB segments (17% over 256);
+       (n/block)-element columns.  Jumps from offsets <= block-1-max_jump
+       cannot cross the block end, so only the last ``max_jump`` offsets
+       carry the boundary test (the rest is a bare gather: ~1.4x on the
+       sweep vs testing every offset);
     2. bounded jumps mean every block is entered at an offset < max_jump, so
-       block entry offsets live in a (n/256 x max_jump) graph; enumerate it
-       with pointer doubling (tiny);
+       block entry offsets live in an (nb x max_jump) int32 graph (block a
+       power of two keeps the node math on shifts); enumerate it with
+       pointer doubling (tiny);
     3. walk all blocks in parallel from their entry offsets, emitting token
-       positions into a boolean (n) grid whose flatnonzero is position-sorted.
+       positions into a boolean (n) grid whose flatnonzero is position-
+       sorted.  Dead lanes park on a sink position between compactions
+       (filtering every iteration costs more than the wasted sink writes).
     """
+    block = 1 << block_shift
     n = len(mlen)
     if n == 0:
         return np.zeros(0, dtype=np.int64)
     nb = (n + block - 1) // block
     npad = nb * block
-    nxt = np.empty(npad + max_jump, dtype=np.int32)
+    sink = np.int32(npad + max_jump)
+    nxt = np.empty(npad + max_jump + 1, dtype=np.int32)
     nxt[:n] = np.arange(n, dtype=np.int32)
     nxt[:n] += mlen
-    nxt[n:] = npad + max_jump  # absorbing tail
-    ends = (np.arange(nb, dtype=np.int32) + 1) * block
-    exit_ = np.empty(npad + max_jump, dtype=np.int32)
-    exit_[npad:] = npad + max_jump
+    nxt[n:] = sink  # absorbing tail
+    ends = (np.arange(nb, dtype=np.int32) + 1) << block_shift
+    exit_ = np.empty(npad + max_jump + 1, dtype=np.int32)
+    exit_[npad:] = sink
     nxt2 = nxt[:npad].reshape(nb, block)
     exit2 = exit_[:npad].reshape(nb, block)
-    clip_hi = np.int32(npad + max_jump - 1)
-    for off in range(block - 1, -1, -1):
+    # t = i + mlen[i] <= npad-1+max_jump, and exit_ has npad+max_jump+1
+    # entries, so the gathers below are always in bounds without clipping
+    for off in range(block - 1, block - 1 - max_jump, -1):
         t = nxt2[:, off]
         same = t < ends
-        g = exit_[np.minimum(t, clip_hi)]
-        exit2[:, off] = np.where(same, g, t)
+        exit2[:, off] = np.where(same, exit_[t], t)
+    for off in range(block - 1 - max_jump, -1, -1):
+        exit2[:, off] = exit_[nxt2[:, off]]
 
     # block-entry graph: node (b, o) for o < max_jump; next node derived from
-    # exit of position b*block + o, which lands in block b+1 at offset < max_jump
+    # exit of position b*block + o, which lands in a later block at offset
+    # < max_jump (or at a pad offset >= max_jump only for tgt >= n)
     em = exit2[:, :max_jump]  # (nb, max_jump) absolute target positions
-    node_next = np.empty(nb * max_jump + 1, dtype=np.int64)
-    tgt = em.reshape(-1).astype(np.int64)
-    tgt_block = tgt // block
-    tgt_off = tgt - tgt_block * block
-    valid = tgt < n
-    node_next[:-1] = np.where(valid, tgt_block * max_jump + tgt_off, nb * max_jump)
-    node_next[-1] = nb * max_jump
+    tgt = np.ascontiguousarray(em).reshape(-1)  # int32
+    tgt_block = tgt >> block_shift
+    tgt_off = tgt & (block - 1)
+    sinknode = np.int32(nb * max_jump)
+    node_next = np.empty(nb * max_jump + 1, dtype=np.int32)
+    np.multiply(tgt_block, np.int32(max_jump), out=node_next[:-1])
+    node_next[:-1] += tgt_off
+    node_next[:-1][(tgt >= n) | (tgt_off >= max_jump)] = sinknode
+    node_next[-1] = sinknode
     nodes = chain_visit(node_next, 0)
     entry_blocks = nodes // max_jump
-    entry_abs = (entry_blocks * block + nodes % max_jump).astype(np.int32)
+    entry_abs = ((entry_blocks << block_shift) + nodes % max_jump).astype(np.int32)
 
-    # parallel per-block walks
-    emit = np.zeros(npad, dtype=bool)
+    # parallel per-block walks; emit has room for sink writes from parked lanes
+    emit = np.zeros(npad + max_jump + 1, dtype=bool)
     cur = entry_abs.copy()
-    ends_v = ((entry_blocks + 1) * block).astype(np.int32)
-    n32 = np.int32(n)
+    ends_v = np.minimum(
+        (entry_blocks.astype(np.int32) + 1) << block_shift, np.int32(n)
+    )
+    i = 0
     while len(cur):
-        alive = (cur < ends_v) & (cur < n32)
-        if not alive.all():
-            cur = cur[alive]
-            ends_v = ends_v[alive]
+        dead = cur >= ends_v
+        if i % compact_every == 0:
+            keep = ~dead
+            cur = cur[keep]
+            ends_v = ends_v[keep]
             if not len(cur):
                 break
-        emit[cur] = True
+            emit[cur] = True
+        else:
+            cur = np.where(dead, sink, cur)
+            emit[cur] = True
         cur = nxt[cur]
+        i += 1
+    emit[sink] = False
     return np.flatnonzero(emit[:n])

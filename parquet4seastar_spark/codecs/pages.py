@@ -1178,12 +1178,26 @@ def _auto_plan(ptype, n, values, lengths, payload, page_ends, nn_page_ends, allo
                     plans["DELTA_BYTE_ARRAY"] = (
                         ["DELTA_BYTE_ARRAY"] * n_pages, *no_dict[:-1], bodies
                     )
-        # FSST: estimate from a sample; only fully encode if promising
+        # FSST: estimate from a sample; the full encode pass runs only when
+        # the estimate beats the best cheap candidate by >10% -- FSST encode
+        # is ~15x slower than dict/DLBA, so "sample gain per CPU second"
+        # gates it: a column whose dict/DLBA size is within 10% of the FSST
+        # estimate takes the cheap codec without paying the encode pass.
         sample = payload[: 1 << 15]
         if allow_fsst and len(sample) >= 1024:
             table = fsst.train_symbol_table(sample)
             est_ratio = len(fsst.fsst_encode(sample, table)) / len(sample)
-            if est_ratio < 0.95:
+            payload_len = int(lengths.sum())
+            # FSST body = DBP(lengths) + symbol table + token payload; the
+            # DBP part equals DLBA's non-payload bytes (computed exactly
+            # above), tables are ~300 B per page
+            est_fsst = (
+                candidates["DELTA_LENGTH_BYTE_ARRAY"]
+                - payload_len
+                + 300 * n_pages
+                + est_ratio * payload_len
+            )
+            if est_fsst < 0.9 * min(candidates.values()):
                 bodies = _candidate_bodies(
                     "FSST", ptype, values, lengths, payload, nn_page_ends, fsst_table=table
                 )

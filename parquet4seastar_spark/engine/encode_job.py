@@ -43,7 +43,8 @@ ENCODED_SCHEMA = (
     "cardinality long, encodings string, compression string, type_length int, "
     "input_bytes long, encoded_bytes long, sha256 string, n_pages int, "
     "max_def int, max_rep int, elem_nullable boolean, "
-    "stat_min_num double, stat_max_num double, stat_min_bin binary, stat_max_bin binary"
+    "stat_min_num double, stat_max_num double, stat_min_bin binary, stat_max_bin binary, "
+    "salt_buckets int"
 )
 
 DATA_COLUMNS = ["repo", "path", "commit", "lang", "content"]
@@ -83,7 +84,8 @@ def salted_repartition(
         df.join(F.broadcast(sizes), salt_col)
         .withColumn("_salt", F.pmod(F.xxhash64("row_id"), F.col("_salt_buckets")).cast("int"))
         .withColumn("part_key", F.concat_ws("#", F.col(salt_col), F.col("_salt")))
-        .drop("_salt", "_salt_buckets")
+        .withColumnRenamed("_salt_buckets", "salt_buckets")
+        .drop("_salt")
     )
     return salted.repartition(num_partitions, "part_key")
 
@@ -164,6 +166,11 @@ def _out_schema_pa() -> pa.Schema:
                 ("stat_max_num", pa.float64()),
                 ("stat_min_bin", pa.binary()),
                 ("stat_max_bin", pa.binary()),
+                # the salt-bucket count of this part_key's key, recorded so
+                # verify can rebuild part keys without inferring the modulus
+                # from observed salts (a zero-row top bucket would undercount
+                # and trip a spurious whole-table mismatch)
+                ("salt_buckets", pa.int32()),
             ]
         )
     return _OUT_SCHEMA_PA
@@ -201,6 +208,7 @@ def _encode_partition_factory(
                 yield _encode_chunk_rows(sub, key, seq)
 
         def _encode_chunk_rows(tbl: pa.Table, part_key: str, seq: int) -> pa.RecordBatch:
+            salt_buckets = int(tbl.column("salt_buckets")[0].as_py())
             # rows are field-order TUPLES (zip-transposed once at the end),
             # not per-row dicts; the page payload column is assembled
             # arrow-native from the payload buffers (one memcpy into the
@@ -265,7 +273,7 @@ def _encode_partition_factory(
                         encs, chunk.compression, chunk.type_length,
                         None, None, None, len(chunk.pages),
                         chunk.max_def, chunk.max_rep, chunk.elem_nullable,
-                        None, None, None, None,
+                        None, None, None, None, None,
                     ))
                 rows.append((
                     "chunk", part_key, chunk_id, col, seq, -1,
@@ -279,6 +287,7 @@ def _encode_partition_factory(
                     len(chunk.pages), chunk.max_def, chunk.max_rep,
                     chunk.elem_nullable, chunk.stat_min_num,
                     chunk.stat_max_num, chunk.stat_min_bin, chunk.stat_max_bin,
+                    salt_buckets,
                 ))
             schema = _out_schema_pa()
             by_field = list(zip(*rows))
@@ -357,4 +366,6 @@ def encode_table(
     fn = _encode_partition_factory(
         columns, policy, page_target_bytes, chunk_target_bytes, compression, fixed_len
     )
-    return salted.select("part_key", "row_id", *columns).mapInArrow(fn, schema=ENCODED_SCHEMA)
+    return salted.select("part_key", "salt_buckets", "row_id", *columns).mapInArrow(
+        fn, schema=ENCODED_SCHEMA
+    )

@@ -64,16 +64,31 @@ def roundtrip_verify_fast(
     """
     from .decode_job import decode_table
 
-    chunk_keys = (
-        encoded.filter(F.col("kind") == "chunk").select("part_key").distinct()
+    chunks = encoded.filter(F.col("kind") == "chunk")
+    strip_salt = F.expr(
+        "substring(part_key, 1, length(part_key) - length(substring_index(part_key, '#', -1)) - 1)"
     )
-    sep = F.expr("substring_index(part_key, '#', -1)")
-    buckets = (
-        chunk_keys.withColumn("_salt", sep.cast("int"))
-        .withColumn("_key", F.expr("substring(part_key, 1, length(part_key) - length(substring_index(part_key, '#', -1)) - 1)"))
-        .groupBy("_key")
-        .agg((F.max("_salt") + 1).alias("_salt_buckets"))
-    )
+    if "salt_buckets" in encoded.columns:
+        # bucket counts recorded in the lineage at encode time: exact even
+        # when the highest salt bucket received zero rows (inferring the
+        # modulus from observed salts would undercount then, rehash every
+        # source row into different part keys, and report a spurious
+        # whole-table mismatch)
+        buckets = (
+            chunks.withColumn("_key", strip_salt)
+            .groupBy("_key")
+            .agg(F.max("salt_buckets").alias("_salt_buckets"))
+        )
+    else:  # pre-salt_buckets lineage tables: fall back to the inference
+        sep = F.expr("substring_index(part_key, '#', -1)")
+        buckets = (
+            chunks.select("part_key")
+            .distinct()
+            .withColumn("_salt", sep.cast("int"))
+            .withColumn("_key", strip_salt)
+            .groupBy("_key")
+            .agg((F.max("_salt") + 1).alias("_salt_buckets"))
+        )
     src = source.join(
         F.broadcast(buckets), F.col(salt_col).cast("string") == F.col("_key")
     ).withColumn(

@@ -94,10 +94,13 @@ def decode_image(media: DataFrame, fake: bool = False) -> DataFrame:
                 starts.astype(np.uint64), lens
             )
             val = seg * (within + np.uint64(1)) * np.uint64(1099511628211)
-            idx = np.minimum(starts, max(len(val) - 1, 0))
-            digests = (
-                np.add.reduceat(val, idx) if len(val) else np.zeros(n, dtype=np.uint64)
-            )
+            # pad one zero so empty trailing payloads (starts == len) stay
+            # legal reduceat indices WITHOUT clipping into the previous
+            # payload's segment (clipping shortened the preceding non-empty
+            # payload by one byte, making the digest depend on batch
+            # composition); the lens>0 mask zeroes the empty segments
+            val = np.append(val, np.uint64(0))
+            digests = np.add.reduceat(val, starts) if n else np.zeros(0, dtype=np.uint64)
             digests = np.where(lens > 0, digests, np.uint64(0))
             # 8 bytes of digest tiled to an 8x8 thumbnail
             shifts = (np.arange(64, dtype=np.uint64) % 8) * np.uint64(8)

@@ -426,3 +426,41 @@ def test_roundtrip_verify_fast_no_row_shuffle(spark):
     bad = roundtrip_verify_fast(docs, corrupted, ["text", "n_chars"], salt_col="source")
     assert bad.filter(~F.col("match")).count() >= 1
     enc.unpersist()
+
+
+def test_verify_fast_empty_top_salt_bucket(spark):
+    """A key whose HIGHEST salt bucket received zero rows must still verify
+    clean: the bucket count is read from the recorded lineage, not inferred
+    as max(observed salt)+1 (which would rehash every source row into a
+    different part_key and report a spurious whole-table mismatch)."""
+    import pyspark.sql.functions as F
+
+    from parquet4seastar_spark.engine.encode_job import encode_table
+    from parquet4seastar_spark.engine.verify import roundtrip_verify_fast
+
+    # pick row_ids that never land in the top bucket of a 3-bucket salt
+    # (buckets = ceil(9 rows / 4) = 3; keep ids with pmod(xxhash64) != 2)
+    cand = (
+        spark.range(400)
+        .withColumn("b", F.pmod(F.xxhash64("id"), F.lit(3)))
+        .filter(F.col("b") != 2)
+        .limit(9)
+        .collect()
+    )
+    ids = [r["id"] for r in cand]
+    docs = spark.createDataFrame(
+        [(i, "r1", f"text-{i}") for i in ids], "row_id long, repo string, content string"
+    )
+    enc = encode_table(
+        docs, columns=["content"], policy="plain", num_partitions=2, salt_target_rows=4
+    ).cache()
+    chunks = enc.filter(F.col("kind") == "chunk")
+    salts = sorted(
+        int(r["part_key"].split("#")[-1]) for r in chunks.select("part_key").distinct().collect()
+    )
+    assert 2 not in salts and max(salts) < 2  # precondition: top bucket empty
+    assert chunks.agg(F.max("salt_buckets")).collect()[0][0] == 3
+    out = roundtrip_verify_fast(docs, enc, ["content"], salt_col="repo").collect()
+    assert out and all(r["match"] for r in out)
+    assert sum(r["rows_src"] for r in out) == 9
+    enc.unpersist()

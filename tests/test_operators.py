@@ -258,6 +258,23 @@ def test_multimodal_plumbing(spark, docs):
     assert n >= 20  # at least one frame per doc
 
 
+def test_fake_decode_digest_batch_invariant(spark):
+    """The fake thumbnail must not depend on batch composition: a payload's
+    digest is identical whether or not empty payloads follow it in the
+    batch (regression: clipped reduceat starts dropped the final byte of
+    the payload preceding a trailing empty)."""
+    from parquet4seastar_spark.operators.multimodal import decode_image
+
+    solo = spark.createDataFrame([(1, bytearray(b"abc"))], "doc_id long, media binary")
+    pair = spark.createDataFrame(
+        [(1, bytearray(b"abc")), (2, bytearray(b""))], "doc_id long, media binary"
+    ).coalesce(1)
+    t_solo = {r["doc_id"]: r["thumb8x8"] for r in decode_image(solo, fake=True).collect()}
+    t_pair = {r["doc_id"]: r["thumb8x8"] for r in decode_image(pair, fake=True).collect()}
+    assert t_solo[1] == t_pair[1]
+    assert t_pair[2] == [0] * 64
+
+
 def test_stream_encode_roundtrip(spark, tmp_path):
     import pyspark.sql.functions as F
 
