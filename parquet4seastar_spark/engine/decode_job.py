@@ -205,14 +205,24 @@ def decode_table(
     otherwise logical types are read from the tiny ``kind='chunk'`` lineage
     rows (one row per chunk, payload column never touched) -- not from a
     scan of the page rows.
+
+    Schema discovery is EAGER (the output schema must be known at plan
+    time), so on a freshly-built encode plan it would run the entire encode
+    job once for discovery and AGAIN for the decode pass.  The pages frame
+    is therefore persisted before the discovery collect when the caller has
+    not already persisted it.  At 100 TB the encoded table is read from
+    storage, where discovery touches only the tiny chunk rows; pass
+    ``schema=`` to skip discovery and keep the plan fully lazy.
     """
     # nested columns are stored as '<col>#g<i>' dremel leaf chunks
     name_filter = F.col("column").isin(["row_id", *columns])
     for c in columns:
         name_filter = name_filter | F.col("column").startswith(f"{c}#g")
-    pages = encoded.filter((F.col("kind") == "page") & name_filter)
 
     if schema is None:
+        lvl = encoded.storageLevel
+        if not (lvl.useMemory or lvl.useDisk):
+            encoded = encoded.persist()
         schema = {
             r["column"]: (r["logical"], int(r["type_length"] or 0))
             for r in encoded.filter((F.col("kind") == "chunk") & name_filter)
@@ -226,6 +236,7 @@ def decode_table(
         schema = {
             c: (v if isinstance(v, tuple) else (v, 0)) for c, v in schema.items()
         }
+    pages = encoded.filter((F.col("kind") == "page") & name_filter)
 
     # requested column -> None (scalar / plain-list leaf) or the ordered
     # dremel leaf list [(leaf_name, path, leaf_logical, type_length)]
