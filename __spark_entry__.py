@@ -9,8 +9,9 @@ training-data pipeline operators):
   (PLAIN, RLE_DICTIONARY(+fallback), DELTA_BINARY_PACKED,
   DELTA_LENGTH_BYTE_ARRAY, FSST, auto-selection, reference policy).
 - text/dedup/similarity/multimodal operators over documents/embeddings.
-- encode_metrics_*: lineage/metrics summaries (no SQL equivalent ->
-  rows-only check).
+- encode_metrics_documents / lineage_audit: input-side lineage numbers,
+  SQL-oracled; encode_metrics_source_repos (generated input) and
+  streaming_smoke stay rows-only.
 """
 
 from __future__ import annotations
@@ -22,6 +23,19 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+# shared between queries() and oracle_sql() so the planted constructions
+# stay literally identical on both sides
+FUZZY_CANARY = (
+    "XQZ BENCHMARK CANARY question: what is the airspeed velocity of an unladen swallow"
+)
+FUZZY_ABSENT = "XQZ ABSENT CANARY entirely different text nothing matches here at all"
+REPEAT_TAIL = (
+    "\nREPEAT REPEAT REPEAT REPEAT"
+    "\nREPEAT REPEAT REPEAT REPEAT"
+    "\nREPEAT REPEAT REPEAT REPEAT"
+)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -657,8 +671,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def lineage_audit(spark, sf_dir):
         """Self-contained integrity audit: decode every chunk, recompute the
-        content sha256, compare to lineage (rows-only: chunk counts depend
-        on partitioning).  All rows must report n_bad = 0."""
+        content sha256, compare to lineage.  On an uncorrupted table the
+        output is deterministic (n_bad = 0 everywhere; n_chunks = one chunk
+        per salt part_key = count(distinct source)), so it is SQL-oracled."""
         from parquet4seastar_spark.engine.encode_job import encode_table
         from parquet4seastar_spark.engine.verify import audit_lineage
 
@@ -720,7 +735,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["roundtrip_events"] = roundtrip_events
 
-    # ---- metrics (rows-only: compression numbers have no SQL oracle)
+    # ---- metrics: the INPUT-side lineage numbers (rows, nulls, PLAIN-size
+    # input_bytes, chunk count = one chunk per (salt key, bucket)) are
+    # deterministic and SQL-oracled; the compression-side numbers
+    # (encoded_bytes/ratio/encodings) are Spark-only and projected out of
+    # the checked projection (they stay visible via entry()/bench)
     def encode_metrics_documents(spark, sf_dir):
         from parquet4seastar_spark.engine.encode_job import encode_table
         from parquet4seastar_spark.engine.verify import metrics_summary
@@ -729,9 +748,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs_src(spark, sf_dir), columns=["text", "lang", "source", "n_chars"],
             policy="auto", salt_col="source", num_partitions=4,
         )
-        return metrics_summary(enc)
+        return metrics_summary(enc).select("column", "rows", "nulls", "input_bytes", "chunks")
 
-    
     def encode_metrics_source_repos(spark, sf_dir):
         from parquet4seastar_spark.engine.encode_job import encode_table
         from parquet4seastar_spark.engine.generator import generate_source_repos
@@ -988,20 +1006,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(spark, sf_dir), max_tokens=500
     )
 
+    # ---- fuzzy (near-match) decontamination: a MUTATED canary (edit
+    # distance one token from the blocklist entry) defeats exact 24-gram
+    # matching but shares ~80% of its 9-shingles; flagged <=> containment
+    # of a blocklist entry's shingle set >= 0.5.  The oracle computes the
+    # same containment from raw substrings in SQL.
+    def decontaminate_fuzzy_docs(spark, sf_dir):
+        mutated = FUZZY_CANARY.replace("velocity", "speed")
+        tainted = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.concat(
+                "text",
+                F.when(F.col("doc_id") % 7 == 0, F.lit(" " + mutated)).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        blocklist = spark.createDataFrame([(FUZZY_CANARY,), (FUZZY_ABSENT,)], ["text"])
+        return dedup.decontaminate_fuzzy(tainted, blocklist, shingle_k=9, threshold=0.5)
+
+    q["decontaminate_fuzzy"] = decontaminate_fuzzy_docs
+
+    # ---- intra-document repetition quality signal: planted docs append
+    # three identical lines of repeated tokens; scores are floored percents
+    # so the DuckDB substring-n-gram oracle compares exactly
+    def doc_repetition_q(spark, sf_dir):
+        planted = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.concat(
+                "text",
+                F.when(F.col("doc_id") % 11 == 0, F.lit(REPEAT_TAIL)).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        return text.doc_repetition(planted, ngram_k=8)
+
+    q["doc_repetition"] = doc_repetition_q
+
+    # ---- incremental dedup against a persisted signature store: batch 2
+    # (planted copies) band-joins against batch 1's MATERIALIZED signatures
+    # -- batch-1 text is never re-shingled (plan-asserted in pytest).
+    # Checked projection = surfaced pairs with byte-identical text, same
+    # deterministic confirm as dedup_minhash_lsh.
+    def dedup_minhash_incremental(spark, sf_dir):
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        store = dedup.minhash_signatures(docs).localCheckpoint()
+        batch2 = docs.filter(F.col("doc_id") % 50 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+        pairs, _ = dedup.minhash_lsh_pairs_incremental(batch2, store, threshold=0.9)
+        all_docs = docs.union(batch2)
+        ta = all_docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+        tb = all_docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+        return (
+            pairs.join(ta, "doc_a")
+            .join(tb, "doc_b")
+            .filter(F.col("text_a") == F.col("text_b"))
+            .select("doc_a", "doc_b")
+        )
+
+    q["dedup_minhash_incremental"] = dedup_minhash_incremental
+
     # ---- multimodal plumbing (deterministic fake decode; SQL-oracled meta)
     def multimodal_ingest(spark, sf_dir):
-        media = multimodal.ingest_media(_docs(spark, sf_dir))
+        # covers ingest + typed-metadata extraction in one oracled row (the
+        # former multimodal_meta query was a strict sub-projection of this):
         # md5 is the DuckDB-matchable digest (sha1 has no DuckDB equivalent,
         # so it stays out of the checked projection but is still computed)
+        media = multimodal.ingest_media(_docs(spark, sf_dir))
         return media.select("doc_id", "media_type", "n_bytes", "md5", "width", "height")
 
     q["multimodal_ingest"] = multimodal_ingest
-
-    def multimodal_meta(spark, sf_dir):
-        media = multimodal.ingest_media(_docs(spark, sf_dir))
-        return media.select("doc_id", "media_type", "n_bytes", "width", "height")
-
-    q["multimodal_meta"] = multimodal_meta
 
     def multimodal_frames(spark, sf_dir):
         media = multimodal.ingest_media(_docs(spark, sf_dir))
@@ -1018,12 +1090,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["windowed_event_counts"] = windowed_events
 
-    def stream_encode_smoke(spark, sf_dir):
-        """Structured Streaming ingest (availableNow) of documents ->
-        encoded pages+lineage; returns per-column chunk counts."""
+    # the simhash RAW-fingerprint surface has no SQL oracle (bit-vote over
+    # hashed shingles); the operator stays covered by the oracled
+    # dedup_simhash_pairs query plus tests/test_operators.py
+    q["lineage_audit"] = lineage_audit
+    q["encode_metrics_documents"] = encode_metrics_documents
+
+    def streaming_smoke(spark, sf_dir):
+        """BOTH streaming surfaces in one rows-only smoke: availableNow
+        encode (documents -> pages+lineage via foreachBatch) and
+        arbitrary-stateful cross-batch dedup (applyInPandasWithState:
+        duplicates planted in a second micro-batch are dropped by the
+        persisted seen-fingerprint state).  Output: (surface, metric,
+        value) rows."""
         import tempfile
 
-        from parquet4seastar_spark.engine.streaming import stream_encode
+        from parquet4seastar_spark.engine.streaming import stream_dedup, stream_encode
         from parquet4seastar_spark.engine.verify import metrics_summary
 
         with tempfile.TemporaryDirectory() as tmp:
@@ -1040,25 +1122,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             qry.awaitTermination()
             enc = spark.read.parquet(f"{tmp}/out")
-            return metrics_summary(enc).select("column", "rows", "chunks").localCheckpoint()
-
-    # ---- rows-only queries register LAST: every oracled query stays
-    # inside the driver's ~50-entry CORRECTNESS window regardless of the
-    # exact cap
-    q["lineage_audit"] = lineage_audit
-    q["encode_metrics_documents"] = encode_metrics_documents
-    q["encode_metrics_source_repos"] = encode_metrics_source_repos
-    q["dedup_simhash"] = lambda spark, sf_dir: dedup.simhash(_docs(spark, sf_dir))
-    q["stream_encode_smoke"] = stream_encode_smoke
-
-    def stream_dedup_smoke(spark, sf_dir):
-        """Arbitrary-stateful streaming (applyInPandasWithState): cross-batch
-        exact dedup; duplicates planted in a second micro-batch are dropped
-        by the persisted seen-fingerprint state."""
-        import tempfile
-
-        from parquet4seastar_spark.engine.streaming import stream_dedup
-
+            encode_part = (
+                metrics_summary(enc)
+                .select(
+                    F.lit("stream_encode").alias("surface"),
+                    F.col("column").alias("metric"),
+                    F.col("rows").cast("long").alias("value"),
+                )
+                .localCheckpoint()
+            )
         with tempfile.TemporaryDirectory() as tmp:
             docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("row_id"), "text")
             docs.coalesce(1).write.parquet(f"{tmp}/in")
@@ -1080,11 +1152,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .start()
             )
             qry.awaitTermination()
-            return spark.sql(
-                "select count(*) as n_unique from p4s_stream_dedup"
+            dedup_part = spark.sql(
+                "select 'stream_dedup' as surface, 'n_unique' as metric, "
+                "cast(count(*) as long) as value from p4s_stream_dedup"
             ).localCheckpoint()
+        return encode_part.union(dedup_part)
 
-    q["stream_dedup_smoke"] = stream_dedup_smoke
+    # ---- rows-only queries register LAST: every oracled query stays
+    # inside the driver's ~50-entry CORRECTNESS window regardless of the
+    # exact cap
+    q["encode_metrics_source_repos"] = encode_metrics_source_repos
+    q["streaming_smoke"] = streaming_smoke
 
     return q
 
@@ -1365,12 +1443,6 @@ def oracle_sql() -> dict[str, str]:
         "CAST(octet_length(encode(text)) % 640 AS INT) AS width, "
         "CAST(octet_length(encode(text)) % 480 AS INT) AS height FROM documents"
     )
-    o["multimodal_meta"] = (
-        "SELECT doc_id, 'text/plain' AS media_type, "
-        "octet_length(encode(text)) AS n_bytes, "
-        "CAST(octet_length(encode(text)) % 640 AS INT) AS width, "
-        "CAST(octet_length(encode(text)) % 480 AS INT) AS height FROM documents"
-    )
     o["windowed_event_counts"] = (
         "SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type, "
         "count(*) AS n_events FROM events GROUP BY 1, 2"
@@ -1383,4 +1455,110 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         )
     """
+    # fuzzy decontamination: containment of each blocklist entry's distinct
+    # 9-grams in the (identically planted) doc text, computed from raw
+    # substrings — flagged <=> any entry clears the 0.5 threshold
+    _fz_mut = FUZZY_CANARY.replace("velocity", "speed")
+    o["decontaminate_fuzzy"] = f"""
+        WITH bl AS (
+            SELECT 1 AS bid, '{FUZZY_CANARY}' AS btext
+            UNION ALL SELECT 2, '{FUZZY_ABSENT}'
+        ),
+        blg AS (
+            SELECT DISTINCT bid, substr(btext, CAST(i AS INT), 9) AS g
+            FROM (SELECT bid, btext, unnest(range(1, length(btext) - 9 + 2)) AS i FROM bl)
+        ),
+        bln AS (SELECT bid, count(*) AS bn FROM blg GROUP BY bid),
+        docs2 AS (
+            SELECT doc_id, concat(text,
+                CASE WHEN doc_id % 7 = 0 THEN ' {_fz_mut}' ELSE '' END) AS t
+            FROM documents
+        ),
+        dg AS (
+            SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 9) AS g
+            FROM (SELECT doc_id, t,
+                  unnest(range(1, greatest(length(t) - 9 + 1, 0) + 1)) AS i FROM docs2)
+        ),
+        hits AS (
+            SELECT doc_id, blg.bid, count(*) AS nh
+            FROM dg JOIN blg USING (g) GROUP BY doc_id, blg.bid
+        ),
+        m AS (
+            SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_entry_matches
+            FROM hits h JOIN bln USING (bid)
+            WHERE nh >= bn * 0.5 GROUP BY h.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(m.n_entry_matches, 0) AS BIGINT) AS n_entry_matches,
+               coalesce(m.n_entry_matches, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN m USING (doc_id)
+    """
+    # intra-document repetition: distinct-vs-total substring 8-grams and
+    # repeated non-empty lines over the identically planted text
+    _rep_tail = REPEAT_TAIL.replace("\n", "' || chr(10) || '")
+    o["doc_repetition"] = f"""
+        WITH docs2 AS (
+            SELECT doc_id, concat(text,
+                CASE WHEN doc_id % 11 = 0 THEN '{_rep_tail}' ELSE '' END) AS t
+            FROM documents
+        ),
+        ng AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS total,
+                   CAST(count(DISTINCT substr(t, CAST(i AS INT), 8)) AS BIGINT) AS uniq
+            FROM (SELECT doc_id, t,
+                  unnest(range(1, greatest(length(t) - 8 + 1, 0) + 1)) AS i FROM docs2)
+            GROUP BY doc_id
+        ),
+        ln AS (
+            SELECT doc_id,
+              CAST(len(list_filter(string_split(t, chr(10)), x -> length(trim(x)) > 0)) AS BIGINT) AS n_lines,
+              CAST(len(list_distinct(list_filter(string_split(t, chr(10)), x -> length(trim(x)) > 0))) AS BIGINT) AS n_uniq
+            FROM docs2
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(ng.total, 0) AS BIGINT) AS n_ngrams,
+               CAST(floor((coalesce(ng.total, 0) - coalesce(ng.uniq, 0)) * 100
+                    / greatest(coalesce(ng.total, 0), 1)) AS BIGINT) AS dup_ngram_pct,
+               ln.n_lines AS n_lines,
+               CAST(floor((ln.n_lines - ln.n_uniq) * 100
+                    / greatest(ln.n_lines, 1)) AS BIGINT) AS dup_line_pct
+        FROM docs2 d LEFT JOIN ng USING (doc_id) JOIN ln USING (doc_id)
+    """
+    # incremental dedup: identical-text pairs whose higher id is in the new
+    # batch (store-vs-store pairs are precisely what incremental mode must
+    # NOT re-emit)
+    o["dedup_minhash_incremental"] = """
+        WITH all_docs AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM all_docs a JOIN all_docs b
+          ON a.text = b.text AND a.doc_id < b.doc_id AND b.doc_id >= 1000000
+    """
+    # lineage audit on an uncorrupted table: one chunk per salt part_key
+    # (= distinct source values; the sf tables are far below one chunk
+    # target per key), zero sha mismatches
+    _audit_k = "(SELECT CAST(count(DISTINCT source) AS BIGINT) FROM documents)"
+    o["lineage_audit"] = " UNION ALL ".join(
+        f"SELECT '{c}' AS \"column\", {_audit_k} AS n_chunks, CAST(0 AS BIGINT) AS n_bad"
+        for c in ["lang", "n_chars", "row_id", "text"]
+    )
+    # encode metrics, input side: rows/nulls/PLAIN input_bytes/chunk count
+    # are all derivable from the source table (compression metrics are
+    # Spark-only and projected out of the checked projection)
+    _m_k = "(SELECT CAST(count(DISTINCT source) AS BIGINT) FROM documents)"
+    _m_rows = "(SELECT CAST(count(*) AS BIGINT) FROM documents)"
+    o["encode_metrics_documents"] = " UNION ALL ".join(
+        f"SELECT '{c}' AS \"column\", {_m_rows} AS \"rows\", CAST(0 AS BIGINT) AS nulls, "
+        f"{b} AS input_bytes, {_m_k} AS chunks"
+        for c, b in [
+            ("lang", "(SELECT CAST(sum(4 + octet_length(encode(lang))) AS BIGINT) FROM documents)"),
+            ("n_chars", "(SELECT CAST(8 * count(*) AS BIGINT) FROM documents)"),
+            ("row_id", "(SELECT CAST(8 * count(*) AS BIGINT) FROM documents)"),
+            ("source", "(SELECT CAST(sum(4 + octet_length(encode(source))) AS BIGINT) FROM documents)"),
+            ("text", "(SELECT CAST(sum(4 + octet_length(encode(text))) AS BIGINT) FROM documents)"),
+        ]
+    )
     return o

@@ -213,6 +213,66 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_incremental(
+    new_docs: DataFrame,
+    sig_store: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 9,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental near-duplicate detection against a persisted signature
+    store — the operational 100-TB pattern: each ingest batch is checked
+    against everything seen so far WITHOUT re-shingling the old corpus.
+
+    ``sig_store`` is a previously materialized (doc_id, sig array<long>)
+    table (e.g. written by ``minhash_signatures(...).write.parquet``; same
+    num_hashes/shingle_k/seed).  Only the NEW batch's text is shingled;
+    the store contributes banded bucket rows derived from its (tiny,
+    ids+sigs-only) signature rows.  Candidate pairs = new-vs-store plus
+    new-vs-new; store-vs-store pairs were already emitted by earlier
+    batches (reference analogy: the encode job's lineage resume anti-join,
+    engine/encode_job.py resume path — work already recorded is never
+    redone).
+
+    Returns ``(pairs, new_sigs)``: union ``new_sigs`` into the store for
+    the next batch.  ``pairs`` columns: (doc_a, doc_b, est_jaccard), with
+    doc_a < doc_b.
+    """
+    r = num_hashes // bands
+    new_sigs = minhash_signatures(new_docs, num_hashes, shingle_k, seed).persist()
+    banded_new = _banded_buckets(new_sigs, bands, r)
+    banded_all = _banded_buckets(sig_store, bands, r).union(banded_new)
+    cand = (
+        banded_new.alias("l")
+        .join(
+            banded_all.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") != F.col("r.doc_id")),
+        )
+        .select(
+            F.least("l.doc_id", "r.doc_id").alias("doc_a"),
+            F.greatest("l.doc_id", "r.doc_id").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    all_sigs = sig_store.union(new_sigs)
+    sa = all_sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = all_sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    cand = cand.join(sa, "doc_a").join(sb, "doc_b")
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(num_hashes)
+    pairs = cand.select("doc_a", "doc_b", est.alias("est_jaccard")).filter(
+        F.col("est_jaccard") >= threshold
+    )
+    return pairs, new_sigs
+
+
 def connected_components(
     pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20,
     checkpoint_interval: int = 5,
@@ -499,4 +559,58 @@ def decontaminate(
         id_col,
         F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
         (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+def decontaminate_fuzzy(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    shingle_k: int = 9,
+    threshold: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_entry_matches, contaminated): near-match decontamination.
+
+    A document is flagged when it contains >= ``threshold`` of ANY single
+    blocklist entry's distinct k-shingles — shingle-set CONTAINMENT of the
+    entry in the doc, which catches paraphrased / lightly-edited benchmark
+    leakage that exact long-k-gram matching (:func:`decontaminate`) misses
+    (an edit every few tokens destroys every 24-gram but only a local
+    neighborhood of 9-grams).
+
+    Scale shape: identical to the exact path — the blocklist's (entry id,
+    shingle) rows plus per-entry shingle counts BROADCAST (benchmarks are
+    MBs against 100 TB); each doc's shingles match map-side via the inner
+    broadcast join, so only matching shingle rows (contamination-rate-
+    sized) reach the (doc, entry) aggregate; the corpus text never
+    shuffles.  ``n_entry_matches`` counts blocklist entries whose
+    containment in the doc clears the threshold.
+    """
+    doc_sh = _shingle_hashes(docs, shingle_k, id_col, text_col).filter(
+        F.col("shingle") != 0
+    )
+    bl = blocklist.select(
+        F.monotonically_increasing_id().alias("_bid"), F.col(text_col)
+    )
+    bl_sh = (
+        _shingle_hashes(bl, shingle_k, "_bid", text_col)
+        .filter(F.col("shingle") != 0)
+        .dropDuplicates(["_bid", "shingle"])
+    )
+    bl_sized = bl_sh.join(
+        bl_sh.groupBy("_bid").agg(F.count(F.lit(1)).alias("_bl_n")), "_bid"
+    )
+    entry_hits = (
+        doc_sh.join(F.broadcast(bl_sized), "shingle")
+        .groupBy(id_col, "_bid", "_bl_n")
+        .agg(F.count(F.lit(1)).alias("_n_hit"))
+        .filter(F.col("_n_hit") >= F.col("_bl_n") * F.lit(threshold))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_entry_matches"))
+    )
+    return docs.select(id_col).join(entry_hits, id_col, "left").select(
+        id_col,
+        F.coalesce("n_entry_matches", F.lit(0)).alias("n_entry_matches"),
+        (F.coalesce("n_entry_matches", F.lit(0)) > 0).alias("contaminated"),
     )

@@ -1,5 +1,7 @@
-"""Text analysis operators over a documents table -- all built-in
-pyspark.sql.functions (JVM-side, whole-stage codegen); no Python UDFs.
+"""Text analysis operators over a documents table -- built-in
+pyspark.sql.functions (JVM-side, whole-stage codegen) throughout; no
+per-row Python anywhere (doc_repetition's n-gram leg rides dedup's
+vectorized mapInArrow shingle stream).
 
 Operators: token counting, quality scoring, language-ID heuristic,
 document fingerprinting.  Each returns a DataFrame keyed by doc_id with
@@ -209,6 +211,84 @@ def top_terms_by_lang(docs: DataFrame, k: int = 5) -> DataFrame:
         counts.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("lang", "term", "cnt", "rank")
+    )
+
+
+def doc_repetition(docs: DataFrame, ngram_k: int = 8) -> DataFrame:
+    """(doc_id, n_ngrams, dup_ngram_pct, n_lines, dup_line_pct): intra-
+    document repetition quality signals — the standard training-data filter
+    for boilerplate / template / degenerate-generation text (publicly
+    documented heuristics: duplicate n-gram fraction and repeated-line
+    fraction; cf. Gopher/MassiveText quality rules).
+
+    - ``dup_ngram_pct`` = floor(100 * duplicated-k-gram fraction): 1 minus
+      distinct/total character k-grams.  Vectorized over dedup's shingle
+      stream (ONE rolling-hash pass + segmented unique per Arrow batch --
+      no per-row Python; text never shuffles, output is doc-keyed ints).
+    - ``dup_line_pct``  = floor(100 * repeated non-empty-line fraction),
+      pure JVM built-ins (split + array_distinct).
+
+    Percentages are floored ints so the DuckDB oracle compares exactly
+    (floats would be format-sensitive in the value-hash gate).
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pyarrow as pa
+
+    from ..codecs.pages import ba_components
+    from .dedup import _batch_text, _shingle_stream
+
+    # coalesce NULL text: size(split(NULL)) is NULL/-1 depending on the
+    # sizeOfNull setting — an empty doc must score (0, 0, 0, 0)
+    lines = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), "\n"),
+        lambda x: F.length(F.trim(x)) > 0,
+    )
+    src = docs.select(
+        "doc_id",
+        "text",
+        F.size(lines).alias("_n_lines"),
+        F.size(F.array_distinct(lines)).alias("_n_uniq_lines"),
+    )
+
+    def compute(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from parquet4seastar_spark import _alloc
+
+        _alloc.tune_allocator()
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            text = _batch_text(rb, "text")
+            filled = text.fill_null("") if text.null_count else text
+            lengths, _ = ba_components(filled)
+            grams = np.maximum(lengths - ngram_k + 1, 0).astype(np.int64)
+            _, u_counts, _ = _shingle_stream(text, ngram_k)
+            uniq = np.where(grams > 0, u_counts, 0)  # sentinel rows -> 0
+            yield pa.RecordBatch.from_arrays(
+                [
+                    _batch_text(rb, "doc_id").cast(pa.int64()),
+                    pa.array(grams, type=pa.int64()),
+                    pa.array(uniq, type=pa.int64()),
+                    _batch_text(rb, "_n_lines").cast(pa.int64()),
+                    _batch_text(rb, "_n_uniq_lines").cast(pa.int64()),
+                ],
+                names=["doc_id", "n_ngrams", "_uniq", "_n_lines", "_n_uniq"],
+            )
+
+    out = src.mapInArrow(
+        compute,
+        schema="doc_id long, n_ngrams long, _uniq long, _n_lines long, _n_uniq long",
+    )
+    pct = lambda dup, total: F.floor(  # noqa: E731 - shared floored-pct shape
+        dup * F.lit(100) / F.greatest(total, F.lit(1))
+    ).cast("long")
+    return out.select(
+        "doc_id",
+        "n_ngrams",
+        pct(F.col("n_ngrams") - F.col("_uniq"), F.col("n_ngrams")).alias("dup_ngram_pct"),
+        F.col("_n_lines").alias("n_lines"),
+        pct(F.col("_n_lines") - F.col("_n_uniq"), F.col("_n_lines")).alias("dup_line_pct"),
     )
 
 

@@ -258,6 +258,93 @@ def test_multimodal_plumbing(spark, docs):
     assert n >= 20  # at least one frame per doc
 
 
+def test_minhash_incremental_skips_batch1_text(spark, tmp_path):
+    """Incremental LSH dedup must find cross-batch dups by band-joining the
+    NEW batch's signatures against the persisted store — without ever
+    re-reading batch-1 text (plan-asserted: the batch-1 parquet path does
+    not appear anywhere in the pairs plan)."""
+    import pyspark.sql.functions as F
+
+    from parquet4seastar_spark.operators import dedup
+
+    b1_path = str(tmp_path / "batch1_text")
+    sig_path = str(tmp_path / "sig_store")
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    docs.write.parquet(b1_path)
+    b1 = spark.read.parquet(b1_path)
+    dedup.minhash_signatures(b1).write.parquet(sig_path)
+    store = spark.read.parquet(sig_path)
+
+    batch2 = spark.read.parquet(f"{SF}/documents.parquet").filter(
+        F.col("doc_id") % 100 == 0
+    ).select((F.col("doc_id") + 5000000).alias("doc_id"), "text")
+    pairs, new_sigs = dedup.minhash_lsh_pairs_incremental(batch2, store, threshold=0.9)
+
+    files = pairs.inputFiles()
+    assert files and not any("batch1_text" in f for f in files), (
+        "incremental pairs plan re-scans batch-1 text"
+    )
+    assert any("sig_store" in f for f in files)
+
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    planted = {(i, i + 5000000) for i in range(0, 500, 100)}
+    assert planted <= got  # every planted cross-batch dup found
+    # store-vs-store pairs are never re-emitted
+    assert all(b >= 5000000 for _, b in got)
+    assert new_sigs.count() == batch2.count()
+    new_sigs.unpersist()
+
+
+def test_decontaminate_fuzzy_catches_mutated_canary(spark):
+    """Edits every few tokens destroy every 24-gram (exact decontamination
+    misses) but leave most 9-shingles intact (fuzzy catches)."""
+    import pyspark.sql.functions as F
+
+    from parquet4seastar_spark.operators import dedup
+
+    canary = (
+        "XQZ BENCHMARK CANARY question: what is the airspeed velocity "
+        "of an unladen european swallow in level flight over water"
+    )
+    # a typo every 22 chars: every unchanged run is < 24 (exact 24-gram
+    # matching finds nothing) but ~59% of the 9-shingles survive
+    mutated = "".join("z" if (i + 1) % 22 == 0 else c for i, c in enumerate(canary))
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id",
+        F.concat(
+            "text",
+            F.when(F.col("doc_id") % 10 == 0, F.lit(" " + mutated)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    bl = spark.createDataFrame([(canary,)], ["text"])
+    exact = dedup.decontaminate(docs, bl, shingle_k=24)
+    fuzzy = dedup.decontaminate_fuzzy(docs, bl, shingle_k=9, threshold=0.5)
+    assert exact.filter(F.col("contaminated")).count() == 0
+    flagged = {r["doc_id"] for r in fuzzy.filter(F.col("contaminated")).collect()}
+    assert flagged == {i for i in range(0, 500, 10)}
+
+
+def test_doc_repetition_scores(spark):
+    from parquet4seastar_spark.operators.text import doc_repetition
+
+    df = spark.createDataFrame(
+        [
+            (1, "line one\nline one\nline one\nline one"),  # 4 identical lines
+            (2, "completely original writing with no repeats anywhere at all"),
+            (3, "ab"),  # shorter than ngram_k
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in doc_repetition(df, ngram_k=8).collect()}
+    assert out[1]["dup_line_pct"] == 75  # 1 distinct of 4 lines
+    assert out[1]["dup_ngram_pct"] > 50
+    assert out[2]["dup_line_pct"] == 0
+    assert out[2]["dup_ngram_pct"] == 0
+    assert out[3]["n_ngrams"] == 0 and out[3]["dup_ngram_pct"] == 0
+    assert out[4]["n_ngrams"] == 0 and out[4]["n_lines"] == 0
+
+
 def test_fake_decode_digest_batch_invariant(spark):
     """The fake thumbnail must not depend on batch composition: a payload's
     digest is identical whether or not empty payloads follow it in the
