@@ -729,9 +729,20 @@ class ParquetFileReader:
 
     def _column_token_tree(self, name: str):
         """Top-level column -> (token tree, opts, [(token_path, leaf_index,
-        base_logical)] in schema-leaf order).  Modern 3-level LIST/MAP and
-        struct groups only; legacy 1/2-level list shapes stay on
-        read_column's level-budget path."""
+        base_logical)] in schema-leaf order).  Covers modern 3-level
+        LIST/MAP and struct groups PLUS the legacy pre-LogicalTypes shapes
+        at any depth (reader_schema.cc:120-144 backward-compat rules):
+
+        - a bare REPEATED field/group (no LIST wrapper) is the element of
+          an implicit REQUIRED list;
+        - a LIST group whose repeated child is a primitive, a multi-field
+          group, or a single-field group named ``array``/``*_tuple`` is a
+          2-level list — the repeated node itself is the (required)
+          element.
+
+        Both map onto the same Dremel level geometry the modern shapes use
+        (legacy 2-level == 3-level with a REQUIRED element), so assembly
+        needs no separate path."""
         from .pages import _elem_pa_type
 
         raw = next(
@@ -741,18 +752,24 @@ class ParquetFileReader:
             raise KeyError(name)
         opts: dict[str, bool] = {}
         leaf_infos: list[tuple[str, int, str]] = []
-        counter = [0]
         leaf_by_path = {tuple(l.path): i for i, l in enumerate(self.leaves)}
 
         def join(p, tok):
             return f"{p}.{tok}" if p else tok
 
-        def conv_node(node, prefix, spath):
+        def conv_node(node, prefix, spath, rep_consumed=False):
             el = node["el"]
             rep = el.get(3, 0)
             kids = node["children"]
             conv = el.get(6)
             lt = el.get(10) or {}
+            if rep == 2 and not rep_consumed:
+                # legacy bare repeated field (backward-compat rule 1): the
+                # node IS the element of an implicit REQUIRED list.  This
+                # also reads legacy MAP_KEY_VALUE repeated groups, as a
+                # list<struct<key,value>> (the shape maps export as).
+                opts[prefix] = False
+                return ("list", conv_node(node, join(prefix, "l"), spath, True))
             opts[prefix] = rep == 1
             if not kids:
                 ptype, base, tl = self._el_base_logical(el)
@@ -773,15 +790,19 @@ class ParquetFileReader:
                     v = conv_node(mkids[1], join(prefix, "v"),
                                   spath + (mname, mkids[1]["el"][4].decode()))
                     return ("map", k, v)
-                if len(mkids) == 1:
+                if len(mkids) == 1 and not (
+                    mname == "array" or mname.endswith("_tuple")
+                ):
+                    # standard 3-level LIST: the repeated middle group's
+                    # single child is the element
                     child = conv_node(mkids[0], join(prefix, "l"),
                                       spath + (mname, mkids[0]["el"][4].decode()))
                     return ("list", child)
-                raise ValueError(
-                    f"{spath}: legacy 2-level list shape; use read_column"
-                )
-            if el.get(3) == 2 or any(k["el"].get(3) == 2 for k in kids):
-                raise ValueError(f"{spath}: legacy repeated-group shape; use read_column")
+                # legacy 2-level list (backward-compat rule 2): the repeated
+                # child (primitive, multi-field group, or array/_tuple-named
+                # group) is itself the REQUIRED element
+                child = conv_node(mid, join(prefix, "l"), spath + (mname,), True)
+                return ("list", child)
             fields = []
             for k in kids:
                 fname = k["el"][4].decode()

@@ -125,3 +125,155 @@ def test_legacy_one_level_repeated_leaf(tmp_path):
     assert (leaf.max_def, leaf.max_rep, leaf.outer_optional) == (1, 1, False)
     assert r.read_column("xs").to_pylist() == vals
     assert pq.read_table(path).column("xs").to_pylist() == vals
+
+
+# ---- legacy shapes under the GENERAL tree reader (read_column_tree) -------
+
+import numpy as np
+
+from parquet4seastar_spark.codecs.levels import encode_levels_v1
+from parquet4seastar_spark.codecs.pages import Page
+from parquet4seastar_spark.codecs.plain import plain_encode_fixed
+
+
+def _levels_page(rep, def_, vals, max_rep, max_def):
+    """One V1 data page: [u32+rep][u32+def][PLAIN int32 values]."""
+    head = encode_levels_v1(np.asarray(rep, dtype=np.uint64), max_rep)
+    head += encode_levels_v1(np.asarray(def_, dtype=np.uint64), max_def)
+    body = plain_encode_fixed(np.asarray(vals, dtype=np.int32))
+    raw = head + body
+    return Page("data", "PLAIN", len(rep), len(vals), len(raw), len(raw), raw)
+
+
+class _FakeChunk:
+    def __init__(self, pages, max_rep):
+        self.pages = pages
+        self.max_rep = max_rep
+
+
+def test_legacy_two_level_under_struct_tree(tmp_path):
+    """The round-4 asymmetry: a pre-LogicalTypes 2-level list nested under
+    a modern struct now assembles via read_column_tree (reference handles
+    it uniformly: reader_schema.cc:120-144 -> record_reader.hh:469-505)."""
+    rows = [None, {"xs": [1, 2, 3]}, {"xs": None}, {"xs": []}, {"xs": [4]}] * 20
+    rep, def_, vals = [], [], []
+    for row in rows:
+        if row is None:
+            rep += [0]; def_ += [0]
+        elif row["xs"] is None:
+            rep += [0]; def_ += [1]
+        elif not row["xs"]:
+            rep += [0]; def_ += [2]
+        else:
+            rep += [0] + [1] * (len(row["xs"]) - 1)
+            def_ += [3] * len(row["xs"])
+            vals += row["xs"]
+    page = _levels_page(rep, def_, vals, 1, 3)
+
+    def emit(w):
+        _emit_element(w, "s", repetition=1, num_children=1)
+        _emit_element(w, "xs", repetition=1, num_children=1, converted=3)
+        _emit_element(w, "element", ptype="INT32", repetition=2)
+        return 3
+
+    path = str(tmp_path / "legacy2_struct.parquet")
+    _legacy_file(path, _FakeChunk([page], 1), len(rows), emit, ("s", "xs", "element"))
+    got = ParquetFileReader(path).read_column_tree("s").to_pylist()
+    assert got == rows
+    assert pq.read_table(path).column("s").to_pylist() == rows
+
+
+def test_legacy_bare_repeated_under_struct_tree(tmp_path):
+    """Rule 1: `repeated int32 xs;` inside a struct = implicit REQUIRED
+    list (absent == empty)."""
+    rows = [None, {"xs": [1, 2]}, {"xs": []}, {"xs": [3]}] * 25
+    rep, def_, vals = [], [], []
+    for row in rows:
+        if row is None:
+            rep += [0]; def_ += [0]
+        elif not row["xs"]:
+            rep += [0]; def_ += [1]
+        else:
+            rep += [0] + [1] * (len(row["xs"]) - 1)
+            def_ += [2] * len(row["xs"])
+            vals += row["xs"]
+    page = _levels_page(rep, def_, vals, 1, 2)
+
+    def emit(w):
+        _emit_element(w, "s", repetition=1, num_children=1)
+        _emit_element(w, "xs", ptype="INT32", repetition=2)
+        return 2
+
+    path = str(tmp_path / "legacy1_struct.parquet")
+    _legacy_file(path, _FakeChunk([page], 1), len(rows), emit, ("s", "xs"))
+    got = ParquetFileReader(path).read_column_tree("s").to_pylist()
+    assert got == rows
+    assert pq.read_table(path).column("s").to_pylist() == rows
+
+
+def test_legacy_array_named_group_tree(tmp_path):
+    """Rule 2 name heuristic: a LIST group whose single repeated child is a
+    one-field group named 'array' is 2-level — the group IS the element."""
+    rows = [[{"a": 1}, {"a": 2}], None, [], [{"a": 3}]] * 25
+    rep, def_, vals = [], [], []
+    for row in rows:
+        if row is None:
+            rep += [0]; def_ += [0]
+        elif not row:
+            rep += [0]; def_ += [1]
+        else:
+            rep += [0] + [1] * (len(row) - 1)
+            def_ += [2] * len(row)
+            vals += [e["a"] for e in row]
+    page = _levels_page(rep, def_, vals, 1, 2)
+
+    def emit(w):
+        _emit_element(w, "xs", repetition=1, num_children=1, converted=3)
+        _emit_element(w, "array", repetition=2, num_children=1)
+        _emit_element(w, "a", ptype="INT32", repetition=0)
+        return 3
+
+    path = str(tmp_path / "legacy_array.parquet")
+    _legacy_file(path, _FakeChunk([page], 1), len(rows), emit, ("xs", "array", "a"))
+    got = ParquetFileReader(path).read_column_tree("xs").to_pylist()
+    assert got == rows
+    assert pq.read_table(path).column("xs").to_pylist() == rows
+
+
+def test_legacy_top_level_shapes_via_tree_reader(tmp_path):
+    """The original top-level legacy files also assemble via the tree
+    reader now (same values as the read_column level-budget path)."""
+    vals = [[1, 2, 3], None, [], [4], [5, 6]] * 20
+    arr = pa.array(vals, type=pa.list_(pa.int32()))
+    chunk = _encode_list_chunk(
+        arr, policy="plain", page_target_bytes=1 << 20,
+        compression="uncompressed", nullable=True, elem_nullable=False,
+    )
+
+    def emit(w):
+        _emit_element(w, "xs", repetition=1, num_children=1, converted=3)
+        _emit_element(w, "element", ptype="INT32", repetition=2)
+        return 2
+
+    path = str(tmp_path / "legacy2_tree.parquet")
+    _legacy_file(path, chunk, len(arr), emit, ("xs", "element"))
+    r = ParquetFileReader(path)
+    assert r.read_column_tree("xs").to_pylist() == vals
+    assert r.read_column("xs").to_pylist() == vals
+
+    vals1 = [[1, 2], [], [3], [4, 5, 6], []] * 20
+    arr1 = pa.array(vals1, type=pa.list_(pa.int32()))
+    chunk1 = _encode_list_chunk(
+        arr1, policy="plain", page_target_bytes=1 << 20,
+        compression="uncompressed", nullable=False, elem_nullable=False,
+    )
+
+    def emit1(w):
+        _emit_element(w, "xs", ptype="INT32", repetition=2)
+        return 1
+
+    path1 = str(tmp_path / "legacy1_tree.parquet")
+    _legacy_file(path1, chunk1, len(arr1), emit1, ("xs",))
+    r1 = ParquetFileReader(path1)
+    assert r1.read_column_tree("xs").to_pylist() == vals1
+    assert r1.read_column("xs").to_pylist() == vals1
