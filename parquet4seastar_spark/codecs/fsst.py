@@ -148,20 +148,6 @@ def _codes_at(data: np.ndarray, pos: np.ndarray, c2: np.ndarray, ok2: np.ndarray
 _SEGMENT = 1 << 18  # 256 KiB
 
 
-def _overlap_last_wins() -> bool:
-    """Probe whether duplicate fancy-assignment indices keep the value at the
-    highest position in index order.  NumPy does NOT document an iteration
-    order for repeated advanced indices; the overlapping-write decode path
-    RELIES on the (current, universal) last-wins behavior, so we verify it
-    once at import and fall back to the masked scatter if it ever changes."""
-    probe = np.zeros(4, dtype=np.uint8)
-    probe[np.array([0, 1, 1, 2])] = np.array([9, 8, 7, 6], dtype=np.uint8)
-    return bool(probe[1] == 7 and probe[0] == 9 and probe[2] == 6)
-
-
-_OVERLAP_WRITE_OK = _overlap_last_wins()
-
-
 def _tokenize(data: np.ndarray, table: SymbolTable) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Greedy left-to-right tokenization; returns (positions, lengths, codes).
 
@@ -235,25 +221,26 @@ def fsst_decode(buf) -> bytes:
     offsets = np.zeros(m + 1, dtype=np.int64)
     np.cumsum(out_lens, out=offsets[1:])
     total = int(offsets[-1])
-    # overlapping full-8-byte writes in token order: every token scatters
-    # its padded 8-byte symbol row at its output offset; bytes past the
-    # symbol length land in the NEXT token's region and are overwritten by
-    # it.  This RELIES on duplicate fancy-assignment indices keeping the
-    # value at the last index-order position -- numpy does not document
-    # that order, so _overlap_last_wins() probes it at import and we take
-    # the masked scatter below if the behavior ever changes.  ~35% faster
-    # than the masked path despite writing 8/len x the bytes.
+    # overlapping full-8-byte writes, one scatter per symbol-byte position,
+    # DESCENDING k: every token writes its padded row byte k at offset+k;
+    # position p's final value comes from the k=0-most pass that touches it,
+    # i.e. the LATEST token with offset <= p -- exactly the token covering
+    # p (its pad bytes land in later tokens' regions during higher-k passes
+    # and are overwritten).  Indices within each pass are strictly
+    # increasing (offsets are strict-monotone), so no pass relies on
+    # numpy's undocumented duplicate-index ordering, writes stream nearly
+    # sequentially, and the (m, 8) int64 target matrix of the old one-shot
+    # scatter (64 B/token of temp; ~45 MB per 1 MB page) is gone: +24%
+    # at page sizes.
     rows8 = table.matrix[token_codes]  # (m, 8); escape code 255 row = zeros
     if is_esc_token.any():
         rows8[is_esc_token, 0] = payload[token_pos[is_esc_token] + 1]
-    targets = offsets[:-1, None] + np.arange(_MAX_LEN, dtype=np.int64)[None, :]
-    if _OVERLAP_WRITE_OK:
-        out = np.empty(total + _MAX_LEN, dtype=np.uint8)
-        out[targets.reshape(-1)] = rows8.reshape(-1)
-    else:  # pragma: no cover - exercised only if numpy semantics change
-        out = np.empty(total, dtype=np.uint8)
-        valid = np.arange(_MAX_LEN, dtype=np.int64)[None, :] < out_lens[:, None]
-        out[targets[valid]] = rows8[valid]
+    out = np.empty(total + _MAX_LEN, dtype=np.uint8)
+    tgt = offsets[:-1].copy()
+    tgt += _MAX_LEN - 1
+    for k in range(_MAX_LEN - 1, -1, -1):
+        out[tgt] = rows8[:, k]
+        tgt -= 1
     return out[:total].tobytes()
 
 

@@ -257,47 +257,69 @@ def embedding_near_dups(
     # size table: small relative to data (one row per non-empty bucket);
     # AQE picks broadcast when it fits, shuffle join otherwise
     sizes = sig.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_n"))
-    eb = F.when(F.col("_n") <= max_bucket_size, F.lit(0)).otherwise(
-        F.least(
-            F.lit(split_bits),
-            F.ceil(F.log2(F.col("_n") / F.lit(max_bucket_size))).cast("int"),
+    # adaptive bypass: when auto-sizing kept every bucket under the cap
+    # (the common case — over-cap buckets mean a genuine duplicate
+    # pile-up), skip the whole split/star machinery: no re-bucketing join,
+    # no second size aggregation, no second persist.  The existence probe
+    # is one tiny job over the (already tiny) size table.
+    has_big = (
+        sizes.filter(F.col("_n") > max_bucket_size).limit(1).count() > 0
+    )
+    if not has_big:
+        left, right = sig.alias("l"), sig.alias("r")
+        cand = (
+            left.join(
+                right,
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.bucket") == F.col("r.bucket"))
+                & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+            )
+            .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
         )
-    )
-    sig2 = (
-        sig.join(sizes, ["band", "bucket"])
-        .withColumn("eb", eb)
-        .select(
-            id_col,
-            "band",
-            F.expr(
-                f"shiftleft(bucket, {split_bits})"
-                " + (subsig & (shiftleft(CAST(1 AS BIGINT), eb) - 1))"
-            ).alias("bucket"),
+    else:
+        eb = F.when(F.col("_n") <= max_bucket_size, F.lit(0)).otherwise(
+            F.least(
+                F.lit(split_bits),
+                F.ceil(F.log2(F.col("_n") / F.lit(max_bucket_size))).cast("int"),
+            )
         )
-    )
-    sizes2 = sig2.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_n2"))
-    # four consumers (ok self-join x2, big, reps): persist the sized triples
-    # once instead of re-running both size aggregations per consumer
-    sig2 = sig2.join(sizes2, ["band", "bucket"]).persist()
-    ok = sig2.filter(F.col("_n2") <= max_bucket_size)
-    big = sig2.filter(F.col("_n2") > max_bucket_size)
-    left, right = ok.alias("l"), ok.alias("r")
-    cand_ok = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        sig2 = (
+            sig.join(sizes, ["band", "bucket"])
+            .withColumn("eb", eb)
+            .select(
+                id_col,
+                "band",
+                F.expr(
+                    f"shiftleft(bucket, {split_bits})"
+                    " + (subsig & (shiftleft(CAST(1 AS BIGINT), eb) - 1))"
+                ).alias("bucket"),
+            )
         )
-        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
-    )
-    reps = big.groupBy("band", "bucket").agg(F.min(id_col).alias("id_a"))
-    cand_big = (
-        big.join(reps, ["band", "bucket"])
-        .filter(F.col(id_col) != F.col("id_a"))
-        .select("id_a", F.col(id_col).alias("id_b"))
-    )
-    cand = cand_ok.unionByName(cand_big).dropDuplicates(["id_a", "id_b"])
+        sizes2 = sig2.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_n2"))
+        # four consumers (ok self-join x2, big, reps): persist the sized
+        # triples once instead of re-running both size aggregations per
+        # consumer
+        sig2 = sig2.join(sizes2, ["band", "bucket"]).persist()
+        ok = sig2.filter(F.col("_n2") <= max_bucket_size)
+        big = sig2.filter(F.col("_n2") > max_bucket_size)
+        left, right = ok.alias("l"), ok.alias("r")
+        cand_ok = (
+            left.join(
+                right,
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.bucket") == F.col("r.bucket"))
+                & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+            )
+            .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        )
+        reps = big.groupBy("band", "bucket").agg(F.min(id_col).alias("id_a"))
+        cand_big = (
+            big.join(reps, ["band", "bucket"])
+            .filter(F.col(id_col) != F.col("id_a"))
+            .select("id_a", F.col(id_col).alias("id_b"))
+        )
+        cand = cand_ok.unionByName(cand_big).dropDuplicates(["id_a", "id_b"])
     emb = embeddings.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
     va = emb.select(F.col(id_col).alias("id_a"), F.col("v").alias("v_a"))
     vb = emb.select(F.col(id_col).alias("id_b"), F.col("v").alias("v_b"))
