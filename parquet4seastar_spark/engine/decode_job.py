@@ -208,11 +208,15 @@ def decode_table(
 
     Schema discovery is EAGER (the output schema must be known at plan
     time), so on a freshly-built encode plan it would run the entire encode
-    job once for discovery and AGAIN for the decode pass.  The pages frame
-    is therefore persisted before the discovery collect when the caller has
-    not already persisted it.  At 100 TB the encoded table is read from
-    storage, where discovery touches only the tiny chunk rows; pass
-    ``schema=`` to skip discovery and keep the plan fully lazy.
+    job once for discovery and AGAIN for the decode pass.  When the pages
+    frame is COMPUTED (its plan contains a Python stage, i.e. it chains
+    straight off encode_table) and the caller has not already persisted it,
+    it is persisted here before the discovery collect.  A storage-backed
+    frame (plain file scan — the 100 TB deployment shape) is NOT persisted:
+    discovery's kind='chunk' filter pushes down to the scan and touches
+    only the tiny chunk rows, and caching the full pages table would block
+    exactly that pushdown.  Pass ``schema=`` to skip discovery and keep
+    the plan fully lazy.
     """
     # nested columns are stored as '<col>#g<i>' dremel leaf chunks
     name_filter = F.col("column").isin(["row_id", *columns])
@@ -221,7 +225,10 @@ def decode_table(
 
     if schema is None:
         lvl = encoded.storageLevel
-        if not (lvl.useMemory or lvl.useDisk):
+        computed = "pythonUDF" in (plan_str := encoded._jdf.queryExecution().analyzed().toString()) or (
+            "MapInArrow" in plan_str or "MapInPandas" in plan_str or "FlatMapGroupsIn" in plan_str
+        )
+        if computed and not (lvl.useMemory or lvl.useDisk):
             encoded = encoded.persist()
         schema = {
             r["column"]: (r["logical"], int(r["type_length"] or 0))

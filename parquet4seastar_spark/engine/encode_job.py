@@ -353,6 +353,15 @@ def encode_table(
                 f"column name {c!r} collides with the dot-joined leaf path "
                 "scheme ('.' and '#' are reserved); rename before encoding"
             )
+    # engine-generated columns: an input column with one of these names
+    # would otherwise surface as a deep AMBIGUOUS_REFERENCE inside the
+    # salting plan instead of a clear error here
+    for c in ("part_key", "salt_buckets", "_salt", "_repo_size"):
+        if c in df.columns:
+            raise ValueError(
+                f"input column name {c!r} is reserved by the encode engine "
+                "(salting/lineage); rename before encoding"
+            )
     spark = df.sparkSession
     num_partitions = num_partitions or max(spark.sparkContext.defaultParallelism, 8)
     if size_col is None:

@@ -239,9 +239,19 @@ def minhash_lsh_pairs_incremental(
     Returns ``(pairs, new_sigs)``: union ``new_sigs`` into the store for
     the next batch.  ``pairs`` columns: (doc_a, doc_b, est_jaccard), with
     doc_a < doc_b.
+
+    Re-ingested ids are handled like the encode job's resume path: store
+    rows whose doc_id appears in the new batch are superseded by the new
+    signature (an ids-only broadcast anti-join), so a retried or
+    overlapping batch neither duplicates pair rows nor poisons the store.
+    ``new_sigs`` is persisted here (three consumers); the CALLER owns the
+    unpersist once the pairs and the store union are materialized.
     """
     r = num_hashes // bands
     new_sigs = minhash_signatures(new_docs, num_hashes, shingle_k, seed).persist()
+    sig_store = sig_store.join(
+        F.broadcast(new_sigs.select("doc_id")), "doc_id", "left_anti"
+    )
     banded_new = _banded_buckets(new_sigs, bands, r)
     banded_all = _banded_buckets(sig_store, bands, r).union(banded_new)
     cand = (
@@ -543,15 +553,7 @@ def decontaminate(
     doc_sh = _shingle_hashes(docs, shingle_k, id_col, text_col).filter(
         F.col("shingle") != 0
     )
-    bl = blocklist.select(
-        F.monotonically_increasing_id().alias("_bid"), F.col(text_col)
-    )
-    bl_sh = (
-        _shingle_hashes(bl, shingle_k, "_bid", text_col)
-        .filter(F.col("shingle") != 0)
-        .select("shingle")
-        .distinct()
-    )
+    bl_sh = _blocklist_shingles(blocklist, shingle_k, text_col).select("shingle").distinct()
     hits = doc_sh.join(F.broadcast(bl_sh), "shingle").groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_hits")
     )
@@ -560,6 +562,21 @@ def decontaminate(
         F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
         (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
     )
+
+
+def _blocklist_shingles(blocklist: DataFrame, shingle_k: int, text_col: str) -> DataFrame:
+    """(_bid, shingle): per-entry UNIQUE shingle hashes of a blocklist.
+
+    The entry id is xxhash64 of the entry text — DETERMINISTIC across plan
+    re-evaluations, unlike monotonically_increasing_id, so two subtrees
+    that both derive from this frame (e.g. the shingle rows and the
+    per-entry size table) can never disagree on which entry a shingle
+    belongs to after a shuffle or task retry.  Identical entries merge
+    into one id, which is harmless (identical shingle sets)."""
+    bl = blocklist.select(F.xxhash64(text_col).alias("_bid"), F.col(text_col))
+    # _shingle_hashes already emits per-doc UNIQUE shingles; only the
+    # sentinel rows need filtering
+    return _shingle_hashes(bl, shingle_k, "_bid", text_col).filter(F.col("shingle") != 0)
 
 
 def decontaminate_fuzzy(
@@ -590,14 +607,7 @@ def decontaminate_fuzzy(
     doc_sh = _shingle_hashes(docs, shingle_k, id_col, text_col).filter(
         F.col("shingle") != 0
     )
-    bl = blocklist.select(
-        F.monotonically_increasing_id().alias("_bid"), F.col(text_col)
-    )
-    bl_sh = (
-        _shingle_hashes(bl, shingle_k, "_bid", text_col)
-        .filter(F.col("shingle") != 0)
-        .dropDuplicates(["_bid", "shingle"])
-    )
+    bl_sh = _blocklist_shingles(blocklist, shingle_k, text_col)
     bl_sized = bl_sh.join(
         bl_sh.groupBy("_bid").agg(F.count(F.lit(1)).alias("_bl_n")), "_bid"
     )

@@ -295,7 +295,41 @@ def test_minhash_incremental_skips_batch1_text(spark, tmp_path):
     new_sigs.unpersist()
 
 
-def test_decontaminate_fuzzy_catches_mutated_canary(spark):
+def test_fixture_text_is_ascii(spark):
+    """The doc_repetition / decontaminate_fuzzy oracles compare BYTE-based
+    Spark shingles against CHARACTER-based DuckDB substrings — equivalent
+    only while fixture text is pure ASCII.  If the driver ever regenerates
+    fixtures with multibyte text, this fails loudly here instead of as an
+    inscrutable value-hash mismatch in the correctness gate."""
+    import pyspark.sql.functions as F
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        n = docs.filter(F.octet_length("text") != F.length("text")).count()
+        assert n == 0, f"{sf}: {n} non-ASCII documents break byte/char oracle parity"
+
+
+def test_minhash_incremental_reingested_ids_idempotent(spark):
+    """A re-ingested doc_id (batch retry / overlap) supersedes its store
+    row instead of duplicating pairs or poisoning the store."""
+    import pyspark.sql.functions as F
+
+    from parquet4seastar_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text").limit(50)
+    store = dedup.minhash_signatures(docs).localCheckpoint()
+    # batch 2 re-ingests ids 0..9 (same text) AND adds one planted dup
+    batch2 = docs.filter(F.col("doc_id") < 10).union(
+        docs.filter(F.col("doc_id") == 0).select(
+            (F.col("doc_id") + 7_000_000).alias("doc_id"), "text"
+        )
+    )
+    pairs, new_sigs = dedup.minhash_lsh_pairs_incremental(batch2, store, threshold=0.9)
+    rows = pairs.collect()
+    keys = [(r["doc_a"], r["doc_b"]) for r in rows]
+    assert len(keys) == len(set(keys))  # no duplicated pair rows
+    assert (0, 7_000_000) in set(keys)
+    new_sigs.unpersist()
     """Edits every few tokens destroy every 24-gram (exact decontamination
     misses) but leave most 9-shingles intact (fuzzy catches)."""
     import pyspark.sql.functions as F
