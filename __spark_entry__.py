@@ -680,6 +680,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         enc = encode_table(
             _docs_src(spark, sf_dir), columns=["text", "lang", "n_chars"],
             policy="auto", salt_col="source", num_partitions=4,
+            # one salt bucket per key at ANY sf (see encode_metrics_documents)
+            salt_target_rows=1 << 30,
         )
         return (
             audit_lineage(enc)
@@ -747,6 +749,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         enc = encode_table(
             _docs_src(spark, sf_dir), columns=["text", "lang", "source", "n_chars"],
             policy="auto", salt_col="source", num_partitions=4,
+            # one salt bucket per key at ANY sf: the oracle's chunk count
+            # (= distinct sources) must not depend on the gate's data scale
+            salt_target_rows=1 << 30,
         )
         return metrics_summary(enc).select("column", "rows", "nulls", "input_bytes", "chunks")
 
