@@ -49,6 +49,9 @@ HEADLINE_QUERIES = [
     "roundtrip_embeddings",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_incremental",
+    "decontaminate_fuzzy",
+    "doc_repetition",
     "token_counts",
     "language_id",
     "ann_bruteforce_topk",
