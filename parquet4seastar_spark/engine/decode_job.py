@@ -225,9 +225,16 @@ def decode_table(
 
     if schema is None:
         lvl = encoded.storageLevel
-        computed = "pythonUDF" in (plan_str := encoded._jdf.queryExecution().analyzed().toString()) or (
-            "MapInArrow" in plan_str or "MapInPandas" in plan_str or "FlatMapGroupsIn" in plan_str
-        )
+        try:
+            plan_str = encoded._jdf.queryExecution().analyzed().toString()
+            computed = (
+                "MapInArrow" in plan_str
+                or "MapInPandas" in plan_str
+                or "FlatMapGroupsIn" in plan_str
+                or "pythonUDF" in plan_str
+            )
+        except Exception:  # plan introspection is best-effort: persisting a
+            computed = True  # storage-backed frame is wasteful but correct
         if computed and not (lvl.useMemory or lvl.useDisk):
             encoded = encoded.persist()
         schema = {

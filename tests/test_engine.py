@@ -428,6 +428,31 @@ def test_roundtrip_verify_fast_no_row_shuffle(spark):
     enc.unpersist()
 
 
+def test_decode_discovery_persists_only_computed_frames(spark, tmp_path):
+    """Schema discovery persists the pages frame when it chains off a live
+    encode plan (else the encode job runs twice: once for discovery, once
+    for decode) but NOT when it reads from storage (the 100-TB shape,
+    where the kind='chunk' filter pushes down to the scan)."""
+    import pyspark.sql.functions as F
+
+    from parquet4seastar_spark.engine.decode_job import decode_table
+    from parquet4seastar_spark.engine.encode_job import encode_table
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.col("doc_id").alias("row_id"), "text", "source"
+    )
+    enc = encode_table(docs, columns=["text"], policy="plain", salt_col="source", num_partitions=2)
+    assert decode_table(enc, ["text"]).count() == 500
+    assert enc.storageLevel.useMemory or enc.storageLevel.useDisk
+    enc.unpersist()
+
+    stored_path = str(tmp_path / "enc_pages")
+    enc.write.parquet(stored_path)
+    stored = spark.read.parquet(stored_path)
+    assert decode_table(stored, ["text"]).count() == 500
+    assert not (stored.storageLevel.useMemory or stored.storageLevel.useDisk)
+
+
 def test_verify_fast_empty_top_salt_bucket(spark):
     """A key whose HIGHEST salt bucket received zero rows must still verify
     clean: the bucket count is read from the recorded lineage, not inferred
