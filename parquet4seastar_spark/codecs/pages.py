@@ -107,6 +107,12 @@ class EncodedChunk:
     stat_max_num: float | None = None
     stat_min_bin: bytes | None = None
     stat_max_bin: bytes | None = None
+    # equality-pruning bloom filter (int64[bloom.BLOOM_WORDS] or None):
+    # min/max stats cannot prune point lookups on unsorted data; the bloom
+    # proves ABSENCE of a literal, so prune_chunks(eq=...) can drop chunks
+    # the range test keeps.  Built for flat key-like columns only (see
+    # codecs/bloom.py caps).
+    bloom: np.ndarray | None = None
 
     @property
     def total_size(self) -> int:
@@ -428,6 +434,24 @@ def _train_chunk_table(payload):
     return fsst.train_symbol_table(np.ascontiguousarray(payload[: 1 << 16]))
 
 
+def _chunk_bloom(chunk: EncodedChunk, ptype: str, values, lengths, payload) -> None:
+    """Fill the equality-pruning bloom from the non-null flat values."""
+    from . import bloom as _bloom
+
+    if ptype in ("INT32", "INT64") and values is not None and 0 < len(values) <= _bloom.MAX_BLOOM_VALUES:
+        h1, h2 = _bloom.int_hashes(values)
+    elif (
+        ptype == "BYTE_ARRAY"
+        and lengths is not None
+        and 0 < len(lengths) <= _bloom.MAX_BLOOM_VALUES
+        and int(lengths.max()) <= _bloom.MAX_BLOOM_VALUE_LEN
+    ):
+        h1, h2 = _bloom.bytes_hashes(lengths, payload)
+    else:
+        return
+    chunk.bloom = _bloom.build_bloom(h1, h2)
+
+
 def _chunk_stats(chunk: EncodedChunk, ptype: str, values, lengths, payload) -> None:
     """Fill conservative min/max stats from the non-null flat values."""
     if ptype in _FIXED_DTYPES and values is not None and len(values):
@@ -612,6 +636,7 @@ def encode_chunk(
     )
     chunk.sha256 = chunk_sha256(ptype, valid, values, lengths, payload)
     _chunk_stats(chunk, ptype, values, lengths, payload)
+    _chunk_bloom(chunk, ptype, values, lengths, payload)
 
     plan = _plan_codecs(
         policy, ptype, n, valid, values, lengths, payload, page_ends, nn_page_ends

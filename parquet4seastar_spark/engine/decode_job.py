@@ -179,6 +179,22 @@ def prune_chunks(
             & (lo_col.isNull() | (lo_col <= _lit(eq)))
             & (hi_col.isNull() | (hi_col >= _lit(eq)))
         )
+        # bloom membership: min/max cannot prune point lookups on unsorted
+        # data (every chunk's range contains the literal); the bloom proves
+        # ABSENCE, so a chunk additionally survives only if its bloom is
+        # missing or reports all k probe bits set.  The fixed bloom size
+        # makes the probe positions pure python constants -> a handful of
+        # element_at/shift JVM expressions over the tiny chunk rows.
+        if "bloom" in encoded.columns and isinstance(eq, (str, bytes, int)) and not isinstance(eq, bool):
+            from ..codecs.bloom import probe_positions
+
+            present = F.lit(True)
+            for b in probe_positions(eq):
+                word = F.element_at(F.col("bloom"), b // 64 + 1)
+                present = present & (
+                    F.shiftrightunsigned(word, b % 64).bitwiseAND(F.lit(1)) == 1
+                )
+            cond = cond & (F.col("bloom").isNull() | present)
     # DROP-set anti-join, not a keep-set semi-join: chunks whose stats
     # PROVE no row matches are removed; everything else (missing stats, or
     # a typo'd/absent column -> empty drop set) survives.  Fail-safe by

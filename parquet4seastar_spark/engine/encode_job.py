@@ -44,7 +44,7 @@ ENCODED_SCHEMA = (
     "input_bytes long, encoded_bytes long, sha256 string, n_pages int, "
     "max_def int, max_rep int, elem_nullable boolean, "
     "stat_min_num double, stat_max_num double, stat_min_bin binary, stat_max_bin binary, "
-    "salt_buckets int"
+    "salt_buckets int, bloom array<long>"
 )
 
 DATA_COLUMNS = ["repo", "path", "commit", "lang", "content"]
@@ -171,6 +171,9 @@ def _out_schema_pa() -> pa.Schema:
                 # from observed salts (a zero-row top bucket would undercount
                 # and trip a spurious whole-table mismatch)
                 ("salt_buckets", pa.int32()),
+                # equality-pruning bloom (prune_chunks eq=...); None when the
+                # column/chunk is outside the bloom caps (codecs/bloom.py)
+                ("bloom", pa.list_(pa.int64())),
             ]
         )
     return _OUT_SCHEMA_PA
@@ -273,7 +276,7 @@ def _encode_partition_factory(
                         encs, chunk.compression, chunk.type_length,
                         None, None, None, len(chunk.pages),
                         chunk.max_def, chunk.max_rep, chunk.elem_nullable,
-                        None, None, None, None, None,
+                        None, None, None, None, None, None,
                     ))
                 rows.append((
                     "chunk", part_key, chunk_id, col, seq, -1,
@@ -288,6 +291,7 @@ def _encode_partition_factory(
                     chunk.elem_nullable, chunk.stat_min_num,
                     chunk.stat_max_num, chunk.stat_min_bin, chunk.stat_max_bin,
                     salt_buckets,
+                    chunk.bloom.tolist() if chunk.bloom is not None else None,
                 ))
             schema = _out_schema_pa()
             by_field = list(zip(*rows))

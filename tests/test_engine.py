@@ -428,6 +428,49 @@ def test_roundtrip_verify_fast_no_row_shuffle(spark):
     enc.unpersist()
 
 
+def test_bloom_prunes_point_lookups_minmax_cannot(spark):
+    """A literal INSIDE every chunk's [min, max] but present in none: range
+    stats keep every chunk, the bloom drops them all; a present literal
+    keeps exactly its chunks and decodes the right rows."""
+    import pyspark.sql.functions as F
+
+    from parquet4seastar_spark.engine.decode_job import decode_table, prune_chunks
+    from parquet4seastar_spark.engine.encode_job import encode_table
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.col("doc_id").alias("row_id"),
+        F.concat(F.lit("key-"), F.format_string("%04d", F.col("doc_id"))).alias("k"),
+        "source",
+    )
+    enc = encode_table(
+        docs, columns=["k"], policy="plain", salt_col="source", num_partitions=2,
+    ).cache()
+    chunks = enc.filter(F.col("kind") == "chunk").filter(F.col("column") == "k")
+    n_chunks = chunks.count()
+    assert chunks.filter(F.col("bloom").isNotNull()).count() == n_chunks
+
+    # absent but inside the global range ('key-0000' < 'key-00x0' < 'key-0499')
+    pruned_absent = prune_chunks(enc, "k", eq="key-00x0")
+    kept = pruned_absent.filter(
+        (F.col("kind") == "chunk") & (F.col("column") == "k")
+    ).count()
+    assert kept == 0  # min/max alone would keep every chunk
+
+    # present literal: its chunk survives and decode returns exactly it
+    pruned_present = prune_chunks(enc, "k", eq="key-0123").persist()
+    assert pruned_present.filter(
+        (F.col("kind") == "chunk") & (F.col("column") == "k")
+    ).count() >= 1
+    rows = (
+        decode_table(pruned_present, ["k"])
+        .filter(F.col("k") == "key-0123")
+        .collect()
+    )
+    assert [r["row_id"] for r in rows] == [123]
+    pruned_present.unpersist()
+    enc.unpersist()
+
+
 def test_decode_discovery_persists_only_computed_frames(spark, tmp_path):
     """Schema discovery persists the pages frame when it chains off a live
     encode plan (else the encode job runs twice: once for discovery, once

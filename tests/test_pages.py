@@ -836,3 +836,62 @@ def test_nested_level_sequences():
     enc2 = encode_levels_v1(d2, 3)
     out2, _ = decode_levels_v1(enc2, 3, 2)
     assert out2.tolist() == [2, 3]
+
+
+# ---- equality-pruning bloom filters ---------------------------------------
+
+
+class TestBloom:
+    def test_scalar_vector_hash_parity(self):
+        import numpy as np
+
+        from parquet4seastar_spark.codecs import bloom
+
+        rng = np.random.default_rng(3)
+        vals = [bytes(rng.integers(0, 256, rng.integers(0, 40))) for _ in range(200)]
+        lengths = np.array([len(v) for v in vals], dtype=np.int64)
+        payload = np.frombuffer(b"".join(vals), dtype=np.uint8)
+        h1, h2 = bloom.bytes_hashes(lengths, payload)
+        for i, v in enumerate(vals):
+            s1, s2 = bloom.scalar_hashes(v)
+            assert (int(h1[i]), int(h2[i])) == (s1, s2), i
+        ints = rng.integers(-(2**62), 2**62, 100)
+        i1, i2 = bloom.int_hashes(ints)
+        for i, v in enumerate(ints.tolist()):
+            s1, s2 = bloom.scalar_hashes(v)
+            assert (int(i1[i]), int(i2[i])) == (s1, s2), i
+
+    def test_membership_and_fpr(self):
+        import numpy as np
+
+        from parquet4seastar_spark.codecs import bloom
+
+        vals = [f"key-{i}".encode() for i in range(5000)]
+        lengths = np.array([len(v) for v in vals], dtype=np.int64)
+        payload = np.frombuffer(b"".join(vals), dtype=np.uint8)
+        words = bloom.build_bloom(*bloom.bytes_hashes(lengths, payload))
+
+        def present(v):
+            return all(
+                (int(words[b // 64]) >> (b % 64)) & 1 for b in bloom.probe_positions(v)
+            )
+
+        assert all(present(v) for v in vals)  # no false negatives, ever
+        false_pos = sum(present(f"absent-{i}") for i in range(2000))
+        assert false_pos < 40  # ~26 bits/key, k=6: FPR well under 2%
+
+    def test_chunk_bloom_caps(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from parquet4seastar_spark.codecs import bloom
+        from parquet4seastar_spark.codecs.pages import encode_chunk
+
+        keyish = encode_chunk(pa.array([f"c{i:04d}" for i in range(500)]), policy="plain")
+        assert keyish.bloom is not None and len(keyish.bloom) == bloom.BLOOM_WORDS
+        longtext = encode_chunk(pa.array(["x" * 300] * 10), policy="plain")
+        assert longtext.bloom is None  # value length over cap
+        ints = encode_chunk(pa.array(np.arange(100, dtype=np.int64)), policy="plain")
+        assert ints.bloom is not None
+        floats = encode_chunk(pa.array(np.linspace(0, 1, 50)), policy="plain")
+        assert floats.bloom is None  # no float blooms
