@@ -140,6 +140,74 @@ def stream_dedup(
     )
 
 
+def stream_near_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    sig_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    *,
+    threshold: float = 0.9,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 9,
+    seed: int = 42,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Continuous NEAR-duplicate detection over a growing document
+    directory: each micro-batch runs the incremental MinHash-LSH operator
+    against the persisted signature store, so a batch's text is shingled
+    exactly once for the stream's lifetime (the continuous-ingest shape of
+    ``dedup.minhash_lsh_pairs_incremental``; old batches contribute only
+    their stored ids+signatures).
+
+    Output layout (both written per ``batch_id=N`` partition with
+    overwrite, the same exactly-once contract as :func:`stream_encode`):
+    - ``pairs_dir``:  (doc_a, doc_b, est_jaccard) cross/intra-batch pairs;
+    - ``sig_dir``:    the signature store itself — each batch appends its
+      own signatures, so the store doubles as the stream's dedup state and
+      survives checkpoint loss (state lives in data, not in the stream
+      engine).
+    """
+    import os
+
+    from ..operators.dedup import minhash_lsh_pairs_incremental
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+
+    def process_batch(df: DataFrame, batch_id: int) -> None:
+        batch = df.select("doc_id", "text")
+        if os.path.isdir(sig_dir) and any(
+            not e.name.startswith(("_", ".")) for e in os.scandir(sig_dir)
+        ):
+            store = spark.read.option("basePath", sig_dir).parquet(sig_dir).select(
+                "doc_id", "sig"
+            )
+        else:  # bootstrap: empty store — incremental still finds the
+            store = spark.createDataFrame([], "doc_id long, sig array<long>")
+            # batch's own intra-batch dups (new-vs-new band join)
+        pairs, new_sigs = minhash_lsh_pairs_incremental(
+            batch, store, num_hashes=num_hashes, bands=bands,
+            shingle_k=shingle_k, threshold=threshold, seed=seed,
+        )
+        pairs.write.mode("overwrite").parquet(f"{pairs_dir}/batch_id={batch_id}")
+        new_sigs.write.mode("overwrite").parquet(f"{sig_dir}/batch_id={batch_id}")
+        new_sigs.unpersist()
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "1 hour",

@@ -295,6 +295,41 @@ def test_minhash_incremental_skips_batch1_text(spark, tmp_path):
     new_sigs.unpersist()
 
 
+def test_stream_near_dedup_cross_batch(spark, tmp_path):
+    """Continuous near-dedup: dups planted in a LATER micro-batch are
+    paired against the signature store without re-shingling earlier
+    batches; the store accumulates every batch's signatures."""
+    import pyspark.sql.functions as F
+
+    from parquet4seastar_spark.engine.streaming import stream_near_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text").limit(60)
+    in_dir = str(tmp_path / "in")
+    docs.filter(F.col("doc_id") < 30).coalesce(1).write.parquet(in_dir)
+    # batch 2: fresh docs 30..59 plus exact copies of batch-1 docs 0..4
+    b2 = docs.filter(F.col("doc_id") >= 30).union(
+        docs.filter(F.col("doc_id") < 5).select(
+            (F.col("doc_id") + 9_000_000).alias("doc_id"), "text"
+        )
+    )
+    b2.coalesce(1).write.mode("append").parquet(in_dir)
+
+    sig_dir = str(tmp_path / "sigs")
+    pairs_dir = str(tmp_path / "pairs")
+    q = stream_near_dedup(
+        spark, in_dir, "doc_id long, text string", sig_dir, pairs_dir,
+        str(tmp_path / "ckpt"), threshold=0.9, max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    pairs = spark.read.parquet(pairs_dir)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    planted = {(i, i + 9_000_000) for i in range(5)}
+    assert planted <= got
+    sigs = spark.read.parquet(sig_dir)
+    assert sigs.count() == 65
+    assert sigs.select("doc_id").distinct().count() == 65
+
+
 def test_minhash_incremental_equals_batch(spark):
     """Semantic contract: incremental pairs over batch 2 vs the batch-1
     store, PLUS the batch-1-only pairs, equals one batch run over the full
