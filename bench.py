@@ -110,7 +110,8 @@ def ensure_bench_data(spark) -> tuple[str, int, int]:
 
 
 def encode_bench(
-    cpus: int, data_path: str, content_bytes: int, repeats: int = 2, spark=None, policy=None
+    cpus: int, data_path: str, content_bytes: int, repeats: int = 2, spark=None, policy=None,
+    compression: str = "uncompressed",
 ) -> dict:
     """Run the full encode job at the given parallelism; returns metrics."""
     import pyspark.sql.functions as F
@@ -144,6 +145,7 @@ def encode_bench(
             enc = encode_table(
                 df,
                 policy=policy,
+                compression=compression,
                 # 3 task waves: measured best load balance for the skewed
                 # FSST-heavy chunks (2 waves leave a straggler tail)
                 num_partitions=cpus * 3,
@@ -198,9 +200,19 @@ def main():
     spark16 = _new_spark(16)
     hi = encode_bench(16, data_path, content_bytes, repeats=3, spark=spark16)
     comparison = {}
-    for pol in ("auto_fast", "reference"):
-        comparison[pol] = encode_bench(
-            16, data_path, content_bytes, repeats=1, spark=spark16, policy=pol
+    for name, pol, comp in (
+        ("auto_fast", "auto_fast", "uncompressed"),
+        ("reference", "reference", "uncompressed"),
+        # the reference's own page-compressor set (compression.cc:76-153)
+        # on top of codec selection: gzip takes auto to ~0.26 at ~zero
+        # wall cost, and auto_fast+gzip beats uncompressed auto on BOTH
+        # axes — the throughput-optimal full-compression profile
+        ("auto_gzip", "auto", "gzip"),
+        ("auto_fast_gzip", "auto_fast", "gzip"),
+    ):
+        comparison[name] = encode_bench(
+            16, data_path, content_bytes, repeats=1, spark=spark16, policy=pol,
+            compression=comp,
         )
     # decode throughput: materialize the encoded table once, time the full
     # distributed decode of the content column
