@@ -138,6 +138,7 @@ def prune_chunks(
     lt=None,
     le=None,
     eq=None,
+    isin=None,
 ) -> DataFrame:
     """Stats-based chunk skipping (beyond the reference: it never writes
     ColumnMetaData statistics).
@@ -151,7 +152,12 @@ def prune_chunks(
     every page and touching only the value-range-relevant ones.
     """
     ch = encoded.filter((F.col("kind") == "chunk") & (F.col("column") == column))
-    is_bin = isinstance(eq if eq is not None else (gt if gt is not None else (ge if ge is not None else (lt if lt is not None else le))), (str, bytes))
+    probe = (
+        eq
+        if eq is not None
+        else (isin[0] if isin else (gt if gt is not None else (ge if ge is not None else (lt if lt is not None else le))))
+    )
+    is_bin = isinstance(probe, (str, bytes))
     lo_col = F.col("stat_min_bin") if is_bin else F.col("stat_min_num")
     hi_col = F.col("stat_max_bin") if is_bin else F.col("stat_max_num")
 
@@ -173,28 +179,36 @@ def prune_chunks(
         cond = cond & (lo_col.isNull() | (lo_col < _lit(lt)))
     if le is not None:
         cond = cond & (lo_col.isNull() | (lo_col <= _lit(le)))
-    if eq is not None:
-        cond = (
-            cond
-            & (lo_col.isNull() | (lo_col <= _lit(eq)))
-            & (hi_col.isNull() | (hi_col >= _lit(eq)))
+    # point-lookup conditions (eq / isin): range test + bloom membership.
+    # min/max cannot prune point lookups on unsorted data (every chunk's
+    # range contains the literal); the bloom proves ABSENCE, so a chunk
+    # additionally survives only if its bloom is missing or reports all k
+    # probe bits set.  The fixed bloom size makes the probe positions pure
+    # python constants -> a handful of element_at/shift JVM expressions
+    # over the tiny chunk rows.
+    def _point_cond(v):
+        c = (lo_col.isNull() | (lo_col <= _lit(v))) & (
+            hi_col.isNull() | (hi_col >= _lit(v))
         )
-        # bloom membership: min/max cannot prune point lookups on unsorted
-        # data (every chunk's range contains the literal); the bloom proves
-        # ABSENCE, so a chunk additionally survives only if its bloom is
-        # missing or reports all k probe bits set.  The fixed bloom size
-        # makes the probe positions pure python constants -> a handful of
-        # element_at/shift JVM expressions over the tiny chunk rows.
-        if "bloom" in encoded.columns and isinstance(eq, (str, bytes, int)) and not isinstance(eq, bool):
+        if "bloom" in encoded.columns and isinstance(v, (str, bytes, int)) and not isinstance(v, bool):
             from ..codecs.bloom import probe_positions
 
             present = F.lit(True)
-            for b in probe_positions(eq):
+            for b in probe_positions(v):
                 word = F.element_at(F.col("bloom"), b // 64 + 1)
                 present = present & (
                     F.shiftrightunsigned(word, b % 64).bitwiseAND(F.lit(1)) == 1
                 )
-            cond = cond & (F.col("bloom").isNull() | present)
+            c = c & (F.col("bloom").isNull() | present)
+        return c
+
+    if eq is not None:
+        cond = cond & _point_cond(eq)
+    if isin:
+        any_v = _point_cond(isin[0])
+        for v in isin[1:]:
+            any_v = any_v | _point_cond(v)
+        cond = cond & any_v
     # DROP-set anti-join, not a keep-set semi-join: chunks whose stats
     # PROVE no row matches are removed; everything else (missing stats, or
     # a typo'd/absent column -> empty drop set) survives.  Fail-safe by

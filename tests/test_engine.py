@@ -468,6 +468,19 @@ def test_bloom_prunes_point_lookups_minmax_cannot(spark):
     )
     assert [r["row_id"] for r in rows] == [123]
     pruned_present.unpersist()
+
+    # isin: batched point lookups — chunks survive iff ANY value may match
+    all_absent = prune_chunks(enc, "k", isin=["key-00x0", "key-01x1"])
+    assert all_absent.filter(
+        (F.col("kind") == "chunk") & (F.col("column") == "k")
+    ).count() == 0
+    mixed = prune_chunks(enc, "k", isin=["key-00x0", "key-0123"]).persist()
+    assert mixed.filter(
+        (F.col("kind") == "chunk") & (F.col("column") == "k")
+    ).count() >= 1
+    got = decode_table(mixed, ["k"]).filter(F.col("k").isin("key-00x0", "key-0123")).collect()
+    assert [r["row_id"] for r in got] == [123]
+    mixed.unpersist()
     enc.unpersist()
 
 
