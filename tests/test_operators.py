@@ -438,6 +438,10 @@ def test_minhash_incremental_reingested_ids_idempotent(spark):
     assert exact.filter(F.col("contaminated")).count() == 0
     flagged = {r["doc_id"] for r in fuzzy.filter(F.col("contaminated")).collect()}
     assert flagged == {i for i in range(0, 500, 10)}
+    # same scale shape as the exact path: the blocklist side broadcasts,
+    # the corpus text never shuffles
+    plan = fuzzy._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
 
 
 def test_doc_repetition_scores(spark):
