@@ -359,6 +359,16 @@ def test_minhash_incremental_equals_batch(spark):
     new_sigs.unpersist()
 
 
+def test_bench_headline_queries_exist():
+    """bench.py names queries by string: a rename in __spark_entry__ must
+    fail here, not at the driver's bench run."""
+    import bench
+    import __spark_entry__ as entry
+
+    missing = [q for q in bench.HEADLINE_QUERIES if q not in entry.queries()]
+    assert not missing, missing
+
+
 def test_query_window_invariants():
     """The driver's CORRECTNESS harness checks only the first ~50 queries()
     entries: the window must stay at 50, every oracle key must name a
