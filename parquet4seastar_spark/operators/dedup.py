@@ -37,7 +37,9 @@ def exact_dedup(docs: DataFrame, key: str = "text") -> DataFrame:
     ).select("keep_id", "n_copies")
 
 
-def _shingle_stream(arr: pa.Array, k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def _shingle_stream(
+    arr: pa.Array, k: int, unique: bool = True
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Sorted-unique k-byte-shingle hashes for every doc of an arrow string
     array, in ONE vectorized pass over the concatenated batch payload.
 
@@ -45,6 +47,12 @@ def _shingle_stream(arr: pa.Array, k: int) -> tuple[np.ndarray, np.ndarray, np.n
     doc i's hashes are ``hashes[starts[i] : starts[i]+counts[i]]``, sorted
     ascending.  Docs that are null or shorter than k get the single
     sentinel hash 0 (so every segment is non-empty).
+
+    ``unique=False`` returns the RAW per-doc gram stream (duplicates kept,
+    position order) and skips the batch-wide lexsort — the dominant cost
+    of this function.  Correct whenever the consumer is duplicate-
+    insensitive: MinHash minima over a multiset equal minima over its set,
+    so signatures are bit-identical either way.
     """
     if arr.null_count:
         arr = arr.fill_null("")
@@ -78,6 +86,9 @@ def _shingle_stream(arr: pa.Array, k: int) -> tuple[np.ndarray, np.ndarray, np.n
         dst_base = np.repeat(starts[:-1][has], g)
         rel = np.arange(int(g.sum()), dtype=np.int64) - np.repeat(np.cumsum(g) - g, g)
         out[dst_base + rel] = h_all[src_base + rel]
+
+    if not unique:
+        return starts[:-1].copy(), counts, out
 
     # segmented unique: sort within docs, drop consecutive repeats
     owner = np.repeat(np.arange(n, dtype=np.int64), counts)
@@ -119,7 +130,12 @@ def minhash_signatures(
             if rb.num_rows == 0:
                 continue
             doc_id = _batch_text(rb, "doc_id")
-            starts, counts, h = _shingle_stream(_batch_text(rb, "text"), shingle_k)
+            # raw gram stream: min over a multiset == min over its set, so
+            # the batch-wide sorted-unique pass (the dominant shingle cost)
+            # is skipped — signatures are bit-identical
+            starts, counts, h = _shingle_stream(
+                _batch_text(rb, "text"), shingle_k, unique=False
+            )
             hp = h % _P31
             n = len(counts)
             sig = np.empty((n, num_hashes), dtype=np.int64)
