@@ -1102,15 +1102,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["encode_metrics_documents"] = encode_metrics_documents
 
     def streaming_smoke(spark, sf_dir):
-        """BOTH streaming surfaces in one rows-only smoke: availableNow
-        encode (documents -> pages+lineage via foreachBatch) and
-        arbitrary-stateful cross-batch dedup (applyInPandasWithState:
+        """ALL THREE streaming surfaces in one rows-only smoke: availableNow
+        encode (documents -> pages+lineage via foreachBatch),
+        arbitrary-stateful cross-batch exact dedup (applyInPandasWithState:
         duplicates planted in a second micro-batch are dropped by the
-        persisted seen-fingerprint state).  Output: (surface, metric,
-        value) rows."""
+        persisted seen-fingerprint state), and continuous NEAR-dedup
+        (foreachBatch + incremental LSH against the parquet signature
+        store).  Output: (surface, metric, value) rows."""
         import tempfile
 
-        from parquet4seastar_spark.engine.streaming import stream_dedup, stream_encode
+        from parquet4seastar_spark.engine.streaming import (
+            stream_dedup,
+            stream_encode,
+            stream_near_dedup,
+        )
         from parquet4seastar_spark.engine.verify import metrics_summary
 
         with tempfile.TemporaryDirectory() as tmp:
@@ -1161,7 +1166,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "select 'stream_dedup' as surface, 'n_unique' as metric, "
                 "cast(count(*) as long) as value from p4s_stream_dedup"
             ).localCheckpoint()
-        return encode_part.union(dedup_part)
+        with tempfile.TemporaryDirectory() as tmp:
+            docs = _docs(spark, sf_dir).select("doc_id", "text").limit(40)
+            docs.coalesce(1).write.parquet(f"{tmp}/in")
+            docs.filter(F.col("doc_id") < 10).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            ).coalesce(1).write.mode("append").parquet(f"{tmp}/in")
+            qry = stream_near_dedup(
+                spark, f"{tmp}/in", "doc_id long, text string",
+                f"{tmp}/sigs", f"{tmp}/pairs", f"{tmp}/ckpt2",
+                threshold=0.9, max_files_per_trigger=1,
+            )
+            qry.awaitTermination()
+            near_part = (
+                spark.read.parquet(f"{tmp}/pairs")
+                .agg(F.count(F.lit(1)).cast("long").alias("value"))
+                .select(
+                    F.lit("stream_near_dedup").alias("surface"),
+                    F.lit("n_pairs").alias("metric"),
+                    "value",
+                )
+                .localCheckpoint()
+            )
+        return encode_part.union(dedup_part).union(near_part)
 
     # ---- rows-only queries register LAST: every oracled query stays
     # inside the driver's ~50-entry CORRECTNESS window regardless of the

@@ -193,13 +193,24 @@ def prune_chunks(
         if "bloom" in encoded.columns and isinstance(v, (str, bytes, int)) and not isinstance(v, bool):
             from ..codecs.bloom import probe_positions
 
+            # the bloom only speaks the column's PHYSICAL value domain: a
+            # str literal against an int column (or vice versa) hashes in
+            # a different domain than the stored bits, so consulting it
+            # would wrongly drop chunks that match under Spark's
+            # cast-equality — gate on the chunk's ptype and fall back to
+            # conservative survival on any mismatch
+            applicable = (
+                F.col("ptype") == "BYTE_ARRAY"
+                if isinstance(v, (str, bytes))
+                else F.col("ptype").isin("INT32", "INT64")
+            )
             present = F.lit(True)
             for b in probe_positions(v):
                 word = F.element_at(F.col("bloom"), b // 64 + 1)
                 present = present & (
                     F.shiftrightunsigned(word, b % 64).bitwiseAND(F.lit(1)) == 1
                 )
-            c = c & (F.col("bloom").isNull() | present)
+            c = c & (~applicable | F.col("bloom").isNull() | present)
         return c
 
     if eq is not None:

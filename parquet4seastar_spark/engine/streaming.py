@@ -173,6 +173,8 @@ def stream_near_dedup(
     """
     import os
 
+    from pyspark.sql import Window
+
     from ..operators.dedup import minhash_lsh_pairs_incremental
 
     reader = spark.readStream.schema(schema)
@@ -180,13 +182,32 @@ def stream_near_dedup(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(input_dir)
 
+    def _store_has_data() -> bool:
+        # only COMMITTED part files count: a crashed mid-write batch leaves
+        # batch_id=N/_temporary/... which Spark's reader hides — treating
+        # the bare partition dir as data would make the recovery read fail
+        # with 'unable to infer schema' on every restart
+        for root, dirs, files in os.walk(sig_dir):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            if any(not f.startswith(("_", ".")) for f in files):
+                return True
+        return False
+
     def process_batch(df: DataFrame, batch_id: int) -> None:
         batch = df.select("doc_id", "text")
-        if os.path.isdir(sig_dir) and any(
-            not e.name.startswith(("_", ".")) for e in os.scandir(sig_dir)
-        ):
-            store = spark.read.option("basePath", sig_dir).parquet(sig_dir).select(
-                "doc_id", "sig"
+        if os.path.isdir(sig_dir) and _store_has_data():
+            raw = spark.read.option("basePath", sig_dir).parquet(sig_dir)
+            # latest-wins per doc_id: a doc re-ingested in a LATER batch
+            # leaves its superseded signature in the older batch_id
+            # partition (append-only parquet has no upsert); without this
+            # the store view would carry duplicate ids and every candidate
+            # pair would fan out.  On an upsert-capable table (Iceberg/
+            # Delta MERGE) this window disappears.
+            w = Window.partitionBy("doc_id").orderBy(F.col("batch_id").desc())
+            store = (
+                raw.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select("doc_id", "sig")
             )
         else:  # bootstrap: empty store — incremental still finds the
             store = spark.createDataFrame([], "doc_id long, sig array<long>")

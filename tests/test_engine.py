@@ -484,6 +484,34 @@ def test_bloom_prunes_point_lookups_minmax_cannot(spark):
     enc.unpersist()
 
 
+def test_bloom_ignored_on_type_domain_mismatch(spark):
+    """A literal hashed in a different domain than the chunk's physical
+    values (str vs int column) must NOT consult the bloom — Spark's
+    cast-equality could still match rows, so pruning must stay
+    conservative (the chunk survives)."""
+    import pyspark.sql.functions as F
+
+    from parquet4seastar_spark.engine.decode_job import prune_chunks
+    from parquet4seastar_spark.engine.encode_job import encode_table
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.col("doc_id").alias("row_id"), F.col("n_chars").alias("v"), "source"
+    )
+    enc = encode_table(
+        docs, columns=["v"], policy="plain", salt_col="source", num_partitions=2
+    ).cache()
+    present_int = docs.select("v").first()["v"]
+    n_chunks = enc.filter((F.col("kind") == "chunk") & (F.col("column") == "v")).count()
+    # str literal against the INT64 column: bloom bits are in the int
+    # domain; every chunk must survive (numeric stats vs a str literal are
+    # also inapplicable), exactly the pre-bloom conservative behavior
+    kept = prune_chunks(enc, "v", eq=str(present_int)).filter(
+        (F.col("kind") == "chunk") & (F.col("column") == "v")
+    ).count()
+    assert kept == n_chunks
+    enc.unpersist()
+
+
 def test_decode_discovery_persists_only_computed_frames(spark, tmp_path):
     """Schema discovery persists the pages frame when it chains off a live
     encode plan (else the encode job runs twice: once for discovery, once

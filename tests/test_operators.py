@@ -313,6 +313,14 @@ def test_stream_near_dedup_cross_batch(spark, tmp_path):
         )
     )
     b2.coalesce(1).write.mode("append").parquet(in_dir)
+    # batch 3: RE-INGESTS doc 0 (re-delivered file) -> its stale signature
+    # stays in the older batch_id partition on disk
+    docs.filter(F.col("doc_id") == 0).coalesce(1).write.mode("append").parquet(in_dir)
+    # batch 4: a fresh copy of doc 0 — would fan out against the duplicate
+    # store rows without the latest-wins read
+    docs.filter(F.col("doc_id") == 0).select(
+        (F.col("doc_id") + 8_000_000).alias("doc_id"), "text"
+    ).coalesce(1).write.mode("append").parquet(in_dir)
 
     sig_dir = str(tmp_path / "sigs")
     pairs_dir = str(tmp_path / "pairs")
@@ -325,9 +333,14 @@ def test_stream_near_dedup_cross_batch(spark, tmp_path):
     got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
     planted = {(i, i + 9_000_000) for i in range(5)}
     assert planted <= got
+    assert (0, 8_000_000) in got  # batch-4 copy found vs the compacted store
+    # within every batch partition the pair rows are unique (no fan-out
+    # against the superseded store row of the re-ingested doc)
+    per_batch = pairs.groupBy("batch_id", "doc_a", "doc_b").count()
+    assert per_batch.filter(F.col("count") > 1).count() == 0
     sigs = spark.read.parquet(sig_dir)
-    assert sigs.count() == 65
-    assert sigs.select("doc_id").distinct().count() == 65
+    assert sigs.count() == 67  # 65 + re-ingested 0 + batch-4 copy
+    assert sigs.select("doc_id").distinct().count() == 66
 
 
 def test_minhash_incremental_equals_batch(spark):
