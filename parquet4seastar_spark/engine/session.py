@@ -44,6 +44,9 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # the \r progress bar interleaves with result lines in captured
+        # logs (driver bench tails, oracle-replica output) — drop it
+        .config("spark.ui.showConsoleProgress", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
