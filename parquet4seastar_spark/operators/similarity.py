@@ -407,6 +407,31 @@ def ivf_topk(
     filter is uniform over rows regardless of partition layout (the same
     pattern as text.stratified_sample).
     """
+    centroids, corpus_assign = ivf_build(
+        embeddings, n_clusters=n_clusters, train_sample=train_sample, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    )
+    return ivf_query(
+        embeddings, centroids, corpus_assign, queries, k=k, n_probe=n_probe,
+        id_col=id_col, vec_col=vec_col,
+    )
+
+
+def ivf_build(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    train_sample: int = 2048,
+    seed: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, DataFrame]:
+    """Build the IVF index ONCE: (centroids ndarray, assignments DataFrame
+    (id, cluster)) — the persisted-index pattern: at 100 TB the quantizer
+    trains and assigns once, the assignments table materializes to storage
+    (KBs of centroids ride along, e.g. as a tiny side file), and every
+    later query batch runs :func:`ivf_query` against it without touching
+    the corpus vectors for assignment again (same operational shape as
+    the MinHash signature store in dedup.minhash_lsh_pairs_incremental)."""
     n = embeddings.count()
     frac = min(1.0, (train_sample * 1.3) / max(n, 1))
     # md5 first-8-hex-digits as a uniform 32-bit integer; keep rows below
@@ -424,8 +449,23 @@ def ivf_topk(
     )
     mat = np.stack([r[vec_col] for r in sample]).astype(np.float64)
     centroids = _kmeans(mat, n_clusters, seed=seed)
+    return centroids, ivf_assignments(embeddings, centroids, 1, id_col, vec_col)
 
-    corpus_assign = ivf_assignments(embeddings, centroids, 1, id_col, vec_col)
+
+def ivf_query(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    assignments: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a built IVF index: exact cosine only within each query's
+    n_probe nearest clusters (``assignments`` may come straight from
+    :func:`ivf_build` or from a stored table)."""
+    corpus_assign = assignments
     emb = embeddings.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("nv")
     ).join(corpus_assign.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")

@@ -793,3 +793,33 @@ def test_pack_sequences_null_text(spark):
     rows = {r["doc_id"]: r for r in pack_sequences(df, max_tokens=4).collect()}
     assert rows[2]["n_tokens"] == 1
     assert rows[1]["seq_bin"] == 0 and rows[2]["seq_bin"] == 0 and rows[3]["seq_bin"] == 1
+
+
+def test_ivf_persisted_index_matches_oneshot(spark, tmp_path):
+    """ivf_build's assignments survive a parquet round-trip and ivf_query
+    against the stored index returns exactly the one-shot ivf_topk result
+    (the persisted-index pattern: build once, query many)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from parquet4seastar_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    oneshot = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.ivf_topk(emb, queries, k=5, n_clusters=8, n_probe=4).collect()
+    }
+    centroids, assign = similarity.ivf_build(emb, n_clusters=8)
+    idx_path = str(tmp_path / "ivf_assign")
+    assign.write.parquet(idx_path)
+    stored = spark.read.parquet(idx_path)
+    split = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.ivf_query(
+            emb, centroids, stored, queries, k=5, n_probe=4
+        ).collect()
+    }
+    assert split == oneshot
