@@ -190,7 +190,12 @@ def prune_chunks(
         c = (lo_col.isNull() | (lo_col <= _lit(v))) & (
             hi_col.isNull() | (hi_col >= _lit(v))
         )
-        if "bloom" in encoded.columns and isinstance(v, (str, bytes, int)) and not isinstance(v, bool):
+        if (
+            "bloom" in encoded.columns
+            and "ptype" in encoded.columns
+            and isinstance(v, (str, bytes, int))
+            and not isinstance(v, bool)
+        ):
             from ..codecs.bloom import probe_positions
 
             # the bloom only speaks the column's PHYSICAL value domain: a

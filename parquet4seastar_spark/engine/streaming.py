@@ -164,12 +164,21 @@ def stream_near_dedup(
     their stored ids+signatures).
 
     Output layout (both written per ``batch_id=N`` partition with
-    overwrite, the same exactly-once contract as :func:`stream_encode`):
+    overwrite, the same batch-retry-exactly-once contract as
+    :func:`stream_encode`):
     - ``pairs_dir``:  (doc_a, doc_b, est_jaccard) cross/intra-batch pairs;
     - ``sig_dir``:    the signature store itself — each batch appends its
       own signatures, so the store doubles as the stream's dedup state and
       survives checkpoint loss (state lives in data, not in the stream
       engine).
+
+    Delivery semantics: a RETRIED micro-batch replaces its own partitions
+    (exactly-once under engine retries), but a doc RE-DELIVERED by the
+    source (same doc_id in a later file) re-reports its pairs into the new
+    batch partition — the global pairs table is therefore at-least-once
+    per logical pair under source-level duplication; consumers dedupe by
+    (doc_a, doc_b) (e.g. dropDuplicates before connected components),
+    which is cheap and what the batch operators already do internally.
     """
     import os
 

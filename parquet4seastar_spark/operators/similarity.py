@@ -465,10 +465,9 @@ def ivf_query(
     """Search a built IVF index: exact cosine only within each query's
     n_probe nearest clusters (``assignments`` may come straight from
     :func:`ivf_build` or from a stored table)."""
-    corpus_assign = assignments
     emb = embeddings.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("nv")
-    ).join(corpus_assign.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
+    ).join(assignments.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
 
     q_emb = queries.select(F.col("query_id").alias(id_col), F.col("query_vec").alias(vec_col))
     probes = ivf_assignments(q_emb, centroids, n_probe, id_col, vec_col).withColumnRenamed(

@@ -335,9 +335,12 @@ def test_stream_near_dedup_cross_batch(spark, tmp_path):
     assert planted <= got
     assert (0, 8_000_000) in got  # batch-4 copy found vs the compacted store
     # within every batch partition the pair rows are unique (no fan-out
-    # against the superseded store row of the re-ingested doc)
+    # against the superseded store row of the re-ingested doc); globally a
+    # RE-DELIVERED doc re-reports its pairs (at-least-once per logical
+    # pair, per the docstring) — the distinct set is what consumers use
     per_batch = pairs.groupBy("batch_id", "doc_a", "doc_b").count()
     assert per_batch.filter(F.col("count") > 1).count() == 0
+    assert pairs.select("doc_a", "doc_b").distinct().count() == len(got)
     sigs = spark.read.parquet(sig_dir)
     assert sigs.count() == 67  # 65 + re-ingested 0 + batch-4 copy
     assert sigs.select("doc_id").distinct().count() == 66
