@@ -639,7 +639,8 @@ def encode_chunk(
     _chunk_bloom(chunk, ptype, values, lengths, payload)
 
     plan = _plan_codecs(
-        policy, ptype, n, valid, values, lengths, payload, page_ends, nn_page_ends
+        policy, ptype, n, valid, values, lengths, payload, page_ends, nn_page_ends,
+        compression=compression,
     )
     # plan: (per_page_encodings, dict_page_bytes|None, dict_codes|None,
     #        dict_cardinality, per-page cardinality-at-flush)
@@ -836,7 +837,7 @@ def _encode_list_chunk(
     chunk.sha256 = list_chunk_sha256(ptype, row_valid, lengths_per_row, elem_valid, values, lengths, payload)
     _chunk_stats(chunk, ptype, values, lengths, payload)  # leaf-element stats
 
-    plan = _plan_codecs(policy, ptype, n, None, values, lengths, payload, page_ends, nn_page_ends)
+    plan = _plan_codecs(policy, ptype, n, None, values, lengths, payload, page_ends, nn_page_ends, compression=compression)
     per_page_enc, dict_page_bytes, codes, cardinality, card_by_page, cached_bodies = plan
     chunk.cardinality = cardinality
     if dict_page_bytes is not None:
@@ -1006,7 +1007,7 @@ def _encode_dict_page(ptype: str, dict_arr: pa.Array) -> bytes:
     return plain.plain_encode_fixed(vals)
 
 
-def _plan_codecs(policy, ptype, n, valid, values, lengths, payload, page_ends, nn_page_ends):
+def _plan_codecs(policy, ptype, n, valid, values, lengths, payload, page_ends, nn_page_ends, compression="uncompressed"):
     """Resolve the policy into per-page encodings (+ dict state)."""
     n_pages = len(page_ends) if n else 0
     no_dict = (None, None, 0, np.zeros(n_pages, dtype=np.int64), None)
@@ -1032,7 +1033,7 @@ def _plan_codecs(policy, ptype, n, valid, values, lengths, payload, page_ends, n
 
     return _auto_plan(
         ptype, n, values, lengths, payload, page_ends, nn_page_ends,
-        allow_fsst=policy == "auto",
+        allow_fsst=policy == "auto", compression=compression,
     )
 
 
@@ -1077,7 +1078,7 @@ def _candidate_bodies(enc, ptype, values, lengths, payload, page_ends_nn, fsst_t
     return bodies
 
 
-def _auto_plan(ptype, n, values, lengths, payload, page_ends, nn_page_ends, allow_fsst=True):
+def _auto_plan(ptype, n, values, lengths, payload, page_ends, nn_page_ends, allow_fsst=True, compression="uncompressed"):
     """Pick the cheapest codec per chunk from actual/estimated sizes.
 
     The reference static policy is always a candidate, so the auto-selected
@@ -1222,7 +1223,23 @@ def _auto_plan(ptype, n, values, lengths, payload, page_ends, nn_page_ends, allo
                 + 300 * n_pages
                 + est_ratio * payload_len
             )
-            if est_fsst < 0.9 * min(candidates.values()):
+            run_fsst = est_fsst < 0.9 * min(candidates.values())
+            if run_fsst and compression == "gzip":
+                # the pages gzip AFTER encoding, and deflate recovers much
+                # of what FSST would have squeezed (both are entropy
+                # reductions of the same redundancy; measured on bench
+                # content the post-gzip FSST gain is ~8% vs ~55% without
+                # gzip): demand >=10% POST-GZIP gain over the raw byte
+                # stream before paying the ~15x-slower full encode pass.
+                # The probe uses a 128 KiB slice — a 32 KiB one understates
+                # the converged gain (deflate's window covers the whole
+                # sample there; 2.4% vs the true 8.3% on bench content)
+                gz_sample = payload[: 1 << 17]
+                enc_blob = fsst.fsst_encode(gz_sample, table)
+                run_fsst = len(zlib.compress(bytes(enc_blob), 6)) < 0.9 * len(
+                    zlib.compress(gz_sample.tobytes(), 6)
+                )
+            if run_fsst:
                 bodies = _candidate_bodies(
                     "FSST", ptype, values, lengths, payload, nn_page_ends, fsst_table=table
                 )
@@ -1804,7 +1821,7 @@ def _encode_list2_chunk(
     )
     _chunk_stats(chunk, ptype, values, lengths, payload)
 
-    plan = _plan_codecs(policy, ptype, n, None, values, lengths, payload, page_ends, nn_page_ends)
+    plan = _plan_codecs(policy, ptype, n, None, values, lengths, payload, page_ends, nn_page_ends, compression=compression)
     per_page_enc, dict_page_bytes, codes, cardinality, card_by_page, cached_bodies = plan
     chunk.cardinality = cardinality
     if dict_page_bytes is not None:
@@ -2023,7 +2040,7 @@ def _encode_dremel_leaf(leaf, *, policy, page_target_bytes, compression) -> "Enc
     chunk.sha256 = dremel_leaf_sha(def_, rep, ptype, values, lengths, payload)
     _chunk_stats(chunk, ptype, values, lengths, payload)
 
-    plan = _plan_codecs(policy, ptype, n_rows, None, values, lengths, payload, page_ends, nn_page_ends)
+    plan = _plan_codecs(policy, ptype, n_rows, None, values, lengths, payload, page_ends, nn_page_ends, compression=compression)
     per_page_enc, dict_page_bytes, codes, cardinality, card_by_page, cached_bodies = plan
     chunk.cardinality = cardinality
     if dict_page_bytes is not None:
