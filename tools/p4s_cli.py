@@ -9,6 +9,9 @@ Usage (also runnable via spark-submit --py-files for cluster deployment):
   python tools/p4s_cli.py decode  --input DIR --output DIR --columns a,b,c
   python tools/p4s_cli.py verify  --source DIR --encoded DIR --columns a,b,c
   python tools/p4s_cli.py metrics --encoded DIR
+  python tools/p4s_cli.py lookup  --encoded DIR --column k --values v1,v2
+                                  [--type int] (stats+bloom chunk pruning,
+                                  decode only surviving chunks)
   python tools/p4s_cli.py dump-cql --encoded DIR --table t --pk row_id
                                   --columns a,b,c [--limit 20]
 
@@ -145,6 +148,42 @@ def cmd_metrics(args):
     spark.stop()
 
 
+def cmd_lookup(args):
+    """Point lookup over a stored pages table: stats+bloom chunk pruning
+    (min/max alone cannot prune an equality literal on unsorted data; the
+    per-chunk blooms prove absence) -> decode only surviving chunks ->
+    exact filter.  The 100 TB shape: touch one chunk, not every chunk."""
+    import pyspark.sql.functions as F
+
+    from parquet4seastar_spark.engine.decode_job import decode_table, prune_chunks
+
+    spark = _spark(args)
+    enc = spark.read.parquet(args.encoded).persist()
+    values = args.values.split(",")
+    if args.type == "int":
+        values = [int(v) for v in values]
+    col = args.column
+    total = enc.filter((F.col("kind") == "chunk") & (F.col("column") == col)).count()
+    pruned = (
+        prune_chunks(enc, col, isin=values)
+        if len(values) > 1
+        else prune_chunks(enc, col, eq=values[0])
+    ).persist()
+    kept = pruned.filter((F.col("kind") == "chunk") & (F.col("column") == col)).count()
+    if kept == 0:
+        print({"chunks_total": total, "chunks_decoded": 0, "rows": 0})
+    else:
+        rows = (
+            decode_table(pruned, [col])
+            .filter(F.col(col).isin(*values))
+            .collect()
+        )
+        print({"chunks_total": total, "chunks_decoded": kept, "rows": len(rows)})
+        for r in rows[: args.limit]:
+            print(dict(r.asDict()))
+    spark.stop()
+
+
 def cmd_dump_cql(args):
     from parquet4seastar_spark.engine.decode_job import decode_table
 
@@ -203,6 +242,14 @@ def main():
     p = sub.add_parser("metrics")
     p.add_argument("--encoded", required=True)
     p.set_defaults(fn=cmd_metrics)
+
+    p = sub.add_parser("lookup")
+    p.add_argument("--encoded", required=True)
+    p.add_argument("--column", required=True)
+    p.add_argument("--values", required=True, help="comma-separated literals")
+    p.add_argument("--type", default="str", choices=["str", "int"])
+    p.add_argument("--limit", type=int, default=20)
+    p.set_defaults(fn=cmd_lookup)
 
     p = sub.add_parser("dump-cql")
     p.add_argument("--encoded", required=True)
