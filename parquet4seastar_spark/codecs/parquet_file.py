@@ -736,9 +736,9 @@ class ParquetFileReader:
         - a bare REPEATED field/group (no LIST wrapper) is the element of
           an implicit REQUIRED list;
         - a LIST group whose repeated child is a primitive, a multi-field
-          group, or a single-field group named ``array``/``*_tuple`` is a
-          2-level list — the repeated node itself is the (required)
-          element.
+          group, or a single-field group named exactly ``array`` or
+          ``<parent>_tuple`` is a 2-level list — the repeated node itself
+          is the (required) element.
 
         Both map onto the same Dremel level geometry the modern shapes use
         (legacy 2-level == 3-level with a REQUIRED element), so assembly
@@ -790,8 +790,14 @@ class ParquetFileReader:
                     v = conv_node(mkids[1], join(prefix, "v"),
                                   spath + (mname, mkids[1]["el"][4].decode()))
                     return ("map", k, v)
+                # backward-compat rule 2 name test is EXACT (reader_schema.cc:
+                # 131-132): the repeated group must be named "array" or
+                # "<parent_list_name>_tuple".  A suffix match would misread a
+                # standard 3-level list whose middle group happens to end in
+                # "_tuple" under a differently-named parent.
+                pname = el[4].decode()
                 if len(mkids) == 1 and not (
-                    mname == "array" or mname.endswith("_tuple")
+                    mname == "array" or mname == f"{pname}_tuple"
                 ):
                     # standard 3-level LIST: the repeated middle group's
                     # single child is the element

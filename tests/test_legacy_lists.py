@@ -240,6 +240,75 @@ def test_legacy_array_named_group_tree(tmp_path):
     assert pq.read_table(path).column("xs").to_pylist() == rows
 
 
+def test_tuple_name_rule_is_exact_match(tmp_path):
+    """reader_schema.cc:131-132: rule-2's name test demands exactly
+    '<parent_list_name>_tuple'.  A standard 3-level list whose single-child
+    repeated middle group merely ENDS in '_tuple' ('foo_tuple' under parent
+    'bar') must still be read as 3-level — the child is the element, not a
+    one-field struct."""
+    rows = [[1, 2], None, [], [3]] * 25
+    rep, def_, vals = [], [], []
+    for row in rows:
+        if row is None:
+            rep += [0]; def_ += [0]
+        elif not row:
+            rep += [0]; def_ += [1]
+        else:
+            rep += [0] + [1] * (len(row) - 1)
+            def_ += [2] * len(row)
+            vals += row
+    page = _levels_page(rep, def_, vals, 1, 2)
+
+    def emit(w):
+        _emit_element(w, "bar", repetition=1, num_children=1, converted=3)
+        _emit_element(w, "foo_tuple", repetition=2, num_children=1)
+        _emit_element(w, "element", ptype="INT32", repetition=0)
+        return 3
+
+    path = str(tmp_path / "foo_tuple_3level.parquet")
+    _legacy_file(path, _FakeChunk([page], 1), len(rows), emit,
+                 ("bar", "foo_tuple", "element"))
+    got = ParquetFileReader(path).read_column_tree("bar").to_pylist()
+    assert got == rows
+    # known divergence, pinned: Arrow C++ (pyarrow) applies a looser
+    # EndsWith("_tuple") heuristic here and misreads the element as a
+    # one-field struct; the reference and the parquet-format spec use the
+    # exact-name rule we follow.
+    assert pq.read_table(path).column("bar").to_pylist() == [
+        None if row is None else [{"element": v} for v in row] for row in rows
+    ]
+
+
+def test_tuple_name_rule_exact_match_is_legacy(tmp_path):
+    """The accepting side of the exact rule: 'bar_tuple' under parent 'bar'
+    IS legacy 2-level — the one-field group is itself the element."""
+    rows = [[{"a": 1}, {"a": 2}], None, [], [{"a": 3}]] * 25
+    rep, def_, vals = [], [], []
+    for row in rows:
+        if row is None:
+            rep += [0]; def_ += [0]
+        elif not row:
+            rep += [0]; def_ += [1]
+        else:
+            rep += [0] + [1] * (len(row) - 1)
+            def_ += [2] * len(row)
+            vals += [e["a"] for e in row]
+    page = _levels_page(rep, def_, vals, 1, 2)
+
+    def emit(w):
+        _emit_element(w, "bar", repetition=1, num_children=1, converted=3)
+        _emit_element(w, "bar_tuple", repetition=2, num_children=1)
+        _emit_element(w, "a", ptype="INT32", repetition=0)
+        return 3
+
+    path = str(tmp_path / "bar_tuple_legacy.parquet")
+    _legacy_file(path, _FakeChunk([page], 1), len(rows), emit,
+                 ("bar", "bar_tuple", "a"))
+    got = ParquetFileReader(path).read_column_tree("bar").to_pylist()
+    assert got == rows
+    assert pq.read_table(path).column("bar").to_pylist() == rows
+
+
 def test_legacy_top_level_shapes_via_tree_reader(tmp_path):
     """The original top-level legacy files also assemble via the tree
     reader now (same values as the read_column level-budget path)."""

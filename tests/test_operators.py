@@ -438,6 +438,9 @@ def test_minhash_incremental_reingested_ids_idempotent(spark):
     assert len(keys) == len(set(keys))  # no duplicated pair rows
     assert (0, 7_000_000) in set(keys)
     new_sigs.unpersist()
+
+
+def test_decontaminate_fuzzy_catches_mutations(spark):
     """Edits every few tokens destroy every 24-gram (exact decontamination
     misses) but leave most 9-shingles intact (fuzzy catches)."""
     import pyspark.sql.functions as F
