@@ -31,10 +31,25 @@ _P31 = np.uint64((1 << 31) - 1)
 
 
 def exact_dedup(docs: DataFrame, key: str = "text") -> DataFrame:
-    """Group identical texts: (keep_id = min doc_id, n_copies)."""
-    return docs.groupBy(key).agg(
-        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
-    ).select("keep_id", "n_copies")
+    """Group identical texts: (keep_id = min doc_id, n_copies).
+
+    Groups by a 128-bit fingerprint — two independently-salted xxhash64
+    values, the same contract stream_dedup uses (engine/streaming.py) —
+    instead of the raw text, so the aggregation exchange carries 16 bytes
+    per row rather than the document bytes (a full-corpus value shuffle at
+    100 TB).  Collision odds are ~2^-128 per pair; null and empty keys
+    hash distinctly (xxhash64 skips nulls, so all-null keys share the
+    seed-only value, matching GROUP BY's null bucket)."""
+    return (
+        docs.select(
+            F.xxhash64(key).alias("_fp"),
+            F.xxhash64(F.lit("p4s#2"), key).alias("_fp2"),
+            "doc_id",
+        )
+        .groupBy("_fp", "_fp2")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keep_id", "n_copies")
+    )
 
 
 def _shingle_stream(

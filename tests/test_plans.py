@@ -36,6 +36,21 @@ def test_scan_pruning_and_pushdown(spark):
     assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan
 
 
+def test_exact_dedup_exchange_carries_fingerprints_not_text(spark):
+    """The dedup aggregate shuffles 16-byte fingerprints, never the corpus
+    bytes: keys are the two salted xxhash64 values, the map-side partial
+    min/count runs below the exchange, and no exchange partitions on text."""
+    import re
+
+    from parquet4seastar_spark.operators.dedup import exact_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(exact_dedup(docs))
+    assert "Exchange hashpartitioning(_fp" in plan
+    assert "Exchange hashpartitioning(text" not in plan
+    assert re.search(r"HashAggregate\(keys=\[_fp#\d+L?, _fp2#\d+L?\], functions=\[partial_min", plan), plan
+
+
 def test_row_count_salting_prunes_value_column(spark):
     from parquet4seastar_spark.engine.encode_job import salted_repartition
 
