@@ -295,6 +295,7 @@ def doc_repetition(docs: DataFrame, ngram_k: int = 8) -> DataFrame:
 def pack_sequences(
     docs: DataFrame, max_tokens: int = 2048, strata_col: str = "lang",
     id_col: str = "doc_id", text_col: str = "text",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """(doc_id, <strata>, n_tokens, seq_bin): contiguous sequence packing —
     the step that groups documents into fixed-token-budget training
@@ -302,31 +303,116 @@ def pack_sequences(
     seq_bin = floor(exclusive_prefix_sum(n_tokens) / max_tokens) in id
     order WITHIN its stratum.
 
-    Scale shape: the running sum is a window per STRATUM, so the sort
-    parallelizes across strata instead of serializing on one global
-    ordering (at 100 TB a single total order is the bottleneck; packing
-    within a partition key is what pipelines do anyway so sequences stay
-    domain-coherent).  Deterministic: same input -> same bins on any
-    cluster size.
+    Scale shape: a DISTRIBUTED prefix sum, not a per-stratum window (a
+    window serializes each stratum through one task — tens of TB for `en`
+    in a real corpus).  The (id, strata, n_tokens) frame — token counts
+    only, never the text — is range-partitioned on (strata, id) and
+    persisted to pin the partition boundaries, per-(partition, stratum)
+    totals are aggregated (one tiny row per partition x stratum) and
+    collected, exclusive offsets are broadcast, and one mapInArrow pass
+    assigns bins map-side via a segmented cumsum with cross-batch carry.
+    Every stratum spans as many tasks as its row-range covers.
+    Deterministic: same input -> same bins on any cluster size.
     """
-    from pyspark.sql import Window
+    import pyarrow as _pa
+    from pyspark.sql.types import LongType, StructField
+
+    spark = docs.sparkSession
+    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     # coalesce NULL text: size(split(NULL)) is -1 under Spark's legacy
     # sizeOfNull, which would silently corrupt the prefix sums (negative
     # bins); an empty doc counts as 1 token, same as the '' convention in
     # dedup's shingle stream
     n_tok = F.size(F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"))
-    w = (
-        Window.partitionBy(strata_col)
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    return (
+    ranged = (
         docs.select(id_col, strata_col, n_tok.alias("n_tokens"))
-        .withColumn(
-            "seq_bin",
-            F.floor(
-                F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / F.lit(max_tokens)
-            ).cast("long"),
+        .repartitionByRange(P, strata_col, id_col)
+        .sortWithinPartitions(strata_col, id_col)
+        .persist()  # pin boundaries: both passes must see identical pids
+    )
+
+    # pass 1: tiny per-(partition, stratum) totals.  Range partitioning on
+    # (strata, id) means a stratum's partitions are contiguous in pid
+    # order, so the cross-partition base for (pid, s) is the sum of s's
+    # totals over pid' < pid.
+    totals = (
+        ranged.groupBy(
+            F.spark_partition_id().alias("_pid"), F.col(strata_col).alias("_s")
         )
+        .agg(F.sum("n_tokens").alias("_t"))
+        .collect()
+    )
+    offsets: dict[tuple[int, object], int] = {}
+    run: dict[object, int] = {}
+    for r in sorted(totals, key=lambda r: r["_pid"]):
+        offsets[(r["_pid"], r["_s"])] = run.get(r["_s"], 0)
+        run[r["_s"]] = run.get(r["_s"], 0) + int(r["_t"])
+    b_offsets = spark.sparkContext.broadcast(offsets)
+
+    out_fields = list(ranged.schema.fields) + [StructField("seq_bin", LongType())]
+    mt = int(max_tokens)
+
+    def assign(batches: Iterator[_pa.RecordBatch]) -> Iterator[_pa.RecordBatch]:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        from parquet4seastar_spark import _alloc
+
+        _alloc.tune_allocator()
+        offs = b_offsets.value
+        _no_carry = object()  # distinct from any stratum incl. None
+        carry_key: list = [_no_carry]  # stratum of the partition's last row
+        carry_sum = [0]  # inclusive running total (with base) for carry_key
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            pid = batch.column(3)[0].as_py()  # _pid (id, strata, n, _pid)
+            scol = batch.column(1)  # strata (position: id, strata, n, _pid)
+            dic = pc.dictionary_encode(scol)
+            codes = pc.fill_null(dic.indices, -1).to_numpy(zero_copy_only=False)
+            codes = np.asarray(codes, dtype=np.int64)
+            n = np.asarray(
+                pc.fill_null(batch.column(2), 0).to_numpy(zero_copy_only=False),
+                dtype=np.int64,
+            )
+            cum = np.cumsum(n)
+            excl = np.empty_like(cum)
+            excl[0] = 0
+            excl[1:] = cum[:-1]
+            newgrp = np.empty(len(codes), dtype=bool)
+            newgrp[0] = True
+            np.not_equal(codes[1:], codes[:-1], out=newgrp[1:])
+            gstart = np.flatnonzero(newgrp)
+            gcount = np.diff(np.append(gstart, len(codes)))
+            # per-group base offset: the carry when continuing the previous
+            # batch's stratum, else the broadcast cross-partition base
+            goffs = np.empty(len(gstart), dtype=np.int64)
+            dvals = dic.dictionary
+            for gi, si in enumerate(gstart):
+                c = codes[si]
+                key = None if c < 0 else dvals[c].as_py()
+                if gi == 0 and carry_key[0] is not _no_carry and key == carry_key[0]:
+                    goffs[gi] = carry_sum[0]
+                else:
+                    goffs[gi] = offs.get((pid, key), 0)
+            base = np.repeat(excl[gstart], gcount)
+            row_off = np.repeat(goffs, gcount)
+            seq_bin = (excl - base + row_off) // mt
+            # carry = last group's offset + its inclusive sum so far
+            last = len(gstart) - 1
+            lc = codes[gstart[last]]
+            carry_key[0] = None if lc < 0 else dvals[lc].as_py()
+            carry_sum[0] = int(goffs[last] + cum[-1] - excl[gstart[last]])
+            yield _pa.RecordBatch.from_arrays(
+                [batch.column(0), batch.column(1), batch.column(2),
+                 _pa.array(seq_bin, type=_pa.int64())],
+                names=[f.name for f in out_fields],
+            )
+
+    from pyspark.sql.types import StructType
+
+    return ranged.withColumn("_pid", F.spark_partition_id()).mapInArrow(
+        assign, StructType(out_fields)
     )

@@ -787,6 +787,57 @@ def test_pack_sequences_contiguous_budget(spark, docs):
             run += r["n_tokens"]
 
 
+def test_pack_sequences_distributed_no_stratum_window(spark):
+    """The scale-shape contract: packing is a distributed prefix sum, NOT a
+    per-stratum window.  On a planted 2-lang skew the big stratum spans >1
+    task (a window would serialize it through one), the plan has no Window
+    node, and bins are byte-identical to the window formula — including
+    across arrow-batch boundaries (small maxRecordsPerBatch forces the
+    cross-batch carry path)."""
+    import numpy as np
+    import pandas as pd
+
+    from parquet4seastar_spark.operators.text import pack_sequences
+
+    n = 4000
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "lang": ["en" if i % 10 else "de" for i in range(n)],  # 90/10 skew
+            "text": [("w " * ((i % 37) + 1)).strip() for i in range(n)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "100")
+    try:
+        out = pack_sequences(df, max_tokens=64, num_partitions=8)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        got = {r["doc_id"]: r["seq_bin"] for r in out.collect()}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    pdf["n"] = [len(t.split()) for t in pdf["text"]]
+    exp = {}
+    for _, g in pdf.sort_values("doc_id").groupby("lang"):
+        excl = g["n"].cumsum() - g["n"]
+        for d, v in zip(g["doc_id"], excl):
+            exp[int(d)] = int(v) // 64
+    assert got == exp
+    # the skewed stratum really spans multiple tasks under the operator's
+    # range partitioning (same shape pack_sequences builds internally)
+    spread = {
+        r["lang"]: r["parts"]
+        for r in df.select("lang", "doc_id")
+        .repartitionByRange(8, "lang", "doc_id")
+        .withColumn("_p", F.spark_partition_id())
+        .groupBy("lang")
+        .agg(F.countDistinct("_p").alias("parts"))
+        .collect()
+    }
+    assert spread["en"] > 1, spread
+
+
 def test_pack_sequences_null_text(spark):
     """NULL text must not poison the prefix sums (size(split(NULL)) is -1
     in Spark): nulls count as one empty token, bins stay non-negative."""
