@@ -1175,7 +1175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             qry = stream_near_dedup(
                 spark, f"{tmp}/in", "doc_id long, text string",
                 f"{tmp}/sigs", f"{tmp}/pairs", f"{tmp}/ckpt2",
-                threshold=0.9, max_files_per_trigger=1,
+                threshold=0.9, max_files_per_trigger=1, compact_every=2,
             )
             qry.awaitTermination()
             near_part = (

@@ -140,6 +140,96 @@ def stream_dedup(
     )
 
 
+def _committed_sig_parts(sig_dir: str) -> list[tuple[int, str]]:
+    """[(batch_id, dir)] for batch partitions holding committed part files
+    (a crashed mid-write batch leaves only _temporary/ content, which must
+    not count as data)."""
+    import os
+
+    out = []
+    if not os.path.isdir(sig_dir):
+        return out
+    for d in os.listdir(sig_dir):
+        if not d.startswith("batch_id="):
+            continue
+        path = os.path.join(sig_dir, d)
+        has = False
+        for root, dirs, files in os.walk(path):
+            dirs[:] = [x for x in dirs if not x.startswith(("_", "."))]
+            if any(not f.startswith(("_", ".")) for f in files):
+                has = True
+                break
+        if has:
+            out.append((int(d.split("=", 1)[1]), path))
+    return sorted(out)
+
+
+def _compaction_marker(sig_dir: str) -> int | None:
+    """batch_id of the committed latest-only snapshot partition, if any."""
+    import json
+    import os
+
+    p = os.path.join(sig_dir, "_compaction.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(json.load(f)["snapshot"])
+
+
+def _write_compaction_marker(sig_dir: str, batch_id: int) -> None:
+    import json
+    import os
+
+    tmp = os.path.join(sig_dir, "._compaction.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"snapshot": batch_id}, f)
+    os.replace(tmp, os.path.join(sig_dir, "_compaction.json"))
+
+
+def near_dedup_store_view(spark: SparkSession, sig_dir: str) -> DataFrame:
+    """Latest-wins (doc_id, sig) view of a stream_near_dedup signature
+    store.
+
+    Without compaction the view is a row_number window over every batch
+    partition — a full-store shuffle that grows with stream lifetime.
+    After a compaction batch, the snapshot partition is KNOWN unique
+    (``_compaction.json`` records its batch_id), so the window covers only
+    the post-snapshot partitions (bounded by the compaction interval) and
+    the snapshot contributes via a broadcast anti-join on the recent ids —
+    the snapshot rows never shuffle."""
+    from pyspark.sql import Window
+
+    parts = _committed_sig_parts(sig_dir)
+    if not parts:
+        return spark.createDataFrame([], "doc_id long, sig array<long>")
+    snap = _compaction_marker(sig_dir)
+    by_id = dict(parts)
+    if snap is not None and snap in by_id:
+        snap_df = spark.read.parquet(by_id[snap]).select("doc_id", "sig")
+        recent = [p for bid, p in parts if bid > snap]
+        if not recent:
+            return snap_df
+        rec = spark.read.option("basePath", sig_dir).parquet(*recent)
+        w = Window.partitionBy("doc_id").orderBy(F.col("batch_id").desc())
+        rec_latest = (
+            rec.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("doc_id", "sig")
+        )
+        return snap_df.join(
+            F.broadcast(rec_latest.select("doc_id")), "doc_id", "left_anti"
+        ).union(rec_latest)
+    # no snapshot yet: latest-wins over the whole store (bounded only by
+    # how many batches have run before the first compaction)
+    raw = spark.read.option("basePath", sig_dir).parquet(*(p for _, p in parts))
+    w = Window.partitionBy("doc_id").orderBy(F.col("batch_id").desc())
+    return (
+        raw.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "sig")
+    )
+
+
 def stream_near_dedup(
     spark: SparkSession,
     input_dir: str,
@@ -155,6 +245,7 @@ def stream_near_dedup(
     seed: int = 42,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    compact_every: int | None = None,
 ):
     """Continuous NEAR-duplicate detection over a growing document
     directory: each micro-batch runs the incremental MinHash-LSH operator
@@ -179,10 +270,19 @@ def stream_near_dedup(
     per logical pair under source-level duplication; consumers dedupe by
     (doc_a, doc_b) (e.g. dropDuplicates before connected components),
     which is cheap and what the batch operators already do internally.
+
+    ``compact_every=K`` rewrites the store latest-only every K batches:
+    the compaction batch's partition becomes the whole-store snapshot,
+    older partitions are deleted, and ``_compaction.json`` records the
+    snapshot id — after which every store read windows only the
+    post-snapshot partitions (bounded by K) and anti-joins the snapshot
+    without shuffling it (see :func:`near_dedup_store_view`).  Ordering
+    is crash-safe: snapshot write -> marker update -> cleanup, and a
+    retried compaction batch whose marker already points at it is a
+    committed no-op.
     """
     import os
-
-    from pyspark.sql import Window
+    import shutil
 
     from ..operators.dedup import minhash_lsh_pairs_incremental
 
@@ -191,42 +291,38 @@ def stream_near_dedup(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(input_dir)
 
-    def _store_has_data() -> bool:
-        # only COMMITTED part files count: a crashed mid-write batch leaves
-        # batch_id=N/_temporary/... which Spark's reader hides — treating
-        # the bare partition dir as data would make the recovery read fail
-        # with 'unable to infer schema' on every restart
-        for root, dirs, files in os.walk(sig_dir):
-            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
-            if any(not f.startswith(("_", ".")) for f in files):
-                return True
-        return False
-
     def process_batch(df: DataFrame, batch_id: int) -> None:
+        if _compaction_marker(sig_dir) == batch_id:
+            # the marker is the LAST write of a compaction batch: its
+            # presence means pairs, sigs, and snapshot are all durable —
+            # a retry is a committed no-op
+            return
         batch = df.select("doc_id", "text")
-        if os.path.isdir(sig_dir) and _store_has_data():
-            raw = spark.read.option("basePath", sig_dir).parquet(sig_dir)
-            # latest-wins per doc_id: a doc re-ingested in a LATER batch
-            # leaves its superseded signature in the older batch_id
-            # partition (append-only parquet has no upsert); without this
-            # the store view would carry duplicate ids and every candidate
-            # pair would fan out.  On an upsert-capable table (Iceberg/
-            # Delta MERGE) this window disappears.
-            w = Window.partitionBy("doc_id").orderBy(F.col("batch_id").desc())
-            store = (
-                raw.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .select("doc_id", "sig")
-            )
-        else:  # bootstrap: empty store — incremental still finds the
-            store = spark.createDataFrame([], "doc_id long, sig array<long>")
-            # batch's own intra-batch dups (new-vs-new band join)
+        store = near_dedup_store_view(spark, sig_dir)
         pairs, new_sigs = minhash_lsh_pairs_incremental(
             batch, store, num_hashes=num_hashes, bands=bands,
             shingle_k=shingle_k, threshold=threshold, seed=seed,
         )
         pairs.write.mode("overwrite").parquet(f"{pairs_dir}/batch_id={batch_id}")
-        new_sigs.write.mode("overwrite").parquet(f"{sig_dir}/batch_id={batch_id}")
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            # latest-only whole store = (pre-batch view minus this batch's
+            # ids) + this batch's sigs; sources are the OLDER partitions
+            # plus the persisted new_sigs, so overwriting this batch's own
+            # partition never reads what it writes
+            compacted = store.join(
+                F.broadcast(new_sigs.select("doc_id")), "doc_id", "left_anti"
+            ).union(new_sigs.select("doc_id", "sig"))
+            compacted.write.mode("overwrite").parquet(
+                f"{sig_dir}/batch_id={batch_id}"
+            )
+            _write_compaction_marker(sig_dir, batch_id)
+            for bid, path in _committed_sig_parts(sig_dir):
+                if bid < batch_id:
+                    shutil.rmtree(path, ignore_errors=True)
+        else:
+            new_sigs.write.mode("overwrite").parquet(
+                f"{sig_dir}/batch_id={batch_id}"
+            )
         new_sigs.unpersist()
 
     writer = (

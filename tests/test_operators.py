@@ -346,6 +346,81 @@ def test_stream_near_dedup_cross_batch(spark, tmp_path):
     assert sigs.select("doc_id").distinct().count() == 66
 
 
+def test_stream_near_dedup_compaction(spark, tmp_path):
+    """compact_every bounds the per-batch latest-wins window: after a
+    compaction batch the store is a single latest-only snapshot partition
+    (older partitions deleted), the store READ scans only the snapshot
+    files (inputFiles-asserted), and the pair set is identical to an
+    uncompacted run of the same 6-batch stream with re-ingestions."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from parquet4seastar_spark.engine.streaming import (
+        near_dedup_store_view,
+        stream_near_dedup,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text").limit(60)
+    in_dir = str(tmp_path / "in")
+    # 6 single-file micro-batches: fresh slices, re-ingested ids, planted dups
+    batches = [
+        docs.filter(F.col("doc_id") < 10),
+        docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 20)),
+        docs.filter(F.col("doc_id") < 3),  # re-ingest 0..2
+        docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 30)).union(
+            docs.filter(F.col("doc_id") == 1).select(
+                (F.col("doc_id") + 9_000_000).alias("doc_id"), "text"
+            )
+        ),  # planted dup of a re-ingested doc
+        docs.filter(F.col("doc_id") == 15).select(
+            (F.col("doc_id") + 8_000_000).alias("doc_id"), "text"
+        ),  # planted dup of a pre-compaction doc, found via the snapshot
+        docs.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 40)),
+    ]
+    for b in batches:
+        b.coalesce(1).write.mode("append").parquet(in_dir)
+
+    results = {}
+    for tag, ce in (("plain", None), ("compacted", 3)):
+        sig_dir = str(tmp_path / f"sigs_{tag}")
+        pairs_dir = str(tmp_path / f"pairs_{tag}")
+        q = stream_near_dedup(
+            spark, in_dir, "doc_id long, text string", sig_dir, pairs_dir,
+            str(tmp_path / f"ckpt_{tag}"), threshold=0.9,
+            max_files_per_trigger=1, compact_every=ce,
+        )
+        q.awaitTermination()
+        results[tag] = {
+            "pairs": {
+                (r["doc_a"], r["doc_b"])
+                for r in spark.read.parquet(pairs_dir)
+                .select("doc_a", "doc_b").distinct().collect()
+            },
+            "sig_dir": sig_dir,
+        }
+    assert results["plain"]["pairs"] == results["compacted"]["pairs"]
+    assert {(1, 9_000_001), (15, 8_000_015)} <= results["compacted"]["pairs"]
+
+    sig_dir = results["compacted"]["sig_dir"]
+    # 6 batches, compact_every=3 -> compactions at batch 2 and 5; after the
+    # final one the store is exactly the batch_id=5 snapshot
+    parts = [d for d in os.listdir(sig_dir) if d.startswith("batch_id=")]
+    assert parts == ["batch_id=5"], parts
+    view = near_dedup_store_view(spark, sig_dir)
+    files = set(view.inputFiles())
+    assert files and all("batch_id=5" in f for f in files), files
+    # latest-only: one row per doc_id, and the re-ingested ids are present
+    # exactly once
+    assert view.count() == view.select("doc_id").distinct().count()
+    uncompacted_view = near_dedup_store_view(
+        spark, results["plain"]["sig_dir"]
+    )
+    assert sorted(r["doc_id"] for r in view.select("doc_id").collect()) == sorted(
+        r["doc_id"] for r in uncompacted_view.select("doc_id").collect()
+    )
+
+
 def test_minhash_incremental_equals_batch(spark):
     """Semantic contract: incremental pairs over batch 2 vs the batch-1
     store, PLUS the batch-1-only pairs, equals one batch run over the full
