@@ -141,6 +141,67 @@ def test_export_parquet_files_spark_reads(spark, tmp_path):
     assert bad.count() == 0 and j.count() == docs.count()
 
 
+def test_column_partitioned_store(spark, tmp_path):
+    """Column-partitioned pages layout (engine/store.py): a single-column
+    decode touches only that column's partition directories.
+
+    - read_store path: inputFiles provably contains no text files;
+    - plain spark.read.parquet path: Catalyst prunes the same directories
+      (decode_table's column name filter is a partition predicate — the
+      scan's PartitionFilters show it);
+    - nested columns: '#g' dremel leaf names round-trip through Spark's
+      partition-path escaping (column=meta%23g0)."""
+    import os
+    import re
+
+    from parquet4seastar_spark.engine.decode_job import decode_table
+    from parquet4seastar_spark.engine.store import (
+        is_column_store,
+        read_store,
+        store_column_dirs,
+        write_store,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.col("doc_id").alias("row_id"), "text", "lang", "source",
+        F.struct("n_chars", "lang").alias("meta"),
+    )
+    enc = encode_table(
+        docs, columns=["text", "lang", "meta"], salt_col="source",
+        num_partitions=4, salt_target_rows=2000,
+    )
+    store = str(tmp_path / "store")
+    write_store(enc, store)
+    assert is_column_store(store)
+    dirs = sorted(os.path.basename(d) for d in os.listdir(store) if d.startswith("column="))
+    assert "column=text" in dirs and "column=meta%23g0" in dirs
+
+    sub = read_store(spark, store, ["lang"])
+    files = set(sub.inputFiles())
+    assert files and not any("column=text" in f for f in files), files
+    got = {r["row_id"]: r["lang"] for r in decode_table(sub, ["lang"]).collect()}
+    exp = {r["row_id"]: r["lang"] for r in docs.select("row_id", "lang").collect()}
+    assert got == exp
+
+    # nested: both dremel leaf dirs resolve for the logical column name,
+    # and the struct reassembles from only those partitions
+    meta_dirs = {os.path.basename(d) for d in store_column_dirs(store, ["meta"])}
+    assert meta_dirs == {"column=meta%23g0", "column=meta%23g1", "column=row_id"}
+    sub_meta = read_store(spark, store, ["meta"])
+    assert not any("column=text" in f for f in sub_meta.inputFiles())
+    m = decode_table(sub_meta, ["meta"]).filter(F.col("row_id") == 3).collect()[0]
+    src = docs.filter(F.col("row_id") == 3).collect()[0]
+    assert m["meta"]["n_chars"] == src["meta"]["n_chars"]
+    assert m["meta"]["lang"] == src["meta"]["lang"]
+
+    # plain-read path: directory pruning via Catalyst partition filters
+    d = decode_table(spark.read.parquet(store), ["lang"])
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    assert re.search(
+        r"PartitionFilters: \[\(column#\d+ IN \(row_id,lang\)", plan
+    ), plan
+
+
 def test_chunk_stats_pruning(spark):
     import pyspark.sql.functions as F
 

@@ -6,6 +6,10 @@ Usage (also runnable via spark-submit --py-files for cluster deployment):
 
   python tools/p4s_cli.py encode  --input DIR --output DIR [--policy auto]
                                   [--columns a,b,c] [--salt-col repo]
+                                  [--layout by-column] (Hive-partition the
+                                  store by column: single-column decodes
+                                  and lookups touch only that column's
+                                  files; decode/lookup auto-detect it)
   python tools/p4s_cli.py decode  --input DIR --output DIR --columns a,b,c
   python tools/p4s_cli.py verify  --source DIR --encoded DIR --columns a,b,c
   python tools/p4s_cli.py metrics --encoded DIR
@@ -95,7 +99,14 @@ def cmd_encode(args):
     enc = encode_table(
         df, columns=columns, policy=args.policy, salt_col=args.salt_col, resume_lineage=resume
     )
-    enc.write.mode(args.mode).parquet(args.output)
+    if args.layout == "by-column":
+        # column-partitioned store: a single-column decode or bloom lookup
+        # later touches only that column's directory (engine/store.py)
+        from parquet4seastar_spark.engine.store import write_store
+
+        write_store(enc, args.output, mode=args.mode)
+    else:
+        enc.write.mode(args.mode).parquet(args.output)
     n = spark.read.parquet(args.output).filter(F.col("kind") == "chunk").count()
     print(f"wrote {args.output}: {n} chunks")
     spark.stop()
@@ -103,10 +114,16 @@ def cmd_encode(args):
 
 def cmd_decode(args):
     from parquet4seastar_spark.engine.decode_job import decode_table
+    from parquet4seastar_spark.engine.store import is_column_store, read_store
 
     spark = _spark(args)
-    enc = spark.read.parquet(args.input)
-    out = decode_table(enc, args.columns.split(","))
+    cols = args.columns.split(",")
+    if is_column_store(args.input):
+        # driver-side directory pruning: other columns' files never listed
+        enc = read_store(spark, args.input, cols)
+    else:
+        enc = spark.read.parquet(args.input)
+    out = decode_table(enc, cols)
     out.write.mode(args.mode).parquet(args.output)
     print(f"wrote {args.output}: {spark.read.parquet(args.output).count()} rows")
     spark.stop()
@@ -156,9 +173,16 @@ def cmd_lookup(args):
     import pyspark.sql.functions as F
 
     from parquet4seastar_spark.engine.decode_job import decode_table, prune_chunks
+    from parquet4seastar_spark.engine.store import is_column_store, read_store
 
     spark = _spark(args)
-    enc = spark.read.parquet(args.encoded).persist()
+    if is_column_store(args.encoded):
+        # column-partitioned store: the lookup lists only the probed
+        # column's directory (plus row_id) — the text payload of every
+        # other column is never opened
+        enc = read_store(spark, args.encoded, [args.column]).persist()
+    else:
+        enc = spark.read.parquet(args.encoded).persist()
     values = args.values.split(",")
     if args.type == "int":
         values = [int(v) for v in values]
@@ -221,6 +245,10 @@ def main():
     p.add_argument("--salt-col", default="repo")
     p.add_argument("--resume-from", default=None)
     p.add_argument("--mode", default="overwrite")
+    p.add_argument("--layout", default="flat", choices=["flat", "by-column"],
+                   help="by-column: Hive-partition the store by column so "
+                        "single-column decodes/lookups touch only that "
+                        "column's files")
     p.set_defaults(fn=cmd_encode)
 
     p = sub.add_parser("decode")
