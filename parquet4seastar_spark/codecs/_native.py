@@ -1,0 +1,202 @@
+"""Optional C kernel for the FSST hot loop, with a guaranteed numpy
+fallback.
+
+The greedy longest-match tokenization is a sequential chain (pos ->
+pos + match_len); the pure-numpy path vectorizes it with per-position
+matching plus pointer-doubling chain enumeration (codecs/fsst.py,
+codecs/chain.py), which tops out ~21 MB/s single-proc because ~60% of the
+match work is at positions the chain never visits.  A ~40-line scalar C
+loop does exactly the same greedy rule at memory speed.  The kernel is
+compiled ON FIRST USE with the system C compiler (cc -O3) into a cached
+shared object; any failure (no compiler, read-only cache, sandbox) falls
+back to the numpy path silently.  Set ``P4S_NO_NATIVE=1`` to force the
+fallback (tests exercise both paths and assert byte-identical output).
+
+Semantics are pinned to the numpy path: same LUT tables (lut2 sentinel
+entry makes the window compare unconditionally false), same
+zero-padded-window tail guard (a match may not run past the buffer), and
+the caller segments the input identically, so tokenization is
+bit-reproducible whichever path runs.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+
+_SRC = r"""
+#include <stdint.h>
+#include <string.h>
+
+/* Greedy FSST tokenization over one segment.
+   Tables are the SymbolTable code-indexed arrays (fsst.py):
+   lut1[256]  byte -> 1-byte symbol code, miss = 255 (escape);
+   lut2[65536] 2-byte prefix -> multi-byte symbol code, miss = 254
+              (sentinel: masks[254]=0, vals[254]=~0 -> compare false);
+   lens[256] / vals[256] / masks[256] code -> length / value / mask.
+   Writes token (pos, len, code) triples; returns the token count. */
+long p4s_fsst_tokenize(
+    const uint8_t *data, long n,
+    const uint8_t *lut1, const uint8_t *lut2,
+    const int8_t *lens, const uint64_t *vals, const uint64_t *masks,
+    int64_t *out_pos, int64_t *out_len, int64_t *out_code)
+{
+    long i = 0, t = 0;
+    while (i < n) {
+        uint64_t win = 0;
+        long rem = n - i;
+        if (rem >= 8) {
+            memcpy(&win, data + i, 8);
+        } else {
+            memcpy(&win, data + i, (size_t)rem);
+        }
+        uint8_t c2 = lut2[(uint16_t)win];
+        int L = lens[c2];
+        if (((win & masks[c2]) == vals[c2]) && (i + L <= n)) {
+            out_pos[t] = i; out_len[t] = L; out_code[t] = c2;
+            i += L;
+        } else {
+            out_pos[t] = i; out_len[t] = 1; out_code[t] = lut1[data[i]];
+            i += 1;
+        }
+        t++;
+    }
+    return t;
+}
+
+/* Greedy tokenize + payload emission fused: writes the encoded byte
+   stream (code, or 255 + literal byte on a 1-byte-table miss) directly.
+   Identical output to tokenize -> numpy assembly.  out needs 2n bytes
+   worst case; returns the emitted length. */
+long p4s_fsst_encode(
+    const uint8_t *data, long n,
+    const uint8_t *lut1, const uint8_t *lut2,
+    const int8_t *lens, const uint64_t *vals, const uint64_t *masks,
+    uint8_t *out)
+{
+    long i = 0, o = 0;
+    while (i < n) {
+        uint64_t win = 0;
+        long rem = n - i;
+        if (rem >= 8) {
+            memcpy(&win, data + i, 8);
+        } else {
+            memcpy(&win, data + i, (size_t)rem);
+        }
+        uint8_t c2 = lut2[(uint16_t)win];
+        int L = lens[c2];
+        if (((win & masks[c2]) == vals[c2]) && (i + L <= n)) {
+            out[o++] = c2;
+            i += L;
+        } else {
+            uint8_t c1 = lut1[data[i]];
+            out[o++] = c1;
+            if (c1 == 255) out[o++] = data[i];  /* escape + literal */
+            i += 1;
+        }
+    }
+    return o;
+}
+
+/* Decode one FSST token payload segment: codes expand from the (256 x 8)
+   symbol byte matrix; code 255 escapes the following literal byte.
+   Returns the number of output bytes (caller sizes out for the worst
+   case: 8 bytes per payload byte). */
+long p4s_fsst_decode(
+    const uint8_t *payload, long n,
+    const uint8_t *matrix, const int8_t *lens,
+    uint8_t *out)
+{
+    long i = 0, o = 0;
+    while (i < n) {
+        uint8_t c = payload[i];
+        if (c == 255) {
+            if (i + 1 >= n) break;  /* malformed trailing escape: stop */
+            out[o++] = payload[i + 1];
+            i += 2;
+        } else {
+            /* unconditional 8-byte copy; o advances by the true length, so
+               pad bytes are overwritten by the next token */
+            memcpy(out + o, matrix + ((long)c << 3), 8);
+            o += lens[c];
+            i += 1;
+        }
+    }
+    return o;
+}
+"""
+
+_lib = None
+_tried = False
+
+
+def _cache_dir() -> str:
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache"
+    )
+    return os.path.join(base, "p4s_native")
+
+
+def _build() -> str | None:
+    """Compile (or reuse) the kernel .so; returns its path or None."""
+    tag = hashlib.sha256(_SRC.encode()).hexdigest()[:16]
+    d = _cache_dir()
+    so = os.path.join(d, f"fsst_{tag}.so")
+    if os.path.exists(so):
+        return so
+    try:
+        os.makedirs(d, exist_ok=True)
+        with tempfile.TemporaryDirectory(dir=d) as td:
+            c = os.path.join(td, "k.c")
+            tmp_so = os.path.join(td, "k.so")
+            with open(c, "w") as f:
+                f.write(_SRC)
+            subprocess.run(
+                ["cc", "-O3", "-fPIC", "-shared", "-o", tmp_so, c],
+                check=True, capture_output=True, timeout=60,
+            )
+            os.replace(tmp_so, so)  # atomic: concurrent workers race safely
+        return so
+    except Exception:
+        return None
+
+
+def get_kernel():
+    """The loaded ctypes library, or None (numpy fallback)."""
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("P4S_NO_NATIVE"):
+        return None
+    so = _build()
+    if so is None:
+        return None
+    try:
+        lib = ctypes.CDLL(so)
+        lib.p4s_fsst_tokenize.restype = ctypes.c_long
+        lib.p4s_fsst_tokenize.argtypes = [
+            ctypes.c_void_p, ctypes.c_long,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.p4s_fsst_encode.restype = ctypes.c_long
+        lib.p4s_fsst_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_long,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p,
+        ]
+        lib.p4s_fsst_decode.restype = ctypes.c_long
+        lib.p4s_fsst_decode.argtypes = [
+            ctypes.c_void_p, ctypes.c_long,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib

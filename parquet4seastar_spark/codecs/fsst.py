@@ -148,6 +148,44 @@ def _codes_at(data: np.ndarray, pos: np.ndarray, c2: np.ndarray, ok2: np.ndarray
 _SEGMENT = 1 << 18  # 256 KiB
 
 
+def _tokenize_native(data: np.ndarray, table: SymbolTable, lib) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """C-kernel tokenization (codecs/_native.py): the same greedy rule, the
+    same 256 KiB segmenting (tokens never span a segment boundary), so the
+    token stream is bit-identical to the numpy path's."""
+    import ctypes
+
+    n = len(data)
+    if n == 0:
+        empty = np.zeros(0, dtype=np.int64)
+        return empty, empty, empty
+    if not data.flags.c_contiguous:
+        data = np.ascontiguousarray(data)
+    cap = min(n, _SEGMENT)
+    buf_pos = np.empty(cap, dtype=np.int64)
+    buf_len = np.empty(cap, dtype=np.int64)
+    buf_code = np.empty(cap, dtype=np.int64)
+    p = lambda a: a.ctypes.data_as(ctypes.c_void_p)  # noqa: E731
+    t_lut1, t_lut2 = p(table.lut1), p(table.lut2)
+    t_lens, t_vals, t_masks = p(table.lens_by_code), p(table.vals_by_code), p(table.mask_by_code)
+    pos_parts, len_parts, code_parts = [], [], []
+    for s0 in range(0, n, _SEGMENT):
+        seg = data[s0 : min(s0 + _SEGMENT, n)]
+        t = lib.p4s_fsst_tokenize(
+            p(seg), len(seg), t_lut1, t_lut2, t_lens, t_vals, t_masks,
+            p(buf_pos), p(buf_len), p(buf_code),
+        )
+        pos_parts.append(buf_pos[:t] + s0)
+        len_parts.append(buf_len[:t].copy())
+        code_parts.append(buf_code[:t].copy())
+    if len(pos_parts) == 1:
+        return pos_parts[0], len_parts[0], code_parts[0]
+    return (
+        np.concatenate(pos_parts),
+        np.concatenate(len_parts),
+        np.concatenate(code_parts),
+    )
+
+
 def _tokenize(data: np.ndarray, table: SymbolTable) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Greedy left-to-right tokenization; returns (positions, lengths, codes).
 
@@ -155,11 +193,21 @@ def _tokenize(data: np.ndarray, table: SymbolTable) -> tuple[np.ndarray, np.ndar
     (multi-core scaling holds; cold-page cost bounded).  Tokens never span a
     segment boundary: the _match tail guard rejects matches that would run
     past the segment, costing at most 7 escape bytes per 256 KiB.
+
+    Dispatches to the scalar C kernel when available (codecs/_native.py;
+    P4S_NO_NATIVE=1 forces this numpy path) — ~60% of the vectorized match
+    work lands on positions the greedy chain never visits, which no
+    full-array formulation can avoid.
     """
     n = len(data)
     if n == 0:
         empty = np.zeros(0, dtype=np.int64)
         return empty, empty, empty
+    from . import _native
+
+    lib = _native.get_kernel()
+    if lib is not None:
+        return _tokenize_native(data, table, lib)
     if n <= _SEGMENT:
         win = _windows(data)
         match_len, c2, ok2 = _match(data, win, table)
@@ -185,6 +233,29 @@ def _tokenize(data: np.ndarray, table: SymbolTable) -> tuple[np.ndarray, np.ndar
 def fsst_encode(data: bytes | np.ndarray, table: SymbolTable) -> bytes:
     """Encode a byte stream: serialized table + token payload."""
     arr = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else data
+    from . import _native
+
+    lib = _native.get_kernel()
+    if lib is not None and len(arr):
+        # fused tokenize+emit in C, per 256 KiB segment (same boundary rule
+        # as the numpy path -> byte-identical payload)
+        import ctypes
+
+        if not arr.flags.c_contiguous:
+            arr = np.ascontiguousarray(arr)
+        n = len(arr)
+        out = np.empty(2 * n, dtype=np.uint8)
+        p = lambda a: a.ctypes.data_as(ctypes.c_void_p)  # noqa: E731
+        o = 0
+        for s0 in range(0, n, _SEGMENT):
+            seg = arr[s0 : min(s0 + _SEGMENT, n)]
+            o += lib.p4s_fsst_encode(
+                ctypes.c_void_p(seg.ctypes.data), len(seg),
+                p(table.lut1), p(table.lut2), p(table.lens_by_code),
+                p(table.vals_by_code), p(table.mask_by_code),
+                ctypes.c_void_p(out.ctypes.data + o),
+            )
+        return table.serialize() + out[:o].tobytes()
     pos, lens, codes = _tokenize(arr, table)
     esc = codes == _ESCAPE
     out_lens = np.where(esc, 2, 1).astype(np.int64)
@@ -204,6 +275,20 @@ def fsst_decode(buf) -> bytes:
     n = len(payload)
     if n == 0:
         return b""
+    from . import _native
+
+    lib = _native.get_kernel()
+    if lib is not None:
+        import ctypes
+
+        out = np.empty(8 * n + 8, dtype=np.uint8)
+        o = lib.p4s_fsst_decode(
+            ctypes.c_void_p(payload.ctypes.data), n,
+            table.matrix.ctypes.data_as(ctypes.c_void_p),
+            table.lens_by_code.ctypes.data_as(ctypes.c_void_p),
+            out.ctypes.data_as(ctypes.c_void_p),
+        )
+        return out[:o].tobytes()
     is_255 = payload == _ESCAPE
     idx = np.arange(n, dtype=np.int64)
     last_non255 = np.maximum.accumulate(np.where(~is_255, idx, -1))

@@ -1205,12 +1205,17 @@ def _auto_plan(ptype, n, values, lengths, payload, page_ends, nn_page_ends, allo
                         ["DELTA_BYTE_ARRAY"] * n_pages, *no_dict[:-1], bodies
                     )
         # FSST: estimate from a sample; the full encode pass runs only when
-        # the estimate beats the best cheap candidate by >10% -- FSST encode
-        # is ~15x slower than dict/DLBA, so "sample gain per CPU second"
-        # gates it: a column whose dict/DLBA size is within 10% of the FSST
-        # estimate takes the cheap codec without paying the encode pass.
+        # the estimate beats the best cheap candidate.  The demanded margin
+        # depends on which kernel is loaded: under the numpy fallback FSST
+        # encode is ~15x slower than dict/DLBA, so the estimate must win by
+        # >10% ("sample gain per CPU second"); with the C kernel
+        # (codecs/_native.py, ~12x faster) the pass costs about as much as
+        # the cheap codecs and any estimated win takes it.
         sample = payload[: 1 << 15]
         if allow_fsst and len(sample) >= 1024:
+            from . import _native
+
+            margin = 1.0 if _native.get_kernel() is not None else 0.9
             table = fsst.train_symbol_table(sample)
             est_ratio = len(fsst.fsst_encode(sample, table)) / len(sample)
             payload_len = int(lengths.sum())
@@ -1223,7 +1228,7 @@ def _auto_plan(ptype, n, values, lengths, payload, page_ends, nn_page_ends, allo
                 + 300 * n_pages
                 + est_ratio * payload_len
             )
-            run_fsst = est_fsst < 0.9 * min(candidates.values())
+            run_fsst = est_fsst < margin * min(candidates.values())
             if run_fsst and compression == "gzip":
                 # the pages gzip AFTER encoding, and deflate recovers much
                 # of what FSST would have squeezed (both are entropy
@@ -1233,10 +1238,12 @@ def _auto_plan(ptype, n, values, lengths, payload, page_ends, nn_page_ends, allo
                 # stream before paying the ~15x-slower full encode pass.
                 # The probe uses a 128 KiB slice — a 32 KiB one understates
                 # the converged gain (deflate's window covers the whole
-                # sample there; 2.4% vs the true 8.3% on bench content)
+                # sample there; 2.4% vs the true 8.3% on bench content).
+                # Margin as above: >=10% post-gzip gain under the numpy
+                # fallback, any gain with the C kernel.
                 gz_sample = payload[: 1 << 17]
                 enc_blob = fsst.fsst_encode(gz_sample, table)
-                run_fsst = len(zlib.compress(bytes(enc_blob), 6)) < 0.9 * len(
+                run_fsst = len(zlib.compress(bytes(enc_blob), 6)) < margin * len(
                     zlib.compress(gz_sample.tobytes(), 6)
                 )
             if run_fsst:

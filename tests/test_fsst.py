@@ -72,3 +72,39 @@ def test_structured_roundtrip(seed):
     words = [b"the", b"quick", b"brown", b"fox", b"jumps", b"over", b"lazy", b"dog", b"\xff\xfe", b""]
     data = b" ".join(words[rng.integers(0, len(words))] for _ in range(2000))
     assert _roundtrip(data) == data
+
+
+def test_native_numpy_parity_cross_segment():
+    """The C kernel (codecs/_native.py) and the numpy path must produce
+    BYTE-IDENTICAL encodings — same greedy rule, same 256 KiB segment
+    boundary behavior — and decode each other's output.  Skips silently to
+    a numpy-vs-numpy self-check when no compiler is available."""
+    import os
+
+    from parquet4seastar_spark.codecs import _native, fsst
+
+    rng = np.random.default_rng(11)
+    words = [b"request", b"response", b"the", b"href=", b"<div>", b"\x00\x01", b"error"]
+    data = b" ".join(words[rng.integers(0, len(words))] for _ in range(90_000))
+    assert len(data) > (1 << 18) + 1000  # crosses a segment boundary
+    table = train_symbol_table(data[: 1 << 16])
+
+    def with_numpy(f):
+        os.environ["P4S_NO_NATIVE"] = "1"
+        _native._tried, _native._lib = False, None
+        try:
+            return f()
+        finally:
+            del os.environ["P4S_NO_NATIVE"]
+            _native._tried, _native._lib = False, None
+
+    enc_native = fsst_encode(data, table)
+    enc_numpy = with_numpy(lambda: fsst_encode(data, table))
+    assert enc_native == enc_numpy
+    assert fsst_decode(enc_native) == data
+    assert with_numpy(lambda: fsst_decode(enc_native)) == data
+    tok_n = fsst._tokenize(np.frombuffer(data, dtype=np.uint8), table)
+    tok_p = with_numpy(
+        lambda: fsst._tokenize(np.frombuffer(data, dtype=np.uint8), table)
+    )
+    assert all((a == b).all() for a, b in zip(tok_n, tok_p))
