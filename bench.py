@@ -34,10 +34,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BENCH_DIR = os.environ.get("P4S_BENCH_DIR", "/tmp/p4s_bench")
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-ROWS = int(os.environ.get("P4S_BENCH_ROWS", "800000"))  # ~790 MB content:
-# large enough that the ~4-5 s Spark fixed floor is <10% of the local[4]
+ROWS = int(os.environ.get("P4S_BENCH_ROWS", "2400000"))  # ~2.4 GB content:
+# sized so the ~1.4 s Spark fixed floor stays small against the local[16]
 # wall, so job-level scaling efficiency reflects the engine (the kernel-level
-# sweep in BENCH/BASELINE.md scales ~1.0 through 16 procs)
+# sweep in BENCH/BASELINE.md scales ~1.0 through 16 procs).  The round-6 C
+# kernel made encode ~2x faster at the old 789 MB input, which pushed the
+# floor to ~30% of the 16-core leg and the printed efficiency to 0.79 on
+# code whose kernels scale ~1.0 -- same reasoning as the round-1 -> round-2
+# resize (393 MB -> 789 MB).
 POLICY = os.environ.get("P4S_BENCH_POLICY", "auto")
 
 HEADLINE_QUERIES = [
