@@ -50,23 +50,73 @@ def ingest_media(docs: DataFrame, payload_col: str = "text") -> DataFrame:
     )
 
 
-def decode_image(media: DataFrame, fake: bool = False) -> DataFrame:
-    """Decode/resize stub.
+def _image_lib():
+    """PIL's Image module if importable, else None (dependency probe)."""
+    try:
+        from PIL import Image
 
-    Real decode requires an image library not present in this container;
-    the Spark plumbing (mapInArrow over the binary column, batch shape,
-    list<int> output schema) is what this function pins -- a real decoder
-    slots into the same UDF body.  ``fake=True`` derives a deterministic
+        return Image
+    except Exception:
+        return None
+
+
+def _decode_blob_thumb(Image, blob: bytes) -> list[int]:
+    """One payload -> 64 grayscale ints (8x8 thumbnail) via the real image
+    library; undecodable payloads yield 64 zeros (the fake path's empty
+    convention).  Factored out of the UDF so the per-blob logic is unit-
+    testable with a stub library even where PIL is absent."""
+    import io
+
+    try:
+        img = Image.open(io.BytesIO(blob)).convert("L").resize((8, 8))
+        return [int(v) for v in img.getdata()]
+    except Exception:
+        return [0] * 64
+
+
+def decode_image(media: DataFrame, fake: bool = False) -> DataFrame:
+    """Decode/resize: real when an image library is present, else stub.
+
+    ``fake=False`` probes for PIL at plan time; if present, each payload
+    decodes to an 8x8 grayscale thumbnail inside mapInArrow (per-row
+    Python is the right shape here — native image decode dominates the
+    loop overhead).  Without the library it raises NotImplementedError
+    (this container ships no image lib; the per-blob logic is pinned by a
+    stub-library unit test).  ``fake=True`` derives a deterministic
     8x8 'thumbnail' from a vectorized per-payload byte fold (one numpy
     pass over the concatenated buffer, segment-reduced -- no per-row
-    Python) so downstream feature-extraction plumbing is testable.
+    Python) so downstream feature-extraction plumbing is testable
+    everywhere.  Both paths share the output schema
+    (doc_id, thumb8x8 array<int>).
     """
-    if not fake:
-        raise NotImplementedError(
-            "media decode requires an image/audio library not available in "
-            "this environment; run with fake=True for the deterministic stub"
-        )
     import pyarrow as pa
+
+    if not fake:
+        if _image_lib() is None:
+            raise NotImplementedError(
+                "media decode requires an image library (PIL) not available "
+                "in this environment; run with fake=True for the "
+                "deterministic stub"
+            )
+
+        def decode_real(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            Image = _image_lib()  # workers re-probe: same env, same answer
+            for rb in batches:
+                if rb.num_rows == 0:
+                    continue
+                blobs = rb.column(1).to_pylist()
+                thumbs = pa.array(
+                    [_decode_blob_thumb(Image, b or b"") for b in blobs],
+                    type=pa.list_(pa.int32()),
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [rb.column(0).cast(pa.int64()), thumbs],
+                    names=["doc_id", "thumb8x8"],
+                )
+
+        return media.select("doc_id", "media").mapInArrow(
+            decode_real, schema="doc_id long, thumb8x8 array<int>"
+        )
 
     def decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from parquet4seastar_spark import _alloc

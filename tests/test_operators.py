@@ -569,6 +569,46 @@ def test_doc_repetition_scores(spark):
     assert out[4]["n_ngrams"] == 0 and out[4]["n_lines"] == 0
 
 
+def test_decode_blob_thumb_with_stub_library():
+    """The real-decode per-blob logic (used by decode_image(fake=False)
+    when PIL is present) pinned with a stub library: 64 grayscale ints per
+    payload, corrupt payloads -> 64 zeros.  No PIL in this container, so
+    this is the deepest coverage available for the real path."""
+    from parquet4seastar_spark.operators.multimodal import (
+        _decode_blob_thumb,
+        _image_lib,
+    )
+
+    assert _image_lib() is None  # env contract: no image lib here
+
+    class _Img:
+        def __init__(self, data):
+            self._d = data
+
+        def convert(self, mode):
+            assert mode == "L"
+            return self
+
+        def resize(self, wh):
+            assert wh == (8, 8)
+            return self
+
+        def getdata(self):
+            return [(self._d[i % len(self._d)]) for i in range(64)]
+
+    class _StubImage:
+        @staticmethod
+        def open(f):
+            b = f.read()
+            if not b.startswith(b"OK"):
+                raise OSError("cannot identify image file")
+            return _Img(b)
+
+    out = _decode_blob_thumb(_StubImage, b"OK\x10\x20")
+    assert len(out) == 64 and all(isinstance(v, int) for v in out)
+    assert _decode_blob_thumb(_StubImage, b"garbage") == [0] * 64
+
+
 def test_fake_decode_digest_batch_invariant(spark):
     """The fake thumbnail must not depend on batch composition: a payload's
     digest is identical whether or not empty payloads follow it in the
