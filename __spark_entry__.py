@@ -266,9 +266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from parquet4seastar_spark.engine.encode_job import encode_table
 
         src = _docs(spark, sf_dir).select(
-            F.col("doc_id").alias("row_id"),
-            "n_chars",
-            F.floor(F.col("n_chars") / 200).cast("string").alias("bucket"),
+            F.col("doc_id").alias("row_id"), "n_chars"
         )
         # persist the pages frame: prune_chunks consumes it twice (drop-set
         # subtree + the main decode pass) and an unpersisted lineage would
@@ -278,10 +276,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # for the session (decode is lazy, so there is no safe unpersist
         # point inside this function); each invocation caches one small
         # single-column pages frame, bounded by how often the harness runs
-        # the query (once or twice per session)
+        # the query (once or twice per session).
+        # cluster_by (round 6): range-partitioned + sorted layout — chunk
+        # min/max ranges are narrow by construction, so the gt-predicate
+        # prunes most chunks (the handcrafted bucket salt column this query
+        # used before is the manual version of the same layout knob)
         enc = encode_table(
-            src, columns=["n_chars"], salt_col="bucket", num_partitions=4,
-            salt_target_rows=2000, size_col="bucket",
+            src, columns=["n_chars"], cluster_by="n_chars", num_partitions=4,
         ).persist()
         pruned = prune_chunks(enc, "n_chars", gt=300)
         return (

@@ -333,6 +333,7 @@ def encode_table(
     size_col: str | None = None,
     salt_target_rows: int | None = None,
     fixed_len: dict[str, int] | None = None,
+    cluster_by: str | None = None,
 ) -> DataFrame:
     """Encode ``df`` (must carry row_id + the data columns) into a pages+
     lineage DataFrame (see ENCODED_SCHEMA).
@@ -340,6 +341,16 @@ def encode_table(
     ``resume_lineage``: a previously written lineage table (kind='chunk'
     rows); partitions whose part_key is already fully present are skipped
     via a broadcast anti-join (north rule: resumable re-runs).
+
+    ``cluster_by``: range-clustered layout instead of salted hash
+    partitioning — rows are range-partitioned AND sorted within partitions
+    on the given column, so every chunk covers a narrow value range and
+    the chunk min/max statistics (plus blooms) actually prune range and
+    point predicates (``prune_chunks``).  On unsorted data, stats pruning
+    only wins when values are naturally clustered; this is the layout
+    knob that makes it win by construction.  part_key becomes the range
+    bucket id ('r<i>'), deterministic for identical input.  The salting
+    parameters are ignored in this mode.
     """
     columns = columns or [c for c in DATA_COLUMNS if c in df.columns]
     if not columns:
@@ -368,11 +379,22 @@ def encode_table(
             )
     spark = df.sparkSession
     num_partitions = num_partitions or max(spark.sparkContext.defaultParallelism, 8)
-    if size_col is None:
-        size_col = "content" if "content" in df.columns else columns[-1]
-    salted = salted_repartition(
-        df, num_partitions, salt_target_bytes, size_col, salt_col, salt_target_rows
-    )
+    if cluster_by is not None:
+        salted = (
+            df.repartitionByRange(num_partitions, cluster_by)
+            .sortWithinPartitions(cluster_by)
+            .withColumn(
+                "part_key",
+                F.concat(F.lit("r"), F.spark_partition_id().cast("string")),
+            )
+            .withColumn("salt_buckets", F.lit(1))
+        )
+    else:
+        if size_col is None:
+            size_col = "content" if "content" in df.columns else columns[-1]
+        salted = salted_repartition(
+            df, num_partitions, salt_target_bytes, size_col, salt_col, salt_target_rows
+        )
     if resume_lineage is not None:
         done = resume_lineage.filter(F.col("kind") == "chunk").select("part_key").distinct()
         salted = salted.join(F.broadcast(done), "part_key", "left_anti")

@@ -141,6 +141,54 @@ def test_export_parquet_files_spark_reads(spark, tmp_path):
     assert bad.count() == 0 and j.count() == docs.count()
 
 
+def test_cluster_by_makes_stats_pruning_effective(spark):
+    """cluster_by range-partitions AND sorts within partitions, so chunk
+    min/max ranges are narrow and a range predicate prunes most chunks —
+    the layout knob that makes stats pruning win by construction.  The
+    same predicate on a hash-salted layout prunes (almost) nothing, and
+    decoded values are identical either way."""
+    from parquet4seastar_spark.engine.decode_job import decode_table, prune_chunks
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.col("doc_id").alias("row_id"), "n_chars", "source"
+    )
+
+    def kept(enc, **pred):
+        enc = enc.persist()
+        total = enc.filter((F.col("kind") == "chunk") & (F.col("column") == "n_chars")).count()
+        pruned = prune_chunks(enc, "n_chars", **pred)
+        k = pruned.filter((F.col("kind") == "chunk") & (F.col("column") == "n_chars")).count()
+        rows = sorted(
+            (r["row_id"], r["n_chars"])
+            for r in decode_table(pruned, ["n_chars"])
+            .filter(F.col("n_chars") > 520).collect()
+        )
+        enc.unpersist()
+        return total, k, rows
+
+    clustered = encode_table(
+        docs, columns=["n_chars"], cluster_by="n_chars", num_partitions=8,
+        chunk_target_bytes=1 << 12, page_target_bytes=1 << 10,
+    )
+    t_c, k_c, rows_c = kept(clustered, gt=520)
+    hashed = encode_table(
+        docs, columns=["n_chars"], salt_col="source", num_partitions=8,
+        salt_target_rows=100, chunk_target_bytes=1 << 12,
+        page_target_bytes=1 << 10,
+    )
+    t_h, k_h, rows_h = kept(hashed, gt=520)
+    exp = sorted(
+        (r["row_id"], r["n_chars"])
+        for r in docs.filter(F.col("n_chars") > 520).collect()
+    )
+    assert rows_c == exp and rows_h == exp
+    assert k_c <= t_c // 2, (k_c, t_c)  # clustered: most chunks pruned
+    assert k_h > t_h // 2, (k_h, t_h)  # hash-salted: pruning can't help
+    # part keys are range-bucket ids, one per partition
+    pks = {r["part_key"] for r in clustered.select("part_key").distinct().collect()}
+    assert pks <= {f"r{i}" for i in range(8)}
+
+
 def test_column_partitioned_store(spark, tmp_path):
     """Column-partitioned pages layout (engine/store.py): a single-column
     decode touches only that column's partition directories.
