@@ -349,9 +349,19 @@ def encode_table(
     point predicates (``prune_chunks``).  On unsorted data, stats pruning
     only wins when values are naturally clustered; this is the layout
     knob that makes it win by construction.  part_key becomes the range
-    bucket id ('r<i>'), deterministic for identical input.  The salting
-    parameters are ignored in this mode.
+    bucket id ('r<i>') — stable within a job (re-evaluations of the same
+    plan reuse the same range boundaries) but NOT across runs (Spark
+    seeds the range sampler from the RDD id), so ``resume_lineage`` is
+    refused in this mode and round-trip verification uses the row-level
+    join (``roundtrip_verify_fast`` rejects unsalted part keys).  The
+    salting parameters are ignored in this mode.
     """
+    if cluster_by is not None and resume_lineage is not None:
+        raise ValueError(
+            "resume_lineage cannot be combined with cluster_by: range "
+            "bucket boundaries (and so part keys) are not stable across "
+            "runs, and the anti-join would silently skip shifted rows"
+        )
     columns = columns or [c for c in DATA_COLUMNS if c in df.columns]
     if not columns:
         raise ValueError(

@@ -186,7 +186,9 @@ def _write_compaction_marker(sig_dir: str, batch_id: int) -> None:
     os.replace(tmp, os.path.join(sig_dir, "_compaction.json"))
 
 
-def near_dedup_store_view(spark: SparkSession, sig_dir: str) -> DataFrame:
+def near_dedup_store_view(
+    spark: SparkSession, sig_dir: str, exclude_batch: int | None = None
+) -> DataFrame:
     """Latest-wins (doc_id, sig) view of a stream_near_dedup signature
     store.
 
@@ -196,10 +198,19 @@ def near_dedup_store_view(spark: SparkSession, sig_dir: str) -> DataFrame:
     (``_compaction.json`` records its batch_id), so the window covers only
     the post-snapshot partitions (bounded by the compaction interval) and
     the snapshot contributes via a broadcast anti-join on the recent ids —
-    the snapshot rows never shuffle."""
+    the snapshot rows never shuffle.
+
+    ``exclude_batch``: drop that batch's partition from the view.
+    process_batch passes its own batch_id so a RETRIED batch never reads
+    its previous attempt's leftover partition — in particular, a retried
+    compaction batch whose snapshot committed but whose marker write
+    crashed would otherwise scan the very path its compacted rewrite
+    overwrites (self-overwrite = wedged stream / store loss)."""
     from pyspark.sql import Window
 
     parts = _committed_sig_parts(sig_dir)
+    if exclude_batch is not None:
+        parts = [(bid, p) for bid, p in parts if bid != exclude_batch]
     if not parts:
         return spark.createDataFrame([], "doc_id long, sig array<long>")
     snap = _compaction_marker(sig_dir)
@@ -298,17 +309,28 @@ def stream_near_dedup(
             # a retry is a committed no-op
             return
         batch = df.select("doc_id", "text")
-        store = near_dedup_store_view(spark, sig_dir)
+        compacting = bool(compact_every) and (batch_id + 1) % compact_every == 0
+        # exclude_batch: a retried batch must never read its own previous
+        # attempt's partition (and the compacted rewrite below must never
+        # read the path it overwrites, in any crash state)
+        store = near_dedup_store_view(spark, sig_dir, exclude_batch=batch_id)
+        if compacting:
+            # the view feeds BOTH the pairs job and the compacted rewrite;
+            # persist it for the batch so the full-store window+anti-join
+            # runs once, not twice
+            store = store.persist()
         pairs, new_sigs = minhash_lsh_pairs_incremental(
             batch, store, num_hashes=num_hashes, bands=bands,
             shingle_k=shingle_k, threshold=threshold, seed=seed,
         )
         pairs.write.mode("overwrite").parquet(f"{pairs_dir}/batch_id={batch_id}")
-        if compact_every and (batch_id + 1) % compact_every == 0:
+        if compacting:
             # latest-only whole store = (pre-batch view minus this batch's
             # ids) + this batch's sigs; sources are the OLDER partitions
-            # plus the persisted new_sigs, so overwriting this batch's own
-            # partition never reads what it writes
+            # (exclude_batch above) plus the persisted new_sigs, so
+            # overwriting this batch's own partition never reads what it
+            # writes — even on a retry whose earlier attempt already
+            # committed a snapshot there
             compacted = store.join(
                 F.broadcast(new_sigs.select("doc_id")), "doc_id", "left_anti"
             ).union(new_sigs.select("doc_id", "sig"))
@@ -319,6 +341,7 @@ def stream_near_dedup(
             for bid, path in _committed_sig_parts(sig_dir):
                 if bid < batch_id:
                     shutil.rmtree(path, ignore_errors=True)
+            store.unpersist()
         else:
             new_sigs.write.mode("overwrite").parquet(
                 f"{sig_dir}/batch_id={batch_id}"

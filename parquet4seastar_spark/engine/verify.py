@@ -65,6 +65,17 @@ def roundtrip_verify_fast(
     from .decode_job import decode_table
 
     chunks = encoded.filter(F.col("kind") == "chunk")
+    # fail fast on a cluster_by layout: its part keys ('r<i>') carry no
+    # '<salt_col>#<salt>' structure, so the source side cannot rebuild
+    # them — without this check every part_key would report a spurious
+    # mismatch.  Range-clustered tables verify with the row-level join.
+    n_unsalted = chunks.filter(~F.col("part_key").contains("#")).limit(1).count()
+    if n_unsalted:
+        raise ValueError(
+            "roundtrip_verify_fast requires the salted layout "
+            "('<salt_col>#<salt>' part keys); this table was encoded with "
+            "cluster_by — use roundtrip_verify (row-level join) instead"
+        )
     strip_salt = F.expr(
         "substring(part_key, 1, length(part_key) - length(substring_index(part_key, '#', -1)) - 1)"
     )

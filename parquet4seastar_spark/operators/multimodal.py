@@ -100,7 +100,19 @@ def decode_image(media: DataFrame, fake: bool = False) -> DataFrame:
             )
 
         def decode_real(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-            Image = _image_lib()  # workers re-probe: same env, same answer
+            from parquet4seastar_spark import _alloc
+
+            _alloc.tune_allocator()
+            Image = _image_lib()
+            if Image is None:
+                # loud, not lossy: on a heterogeneous cluster (driver has
+                # PIL, executor doesn't) the per-blob except would
+                # otherwise turn a missing dependency into silent all-zero
+                # thumbnails for every row
+                raise RuntimeError(
+                    "PIL importable on the driver but missing on this "
+                    "executor — install it cluster-wide or use fake=True"
+                )
             for rb in batches:
                 if rb.num_rows == 0:
                     continue

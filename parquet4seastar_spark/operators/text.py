@@ -329,7 +329,13 @@ def pack_sequences(
         docs.select(id_col, strata_col, n_tok.alias("n_tokens"))
         .repartitionByRange(P, strata_col, id_col)
         .sortWithinPartitions(strata_col, id_col)
-        .persist()  # pin boundaries: both passes must see identical pids
+        # pin boundaries: both passes must see identical pids.  The cache
+        # (token counts + keys only, never the text — ~24 B/row) lives
+        # until the returned frame is garbage-collected (ContextCleaner
+        # unpersists it then); same session-bounded convention as
+        # pruned_scan's pages persist, noted here because the harness may
+        # call this several times per session.
+        .persist()
     )
 
     # pass 1: tiny per-(partition, stratum) totals.  Range partitioning on

@@ -187,6 +187,18 @@ def test_cluster_by_makes_stats_pruning_effective(spark):
     # part keys are range-bucket ids, one per partition
     pks = {r["part_key"] for r in clustered.select("part_key").distinct().collect()}
     assert pks <= {f"r{i}" for i in range(8)}
+    # range boundaries are not stable across runs: resume is refused, and
+    # the salted-layout fast verify fails fast instead of reporting a
+    # spurious whole-table mismatch
+    from parquet4seastar_spark.engine.verify import roundtrip_verify_fast
+
+    with pytest.raises(ValueError, match="cluster_by"):
+        encode_table(
+            docs, columns=["n_chars"], cluster_by="n_chars",
+            resume_lineage=clustered,
+        )
+    with pytest.raises(ValueError, match="row-level"):
+        roundtrip_verify_fast(docs, clustered, ["n_chars"], salt_col="source")
 
 
 def test_column_partitioned_store(spark, tmp_path):

@@ -421,6 +421,33 @@ def test_stream_near_dedup_compaction(spark, tmp_path):
     )
 
 
+def test_store_view_excludes_retried_batch(spark, tmp_path):
+    """The crash-retry contract: a retried batch's store view must not
+    include its own previous attempt's partition — in particular a
+    compaction batch whose snapshot committed but whose marker write
+    crashed would otherwise read the very path its rewrite overwrites."""
+    import pyspark.sql.functions as F
+
+    from parquet4seastar_spark.engine.streaming import near_dedup_store_view
+
+    sig_dir = str(tmp_path / "sigs")
+    b0 = spark.createDataFrame(
+        [(i, [i, i]) for i in range(5)], "doc_id long, sig array<long>"
+    )
+    b0.write.parquet(f"{sig_dir}/batch_id=0")
+    # batch 1 crashed mid-compaction: its partition holds a stale snapshot
+    # (b0's ids plus its own), no marker was written
+    b1 = spark.createDataFrame(
+        [(i, [9, 9]) for i in range(7)], "doc_id long, sig array<long>"
+    )
+    b1.write.parquet(f"{sig_dir}/batch_id=1")
+    view = near_dedup_store_view(spark, sig_dir, exclude_batch=1)
+    rows = {r["doc_id"]: r["sig"] for r in view.collect()}
+    assert set(rows) == {0, 1, 2, 3, 4}  # only batch 0 contributes
+    assert all(v == [k, k] for k, v in rows.items())  # b1's sigs excluded
+    assert not any("batch_id=1" in f for f in view.inputFiles())
+
+
 def test_minhash_incremental_equals_batch(spark):
     """Semantic contract: incremental pairs over batch 2 vs the batch-1
     store, PLUS the batch-1-only pairs, equals one batch run over the full
