@@ -150,9 +150,15 @@ def encode_bench(
                 df,
                 policy=policy,
                 compression=compression,
-                # 3 task waves: measured best load balance for the skewed
-                # FSST-heavy chunks (2 waves leave a straggler tail)
-                num_partitions=cpus * 3,
+                # partitions sized by DATA (~24 MB of content each), floored
+                # at 3 task waves: with the C kernel the job is stream-bound
+                # and giant partitions serialize badly — the r6 sweep
+                # measured local[4] 66 -> 34.5 s and local[16] 13.7 -> 11.3 s
+                # going from cpus*3 to byte-sized partitioning.  This is
+                # also the 100 TB shape: partition count follows input
+                # size (Spark's own maxPartitionBytes philosophy), cores
+                # only set the floor.
+                num_partitions=max(cpus * 3, content_bytes // (24 << 20) + 1),
                 chunk_target_bytes=16 << 20,
                 # row-count salting: sizes the salt buckets from a key-column
                 # scan only (byte mode re-reads the full value column first

