@@ -259,7 +259,16 @@ def main():
     from parquet4seastar_spark.engine.store import read_store, write_store
 
     store_path = f"{BENCH_DIR}/colstore_{ROWS}_{POLICY}"
-    if not os.path.exists(f"{store_path}/_SUCCESS"):
+    # rebuild whenever the flat encoded table is newer: otherwise deleting
+    # enc_path to re-bench after a codec change would silently time last
+    # round's bytes on the colstore leg while the flat leg times new ones
+    def _mtime(p):
+        try:
+            return os.path.getmtime(p)
+        except OSError:
+            return -1.0
+
+    if _mtime(f"{store_path}/_SUCCESS") < _mtime(f"{enc_path}/_SUCCESS"):
         write_store(spark16.read.parquet(enc_path), store_path)
     best_cs = None
     for _ in range(2):

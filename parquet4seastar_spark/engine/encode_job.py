@@ -49,6 +49,12 @@ ENCODED_SCHEMA = (
 
 DATA_COLUMNS = ["repo", "path", "commit", "lang", "content"]
 
+# NULL salt keys group under this sentinel: an equi-join on the raw salt
+# column would silently DROP every null-keyed row (null never equals null
+# in a join), losing data with no error.  '\x00' keeps it out of any
+# realistic key space and off the '#' separator.
+NULL_SALT_KEY = "\x00null"
+
 
 def salted_repartition(
     df: DataFrame,
@@ -66,13 +72,17 @@ def salted_repartition(
     rows are routed with a deterministic hash of (path, commit) so a re-run
     produces identical partitions.
     """
+    # null-keyed rows group under a sentinel: a raw equi-join on salt_col
+    # would silently drop them (null never joins null)
+    skey = F.coalesce(F.col(salt_col).cast("string"), F.lit(NULL_SALT_KEY))
+    keyed = df.withColumn("_skey", skey)
     if salt_target_rows is not None:
         # row-count salting: scans only the key column (cheap); row count is
         # a good skew proxy when row sizes are iid within a key
-        sizes = df.groupBy(salt_col).agg(F.count(F.lit(1)).alias("_repo_size"))
+        sizes = keyed.groupBy("_skey").agg(F.count(F.lit(1)).alias("_repo_size"))
         target = F.lit(salt_target_rows)
     else:
-        sizes = df.groupBy(salt_col).agg(
+        sizes = keyed.groupBy("_skey").agg(
             F.sum(F.coalesce(F.octet_length(size_col), F.lit(0))).alias("_repo_size")
         )
         target = F.lit(salt_target_bytes)
@@ -81,11 +91,11 @@ def salted_repartition(
         F.greatest(F.lit(1), F.ceil(F.col("_repo_size") / target)).cast("int"),
     ).drop("_repo_size")
     salted = (
-        df.join(F.broadcast(sizes), salt_col)
+        keyed.join(F.broadcast(sizes), "_skey")
         .withColumn("_salt", F.pmod(F.xxhash64("row_id"), F.col("_salt_buckets")).cast("int"))
-        .withColumn("part_key", F.concat_ws("#", F.col(salt_col), F.col("_salt")))
+        .withColumn("part_key", F.concat_ws("#", F.col("_skey"), F.col("_salt")))
         .withColumnRenamed("_salt_buckets", "salt_buckets")
-        .drop("_salt")
+        .drop("_salt", "_skey")
     )
     return salted.repartition(num_partitions, "part_key")
 
@@ -349,12 +359,17 @@ def encode_table(
     point predicates (``prune_chunks``).  On unsorted data, stats pruning
     only wins when values are naturally clustered; this is the layout
     knob that makes it win by construction.  part_key becomes the range
-    bucket id ('r<i>') — stable within a job (re-evaluations of the same
-    plan reuse the same range boundaries) but NOT across runs (Spark
-    seeds the range sampler from the RDD id), so ``resume_lineage`` is
-    refused in this mode and round-trip verification uses the row-level
-    join (``roundtrip_verify_fast`` rejects unsalted part keys).  The
-    salting parameters are ignored in this mode.
+    bucket id ('r<i>').  Unlike the salted layout, these labels are
+    POSITIONAL, not a pure function of row data: separate evaluations of
+    an unmaterialized plan can sample different range boundaries (the
+    sampler is seeded from the RDD id), so PERSIST OR WRITE the returned
+    frame before feeding it to anything that evaluates it from two
+    subtrees (prune_chunks' drop-set anti-join; the repo's own callers
+    persist/write already — pruned_scan persists, the CLI writes to
+    parquet).  For the same reason ``resume_lineage`` is refused in this
+    mode and round-trip verification uses the row-level join
+    (``roundtrip_verify_fast`` rejects unsalted part keys).  The salting
+    parameters are ignored in this mode.
     """
     if cluster_by is not None and resume_lineage is not None:
         raise ValueError(
@@ -381,7 +396,7 @@ def encode_table(
     # engine-generated columns: an input column with one of these names
     # would otherwise surface as a deep AMBIGUOUS_REFERENCE inside the
     # salting plan instead of a clear error here
-    for c in ("part_key", "salt_buckets", "_salt", "_repo_size"):
+    for c in ("part_key", "salt_buckets", "_salt", "_repo_size", "_skey"):
         if c in df.columns:
             raise ValueError(
                 f"input column name {c!r} is reserved by the encode engine "

@@ -319,34 +319,43 @@ def stream_near_dedup(
             # persist it for the batch so the full-store window+anti-join
             # runs once, not twice
             store = store.persist()
-        pairs, new_sigs = minhash_lsh_pairs_incremental(
-            batch, store, num_hashes=num_hashes, bands=bands,
-            shingle_k=shingle_k, threshold=threshold, seed=seed,
-        )
-        pairs.write.mode("overwrite").parquet(f"{pairs_dir}/batch_id={batch_id}")
-        if compacting:
-            # latest-only whole store = (pre-batch view minus this batch's
-            # ids) + this batch's sigs; sources are the OLDER partitions
-            # (exclude_batch above) plus the persisted new_sigs, so
-            # overwriting this batch's own partition never reads what it
-            # writes — even on a retry whose earlier attempt already
-            # committed a snapshot there
-            compacted = store.join(
-                F.broadcast(new_sigs.select("doc_id")), "doc_id", "left_anti"
-            ).union(new_sigs.select("doc_id", "sig"))
-            compacted.write.mode("overwrite").parquet(
-                f"{sig_dir}/batch_id={batch_id}"
+        new_sigs = None
+        try:
+            pairs, new_sigs = minhash_lsh_pairs_incremental(
+                batch, store, num_hashes=num_hashes, bands=bands,
+                shingle_k=shingle_k, threshold=threshold, seed=seed,
             )
-            _write_compaction_marker(sig_dir, batch_id)
-            for bid, path in _committed_sig_parts(sig_dir):
-                if bid < batch_id:
-                    shutil.rmtree(path, ignore_errors=True)
-            store.unpersist()
-        else:
-            new_sigs.write.mode("overwrite").parquet(
-                f"{sig_dir}/batch_id={batch_id}"
+            pairs.write.mode("overwrite").parquet(
+                f"{pairs_dir}/batch_id={batch_id}"
             )
-        new_sigs.unpersist()
+            if compacting:
+                # latest-only whole store = (pre-batch view minus this
+                # batch's ids) + this batch's sigs; sources are the OLDER
+                # partitions (exclude_batch above) plus the persisted
+                # new_sigs, so overwriting this batch's own partition never
+                # reads what it writes — even on a retry whose earlier
+                # attempt already committed a snapshot there
+                compacted = store.join(
+                    F.broadcast(new_sigs.select("doc_id")), "doc_id", "left_anti"
+                ).union(new_sigs.select("doc_id", "sig"))
+                compacted.write.mode("overwrite").parquet(
+                    f"{sig_dir}/batch_id={batch_id}"
+                )
+                _write_compaction_marker(sig_dir, batch_id)
+                for bid, path in _committed_sig_parts(sig_dir):
+                    if bid < batch_id:
+                        shutil.rmtree(path, ignore_errors=True)
+            else:
+                new_sigs.write.mode("overwrite").parquet(
+                    f"{sig_dir}/batch_id={batch_id}"
+                )
+        finally:
+            # a failed-and-retried batch must not strand persisted frames
+            # (each retry would otherwise pin another full-store copy)
+            if compacting:
+                store.unpersist()
+            if new_sigs is not None:
+                new_sigs.unpersist()
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

@@ -69,8 +69,11 @@ def roundtrip_verify_fast(
     # '<salt_col>#<salt>' structure, so the source side cannot rebuild
     # them — without this check every part_key would report a spurious
     # mismatch.  Range-clustered tables verify with the row-level join.
-    n_unsalted = chunks.filter(~F.col("part_key").contains("#")).limit(1).count()
-    if n_unsalted:
+    # The layout is homogeneous per table, so ONE chunk row answers it
+    # (a filter+count would scan every chunk row — an extra full pass on
+    # exactly the 100 TB path this function exists to avoid).
+    probe = chunks.select("part_key").first()
+    if probe is not None and "#" not in probe["part_key"]:
         raise ValueError(
             "roundtrip_verify_fast requires the salted layout "
             "('<salt_col>#<salt>' part keys); this table was encoded with "
@@ -100,11 +103,17 @@ def roundtrip_verify_fast(
             .groupBy("_key")
             .agg((F.max("_salt") + 1).alias("_salt_buckets"))
         )
+    # the same null-key sentinel the encode side uses: rows with a NULL
+    # salt value must land in the same part_key space, not silently drop
+    # out of the join (which would "verify" a lossy table as matching)
+    from .encode_job import NULL_SALT_KEY
+
+    skey = F.coalesce(F.col(salt_col).cast("string"), F.lit(NULL_SALT_KEY))
     src = source.join(
-        F.broadcast(buckets), F.col(salt_col).cast("string") == F.col("_key")
+        F.broadcast(buckets), skey == F.col("_key")
     ).withColumn(
         "_part_key",
-        F.concat_ws("#", F.col(salt_col), F.pmod(F.xxhash64("row_id"), F.col("_salt_buckets")).cast("int")),
+        F.concat_ws("#", skey, F.pmod(F.xxhash64("row_id"), F.col("_salt_buckets")).cast("int")),
     )
 
     def side_hash(df):

@@ -5,13 +5,14 @@ struct.  Metadata extraction and frame sampling are pure column math and
 run entirely JVM-side (whole-stage codegen, no Python stage in the plan):
 ``encode``/``octet_length``/``sha1``/``md5`` built-ins for ingest,
 ``explode(sequence(...))`` for frame offsets.  The only Python stage left
-is the actual media decode (``decode_image``), which is where a real
-image/audio library would sit -- it is STUBBED (no such libs in this
-container): raises NotImplementedError unless ``fake=True``, in which case
-a deterministic fake decoder derives a thumbnail from the payload bytes
-with one vectorized numpy pass (mapInArrow; no per-row Python), so the
-plumbing (schema, Arrow batch shape, UDF signature) is exercisable
-end-to-end.
+is the actual media decode (``decode_image``): it probes for PIL at plan
+time and runs a real 8x8 grayscale thumbnail decode when the library is
+present; without it (this container ships none) it raises
+NotImplementedError unless ``fake=True``, in which case a deterministic
+fake decoder derives a thumbnail from the payload bytes with one
+vectorized numpy pass (mapInArrow; no per-row Python), so the plumbing
+(schema, Arrow batch shape, UDF signature) is exercisable end-to-end
+everywhere.
 """
 
 from __future__ import annotations

@@ -141,6 +141,35 @@ def test_export_parquet_files_spark_reads(spark, tmp_path):
     assert bad.count() == 0 and j.count() == docs.count()
 
 
+def test_null_salt_keys_are_not_dropped(spark):
+    """Rows with a NULL salt value must survive the per-key sizes join
+    (an equi-join on the raw column silently drops null keys) and verify
+    end-to-end under the fast path."""
+    from parquet4seastar_spark.engine.decode_job import decode_table
+    from parquet4seastar_spark.engine.verify import roundtrip_verify_fast
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.col("doc_id").alias("row_id"),
+        "n_chars",
+        F.when(F.col("doc_id") % 5 == 0, F.lit(None)).otherwise(F.col("source")).alias("source"),
+    )
+    n_null = docs.filter(F.col("source").isNull()).count()
+    assert n_null > 0
+    enc = encode_table(
+        docs, columns=["n_chars"], salt_col="source", num_partitions=4,
+        salt_target_rows=2000,
+    ).persist()
+    dec = decode_table(enc, ["n_chars"])
+    assert dec.count() == docs.count()  # null-keyed rows encoded too
+    res = roundtrip_verify_fast(docs, enc, ["n_chars"], salt_col="source")
+    rows = res.collect()
+    assert rows and all(r["match"] for r in rows)
+    # the null group verifies as its own part keys, and its row count is
+    # accounted (a lossy join on both sides would also 'match')
+    assert sum(r["rows_src"] for r in rows) == docs.count()
+    enc.unpersist()
+
+
 def test_cluster_by_makes_stats_pruning_effective(spark):
     """cluster_by range-partitions AND sorts within partitions, so chunk
     min/max ranges are narrow and a range predicate prunes most chunks —

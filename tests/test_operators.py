@@ -601,12 +601,7 @@ def test_decode_blob_thumb_with_stub_library():
     when PIL is present) pinned with a stub library: 64 grayscale ints per
     payload, corrupt payloads -> 64 zeros.  No PIL in this container, so
     this is the deepest coverage available for the real path."""
-    from parquet4seastar_spark.operators.multimodal import (
-        _decode_blob_thumb,
-        _image_lib,
-    )
-
-    assert _image_lib() is None  # env contract: no image lib here
+    from parquet4seastar_spark.operators.multimodal import _decode_blob_thumb
 
     class _Img:
         def __init__(self, data):

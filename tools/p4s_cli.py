@@ -244,11 +244,11 @@ def main():
     p.add_argument("--policy", default="auto")
     p.add_argument("--compression", default="gzip",
                    choices=["uncompressed", "snappy", "gzip"],
-                   help="page compression; auto+gzip is the deployment "
-                        "default (Pareto-superior to uncompressed auto: "
-                        "105.8 MB/s @ 0.2545 vs 155.9 @ 0.4245 at local[16] "
-                        "-- the gzip-aware FSST gate keeps only the passes "
-                        "that beat deflate)")
+                   help="page compression; gzip is the deployment default: "
+                        "1.7x smaller stores (ratio 0.2545 vs 0.4245) for "
+                        "~1/3 the encode throughput (105.8 vs 155.9 MB/s "
+                        "at local[16]) -- storage-bound deployments keep "
+                        "it, throughput-bound ones pass uncompressed")
     p.add_argument("--columns", default=None)
     p.add_argument("--salt-col", default="repo")
     p.add_argument("--resume-from", default=None)
