@@ -199,16 +199,37 @@ def main():
     spark = _new_spark(min(CPUS, 8))
     data_path, rows, content_bytes = ensure_bench_data(spark)
     spark.stop()
-    # both legs take the SAME best-of-3: symmetric noise handling (the
-    # round-4 retry re-sampled only the 16-core leg and only when the ratio
-    # fell below the gate, which biased the published efficiency upward).
-    # Each leg also records /proc/stat steal during its window as the
-    # independent noise signal (hypervisor steal on this VM can slow
-    # identical code 2-4x for minutes at a time — see BENCH/BASELINE.md).
-    lo = encode_bench(4, data_path, content_bytes, repeats=3)
+    # both legs take the SAME best-of-3 with the SAME steal-triggered
+    # retry rule: a leg whose window recorded steal > 10% of its wall is
+    # re-sampled (up to twice), keeping the cleanest sample.  Symmetric by
+    # construction — the round-4 retry was judged biased because it
+    # re-sampled only the 16-core leg and only when the RATIO looked bad;
+    # this one is condition-blind and applies to both legs identically.
+    # The per-leg steal is still published so the chosen sample's regime
+    # is visible (this VM's co-tenant steals precisely when we demand
+    # many cores — see BENCH/BASELINE.md round-6 notes).
+    def clean_leg(cpus, **kw):
+        best = None
+        for _ in range(3):
+            r = encode_bench(cpus, data_path, content_bytes, repeats=3, **kw)
+            if best is None or (
+                r["hypervisor_steal_sec_during_leg"]
+                < best["hypervisor_steal_sec_during_leg"]
+            ):
+                best = r
+            if best["hypervisor_steal_sec_during_leg"] <= 0.1 * best["wall_sec"] * 3:
+                break
+            print(
+                f"[bench] leg cpus={cpus} steal-contaminated "
+                f"({r['hypervisor_steal_sec_during_leg']}s), retrying",
+                file=sys.stderr,
+            )
+        return best
+
+    lo = clean_leg(4)
     # one 16-core session serves the 4N leg plus the policy comparison
     spark16 = _new_spark(16)
-    hi = encode_bench(16, data_path, content_bytes, repeats=3, spark=spark16)
+    hi = clean_leg(16, spark=spark16)
     comparison = {}
     for name, pol, comp in (
         ("auto_fast", "auto_fast", "uncompressed"),
