@@ -115,7 +115,7 @@ def ensure_bench_data(spark) -> tuple[str, int, int]:
 
 def encode_bench(
     cpus: int, data_path: str, content_bytes: int, repeats: int = 2, spark=None, policy=None,
-    compression: str = "uncompressed",
+    compression: str = "uncompressed", map_only: bool = False,
 ) -> dict:
     """Run the full encode job at the given parallelism; returns metrics."""
     import pyspark.sql.functions as F
@@ -159,6 +159,7 @@ def encode_bench(
                 # size (Spark's own maxPartitionBytes philosophy), cores
                 # only set the floor.
                 num_partitions=max(cpus * 3, content_bytes // (24 << 20) + 1),
+                map_only=map_only,
                 chunk_target_bytes=16 << 20,
                 # row-count salting: sizes the salt buckets from a key-column
                 # scan only (byte mode re-reads the full value column first
@@ -245,6 +246,11 @@ def main():
             16, data_path, content_bytes, repeats=1, spark=spark16, policy=pol,
             compression=comp,
         )
+    # map-only leg: the ZERO-value-shuffle shape (the full-corpus exchange
+    # deleted; the right profile when repo-grouped chunks aren't required)
+    comparison["auto_maponly"] = encode_bench(
+        16, data_path, content_bytes, repeats=1, spark=spark16, map_only=True,
+    )
     # decode throughput: materialize the encoded table once, time the full
     # distributed decode of the content column
     import pyspark.sql.functions as F

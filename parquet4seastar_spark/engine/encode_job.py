@@ -344,6 +344,7 @@ def encode_table(
     salt_target_rows: int | None = None,
     fixed_len: dict[str, int] | None = None,
     cluster_by: str | None = None,
+    map_only: bool = False,
 ) -> DataFrame:
     """Encode ``df`` (must carry row_id + the data columns) into a pages+
     lineage DataFrame (see ENCODED_SCHEMA).
@@ -370,7 +371,25 @@ def encode_table(
     mode and round-trip verification uses the row-level join
     (``roundtrip_verify_fast`` rejects unsalted part keys).  The salting
     parameters are ignored in this mode.
+
+    ``map_only``: encode each SCAN partition in place — ZERO value
+    shuffle.  At corpus scale the salted exchange moves every input byte
+    once; when repo-grouped chunks are not required (pure archival
+    compression, or input already laid out as desired), this deletes
+    that full-corpus shuffle and the whole job is one map pass over the
+    scan splits.  Chunk grouping follows storage order (part_key =
+    'm<scan split>'); compression stays comparable — codecs adapt per
+    chunk regardless of grouping.  Same caveats as
+    cluster_by: positional part keys (persist/write before multi-subtree
+    use), no resume, row-level verification.
     """
+    if map_only and (cluster_by is not None):
+        raise ValueError("map_only and cluster_by are mutually exclusive")
+    if map_only and resume_lineage is not None:
+        raise ValueError(
+            "resume_lineage cannot be combined with map_only: scan-split "
+            "part keys shift when file layout or split size changes"
+        )
     if cluster_by is not None and resume_lineage is not None:
         raise ValueError(
             "resume_lineage cannot be combined with cluster_by: range "
@@ -404,7 +423,12 @@ def encode_table(
             )
     spark = df.sparkSession
     num_partitions = num_partitions or max(spark.sparkContext.defaultParallelism, 8)
-    if cluster_by is not None:
+    if map_only:
+        salted = df.withColumn(
+            "part_key",
+            F.concat(F.lit("m"), F.spark_partition_id().cast("string")),
+        ).withColumn("salt_buckets", F.lit(1))
+    elif cluster_by is not None:
         salted = (
             df.repartitionByRange(num_partitions, cluster_by)
             .sortWithinPartitions(cluster_by)

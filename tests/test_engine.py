@@ -141,6 +141,48 @@ def test_export_parquet_files_spark_reads(spark, tmp_path):
     assert bad.count() == 0 and j.count() == docs.count()
 
 
+def test_map_only_encode_no_value_shuffle(spark):
+    """map_only encodes each scan split in place: the plan contains NO
+    exchange at all (the full-corpus value shuffle is gone), decoded
+    values are identical to the salted layout's, and the ratio is within
+    ~1% (codecs adapt per chunk regardless of grouping)."""
+    import pyspark.sql.functions as F
+
+    from parquet4seastar_spark.engine.decode_job import decode_table
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.col("doc_id").alias("row_id"), "text", "source"
+    )
+    enc = encode_table(docs, columns=["text"], map_only=True)
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    enc = enc.persist()
+    got = {r["row_id"]: r["text"] for r in decode_table(enc, ["text"]).collect()}
+    exp = {r["row_id"]: r["text"] for r in docs.collect()}
+    assert got == exp
+    pks = {r["part_key"] for r in enc.select("part_key").distinct().collect()}
+    assert all(p.startswith("m") for p in pks)
+    # ratio parity vs the salted layout
+    def ratio(e):
+        r = e.filter(F.col("kind") == "chunk").agg(
+            F.sum("input_bytes").alias("i"), F.sum("compressed_size").alias("c")
+        ).collect()[0]
+        return r["c"] / r["i"]
+    salted = encode_table(
+        docs, columns=["text"], salt_col="source", salt_target_rows=2000,
+        num_partitions=4,
+    )
+    # at this toy scale map_only packs ONE chunk vs the salted 20, so its
+    # per-chunk tables amortize better — it must never be meaningfully
+    # WORSE than salted (codecs adapt per chunk regardless of grouping)
+    assert ratio(enc) <= ratio(salted) + 0.02
+    enc.unpersist()
+    with pytest.raises(ValueError, match="map_only"):
+        encode_table(docs, columns=["text"], map_only=True, cluster_by="text")
+    with pytest.raises(ValueError, match="resume"):
+        encode_table(docs, columns=["text"], map_only=True, resume_lineage=salted)
+
+
 def test_null_salt_keys_are_not_dropped(spark):
     """Rows with a NULL salt value must survive the per-key sizes join
     (an equi-join on the raw column silently drops null keys) and verify
