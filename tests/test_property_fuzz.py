@@ -224,3 +224,43 @@ def test_list3_roundtrip_fuzz(vals, policy):
     out = decode_dremel_column(ch)
     out.validate(full=True)
     assert out.to_pylist() == arr.to_pylist()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.binary(min_size=0, max_size=4000),
+    st.sampled_from([b"", b"abcabcabc", b"the quick brown fox ", b"\x00\xff" * 40]),
+    st.integers(min_value=0, max_value=3),
+)
+def test_fsst_native_numpy_parity_fuzz(data, seed_text, repeat_pow):
+    """The C kernel and the numpy fallback must be bit-identical on
+    ARBITRARY bytes and tables — encode payloads equal, tokenizations
+    equal, both decode back to the input.  (Complements the fixed-content
+    segment-boundary parity test.)"""
+    import os
+
+    from parquet4seastar_spark.codecs import _native, fsst
+
+    if _native.get_kernel() is None:  # no compiler in env: nothing to compare
+        return
+    payload = (seed_text * (4 ** repeat_pow)) + data
+    table = train_symbol_table(payload[: 1 << 16])
+
+    def with_numpy(f):
+        os.environ["P4S_NO_NATIVE"] = "1"
+        _native._tried, _native._lib = False, None
+        try:
+            return f()
+        finally:
+            del os.environ["P4S_NO_NATIVE"]
+            _native._tried, _native._lib = False, None
+
+    enc_n = fsst_encode(payload, table)
+    enc_p = with_numpy(lambda: fsst_encode(payload, table))
+    assert enc_n == enc_p
+    assert fsst_decode(enc_n) == payload
+    assert with_numpy(lambda: fsst_decode(enc_n)) == payload
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    tok_n = fsst._tokenize(arr, table)
+    tok_p = with_numpy(lambda: fsst._tokenize(arr, table))
+    assert all((a == b).all() for a, b in zip(tok_n, tok_p))
