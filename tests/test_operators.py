@@ -631,6 +631,68 @@ def test_decode_blob_thumb_with_stub_library():
     assert _decode_blob_thumb(_StubImage, b"garbage") == [0] * 64
 
 
+def test_pq_compressed_domain_topk(spark, tmp_path):
+    """Product quantization: codes are deterministic and 32x smaller than
+    the vectors, ADC scores reproduce an independent numpy computation
+    exactly, recall@10 vs exact brute force is solid on real embeddings,
+    and the codes table round-trips through parquet (the persisted-index
+    pattern, like IVF)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from parquet4seastar_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select("vec_id", "embedding")
+    cb = similarity.pq_train(emb, m=8, k=64, train_sample=400)
+    cb2 = similarity.pq_train(emb, m=8, k=64, train_sample=400)
+    assert (cb == cb2).all()  # deterministic training
+    assert cb.shape == (8, 64, 8)
+
+    codes = similarity.pq_encode(emb, cb)
+    rows = {r["vec_id"]: r["codes"] for r in codes.collect()}
+    assert len(rows) == emb.count()
+    assert all(len(c) == 8 and all(0 <= v < 64 for v in c) for c in rows.values())
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    codes_path = str(tmp_path / "pq_codes")
+    codes.write.parquet(codes_path)
+    stored = spark.read.parquet(codes_path)
+    got = similarity.pq_topk(stored, cb, queries, k=10)
+    res = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in got.collect()}
+
+    # ADC math exactness: recompute one query's full ranking in numpy
+    q = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    qv = np.asarray(q, dtype=np.float64)
+    qv /= np.linalg.norm(qv)
+    luts = np.stack([qv[j * 8 : (j + 1) * 8] @ cb[j].T for j in range(8)])
+    scores = {
+        vid: sum(luts[j, c[j]] for j in range(8)) for vid, c in rows.items()
+    }
+    order = sorted(scores, key=lambda v: (-scores[v], v))[:10]
+    assert [res[(0, r)] for r in range(1, 11)] == order
+
+    # recall@10 vs exact brute force: pure ADC is quantization-limited on
+    # these near-random embeddings; the standard ADC+re-rank pipeline
+    # (exact cosine over the tiny shortlist only) recovers it
+    exact = similarity.brute_force_topk(emb, queries, k=10)
+    exact_sets = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(result):
+        hits = sum(1 for (qid, _), n in result.items() if n in exact_sets[qid])
+        return hits / (10 * len(exact_sets))
+
+    assert recall(res) >= 0.3, recall(res)
+    rr = similarity.pq_topk(stored, cb, queries, k=10, rerank=emb, shortlist=50)
+    res_rr = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in rr.collect()}
+    assert recall(res_rr) >= 0.85, recall(res_rr)
+    # self-match: a query drawn from the corpus ranks itself first
+    assert all(res_rr[(q, 1)] == q for q in range(5))
+
+
 def test_fake_decode_digest_batch_invariant(spark):
     """The fake thumbnail must not depend on batch composition: a payload's
     digest is identical whether or not empty payloads follow it in the
