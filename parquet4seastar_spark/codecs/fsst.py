@@ -148,6 +148,18 @@ def _codes_at(data: np.ndarray, pos: np.ndarray, c2: np.ndarray, ok2: np.ndarray
 _SEGMENT = 1 << 18  # 256 KiB
 
 
+def _table_ptrs(table: SymbolTable):
+    """The five code-indexed table pointers every C-kernel call takes, in
+    argument order (lut1, lut2, lens, vals, masks)."""
+    import ctypes
+
+    p = lambda a: a.ctypes.data_as(ctypes.c_void_p)  # noqa: E731
+    return (
+        p(table.lut1), p(table.lut2), p(table.lens_by_code),
+        p(table.vals_by_code), p(table.mask_by_code),
+    )
+
+
 def _tokenize_native(data: np.ndarray, table: SymbolTable, lib) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """C-kernel tokenization (codecs/_native.py): the same greedy rule, the
     same 256 KiB segmenting (tokens never span a segment boundary), so the
@@ -165,13 +177,12 @@ def _tokenize_native(data: np.ndarray, table: SymbolTable, lib) -> tuple[np.ndar
     buf_len = np.empty(cap, dtype=np.int64)
     buf_code = np.empty(cap, dtype=np.int64)
     p = lambda a: a.ctypes.data_as(ctypes.c_void_p)  # noqa: E731
-    t_lut1, t_lut2 = p(table.lut1), p(table.lut2)
-    t_lens, t_vals, t_masks = p(table.lens_by_code), p(table.vals_by_code), p(table.mask_by_code)
+    tbl_ptrs = _table_ptrs(table)
     pos_parts, len_parts, code_parts = [], [], []
     for s0 in range(0, n, _SEGMENT):
         seg = data[s0 : min(s0 + _SEGMENT, n)]
         t = lib.p4s_fsst_tokenize(
-            p(seg), len(seg), t_lut1, t_lut2, t_lens, t_vals, t_masks,
+            p(seg), len(seg), *tbl_ptrs,
             p(buf_pos), p(buf_len), p(buf_code),
         )
         pos_parts.append(buf_pos[:t] + s0)
@@ -245,14 +256,12 @@ def fsst_encode(data: bytes | np.ndarray, table: SymbolTable) -> bytes:
             arr = np.ascontiguousarray(arr)
         n = len(arr)
         out = np.empty(2 * n, dtype=np.uint8)
-        p = lambda a: a.ctypes.data_as(ctypes.c_void_p)  # noqa: E731
+        tbl_ptrs = _table_ptrs(table)
         o = 0
         for s0 in range(0, n, _SEGMENT):
             seg = arr[s0 : min(s0 + _SEGMENT, n)]
             o += lib.p4s_fsst_encode(
-                ctypes.c_void_p(seg.ctypes.data), len(seg),
-                p(table.lut1), p(table.lut2), p(table.lens_by_code),
-                p(table.vals_by_code), p(table.mask_by_code),
+                ctypes.c_void_p(seg.ctypes.data), len(seg), *tbl_ptrs,
                 ctypes.c_void_p(out.ctypes.data + o),
             )
         return table.serialize() + out[:o].tobytes()

@@ -90,9 +90,12 @@ def stream_dedup(
     out_ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields)
     out_cols = [f.name for f in out_fields]
 
+    from ..operators.dedup import fingerprint_cols
+
+    fp, fp2 = fingerprint_cols(key_col)
     hashed = (
-        docs_stream.withColumn("_fp", F.xxhash64(key_col))
-        .withColumn("_fp2", F.xxhash64(F.lit("p4s#2"), key_col))
+        docs_stream.withColumn("_fp", fp)
+        .withColumn("_fp2", fp2)
         .withColumn("_g", F.pmod(F.col("_fp"), F.lit(n_state_shards)).cast("int"))
     )
 

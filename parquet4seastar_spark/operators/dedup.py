@@ -30,22 +30,27 @@ from ..codecs.pages import ba_components
 _P31 = np.uint64((1 << 31) - 1)
 
 
+def fingerprint_cols(key_col: str):
+    """The engine's 128-bit content-fingerprint contract: two
+    independently-salted xxhash64 columns, collision odds ~2^-128 per
+    pair.  ONE definition shared by exact_dedup and the streaming
+    stateful dedup (engine/streaming.py) so the salt constant can never
+    drift between them."""
+    return F.xxhash64(key_col), F.xxhash64(F.lit("p4s#2"), key_col)
+
+
 def exact_dedup(docs: DataFrame, key: str = "text") -> DataFrame:
     """Group identical texts: (keep_id = min doc_id, n_copies).
 
-    Groups by a 128-bit fingerprint — two independently-salted xxhash64
-    values, the same contract stream_dedup uses (engine/streaming.py) —
-    instead of the raw text, so the aggregation exchange carries 16 bytes
-    per row rather than the document bytes (a full-corpus value shuffle at
-    100 TB).  Collision odds are ~2^-128 per pair; null and empty keys
-    hash distinctly (xxhash64 skips nulls, so all-null keys share the
-    seed-only value, matching GROUP BY's null bucket)."""
+    Groups by the 128-bit :func:`fingerprint_cols` fingerprint instead of
+    the raw text, so the aggregation exchange carries 16 bytes per row
+    rather than the document bytes (a full-corpus value shuffle at
+    100 TB).  Null and empty keys hash distinctly (xxhash64 skips nulls,
+    so all-null keys share the seed-only value, matching GROUP BY's null
+    bucket)."""
+    fp, fp2 = fingerprint_cols(key)
     return (
-        docs.select(
-            F.xxhash64(key).alias("_fp"),
-            F.xxhash64(F.lit("p4s#2"), key).alias("_fp2"),
-            "doc_id",
-        )
+        docs.select(fp.alias("_fp"), fp2.alias("_fp2"), "doc_id")
         .groupBy("_fp", "_fp2")
         .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
         .select("keep_id", "n_copies")

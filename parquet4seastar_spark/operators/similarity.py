@@ -381,6 +381,30 @@ def ivf_assignments(
     )
 
 
+def _hash_sample_matrix(
+    embeddings: DataFrame, train_sample: int, id_col: str, vec_col: str
+) -> np.ndarray:
+    """Deterministic md5 hash sample of the corpus as an (n, dim) matrix —
+    the shared quantizer-training sampler (ivf_build, pq_train).  md5
+    first-8-hex-digits as a uniform 32-bit integer; keep rows below
+    frac * 2^32.  Expected sample size ~1.3 * train_sample; no limit() so
+    no partition-order bias (limit takes the first scan partitions, so any
+    storage clustering would train the quantizer on one shard)."""
+    n = embeddings.count()
+    frac = min(1.0, (train_sample * 1.3) / max(n, 1))
+    thresh = int(frac * 0xFFFFFFFF)
+    sample = (
+        embeddings.filter(
+            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            <= F.lit(thresh)
+        )
+        .select(vec_col)
+        .collect()
+    )
+    return np.stack([r[vec_col] for r in sample]).astype(np.float64)
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -432,22 +456,7 @@ def ivf_build(
     later query batch runs :func:`ivf_query` against it without touching
     the corpus vectors for assignment again (same operational shape as
     the MinHash signature store in dedup.minhash_lsh_pairs_incremental)."""
-    n = embeddings.count()
-    frac = min(1.0, (train_sample * 1.3) / max(n, 1))
-    # md5 first-8-hex-digits as a uniform 32-bit integer; keep rows below
-    # frac * 2^32.  Expected sample size ~1.3 * train_sample; no limit() so
-    # no partition-order bias re-enters.
-    thresh = int(frac * 0xFFFFFFFF)
-    sample = (
-        embeddings.filter(
-            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
-            .cast("long")
-            <= F.lit(thresh)
-        )
-        .select(vec_col)
-        .collect()
-    )
-    mat = np.stack([r[vec_col] for r in sample]).astype(np.float64)
+    mat = _hash_sample_matrix(embeddings, train_sample, id_col, vec_col)
     centroids = _kmeans(mat, n_clusters, seed=seed)
     return centroids, ivf_assignments(embeddings, centroids, 1, id_col, vec_col)
 
@@ -509,22 +518,10 @@ def pq_train(
     in the COMPRESSED domain via per-query lookup tables (asymmetric
     distance, :func:`pq_topk`), never touching the original vectors.
 
-    Training follows ivf_build's pattern: a deterministic md5 hash sample
-    (bounded driver-side by design; no limit() partition-order bias),
-    one numpy k-means per subspace."""
-    n = embeddings.count()
-    frac = min(1.0, (train_sample * 1.3) / max(n, 1))
-    thresh = int(frac * 0xFFFFFFFF)
-    sample = (
-        embeddings.filter(
-            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
-            .cast("long")
-            <= F.lit(thresh)
-        )
-        .select(vec_col)
-        .collect()
-    )
-    mat = np.stack([r[vec_col] for r in sample]).astype(np.float64)
+    Training follows ivf_build's pattern: the shared deterministic md5
+    hash sample (bounded driver-side by design; no limit() partition-order
+    bias), one numpy k-means per subspace."""
+    mat = _hash_sample_matrix(embeddings, train_sample, id_col, vec_col)
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     dim = mat.shape[1]
     if dim % m:
