@@ -24,6 +24,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..codecs.pages import ba_components
+from ._util import fan_out
 
 # 2^31 - 1: Mersenne prime small enough that a*x+b (a,b,x < p) fits uint64
 # exactly -- the (a*x+b) mod p universal family without 128-bit math
@@ -178,7 +179,9 @@ def minhash_signatures(
                 [doc_id.cast(pa.int64()), sig_arr], names=["doc_id", "sig"]
             )
 
-    return docs.select("doc_id", "text").mapInArrow(compute, schema="doc_id long, sig array<long>")
+    return fan_out(docs.select("doc_id", "text")).mapInArrow(
+        compute, schema="doc_id long, sig array<long>"
+    )
 
 
 def _banded_buckets(sigs: DataFrame, bands: int, r: int) -> DataFrame:
@@ -420,7 +423,9 @@ def simhash(docs: DataFrame, bits: int = 64, shingle_k: int = 6, seed: int = 7) 
                 names=["doc_id", "simhash"],
             )
 
-    return docs.select("doc_id", "text").mapInArrow(compute, schema="doc_id long, simhash long")
+    return fan_out(docs.select("doc_id", "text")).mapInArrow(
+        compute, schema="doc_id long, simhash long"
+    )
 
 
 def simhash_near_dups(

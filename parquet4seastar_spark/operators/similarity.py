@@ -19,6 +19,8 @@ import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ._util import fan_out
+
 
 def auto_bits(n_rows: int, target_bucket_rows: int = 64, lo: int = 4, hi: int = 24) -> int:
     """Size an LSH bucket space from the corpus row count.
@@ -62,16 +64,34 @@ def brute_force_topk(
     """(query_id, neighbor_id, rank): exact cosine top-k per query.
 
     ``queries``: (query_id, query_vec).  Broadcast; corpus never shuffles
-    until the per-query top-k reduction.
+    until the per-query top-k reduction (the scale-adaptive fan-out only
+    fires on small inputs, where the scoring would otherwise serialize
+    onto the scan's task count).
+
+    Norms are computed ONCE per side before the cross join — the naive
+    per-pair cosine evaluates |q| and |v| for every (query, vector) pair,
+    i.e. |Q| times per corpus row.  ``dot/(na*nb)`` over the precomputed
+    norms is the bit-identical expression (same fold order, same
+    operands), so scores and ranks are unchanged.
     """
-    emb = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("nv")
+    norm = lambda c: F.sqrt(  # noqa: E731 — shared with _cosine_expr
+        F.aggregate(c, F.lit(0.0), lambda acc, v: acc + v * v)
     )
-    q = queries.select("query_id", F.col("query_vec").cast("array<double>").alias("qv"))
+    emb = fan_out(
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("nv")
+        )
+    ).withColumn("_nn", norm(F.col("nv")))
+    q = queries.select(
+        "query_id", F.col("query_vec").cast("array<double>").alias("qv")
+    ).withColumn("_qn", norm(F.col("qv")))
+    dot = F.aggregate(
+        F.zip_with("qv", "nv", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
     scored = emb.crossJoin(F.broadcast(q)).select(
         "query_id",
         "neighbor_id",
-        _cosine_expr(F.col("qv"), F.col("nv")).alias("cosine"),
+        (dot / (F.col("_qn") * F.col("_nn"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -107,7 +127,9 @@ def random_hyperplane_signatures(
                 names=[id_col, "bucket"],
             )
 
-    return embeddings.select(id_col, vec_col).mapInArrow(compute, schema=f"{id_col} long, bucket long")
+    return fan_out(embeddings.select(id_col, vec_col)).mapInArrow(
+        compute, schema=f"{id_col} long, bucket long"
+    )
 
 
 def banded_hyperplane_buckets(
@@ -152,7 +174,7 @@ def banded_hyperplane_buckets(
                 names=[id_col, "band", "bucket", "subsig"],
             )
 
-    return embeddings.select(id_col, vec_col).mapInArrow(
+    return fan_out(embeddings.select(id_col, vec_col)).mapInArrow(
         compute, schema=f"{id_col} long, band int, bucket long, subsig long"
     )
 
@@ -320,13 +342,24 @@ def embedding_near_dups(
             .select("id_a", F.col(id_col).alias("id_b"))
         )
         cand = cand_ok.unionByName(cand_big).dropDuplicates(["id_a", "id_b"])
-    emb = embeddings.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
-    va = emb.select(F.col(id_col).alias("id_a"), F.col("v").alias("v_a"))
-    vb = emb.select(F.col(id_col).alias("id_b"), F.col("v").alias("v_b"))
+    # exact confirm: norms are computed ONCE per vector (not per pair — the
+    # naive per-pair cosine re-folds |v| for every candidate the vector
+    # appears in); dot/(na*nb) over precomputed norms is the bit-identical
+    # expression, so pair membership is unchanged
+    emb = embeddings.select(
+        id_col, F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn(
+        "_n", F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    )
+    va = emb.select(F.col(id_col).alias("id_a"), F.col("v").alias("v_a"), F.col("_n").alias("n_a"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col("v").alias("v_b"), F.col("_n").alias("n_b"))
+    dot = F.aggregate(
+        F.zip_with("v_a", "v_b", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
     pairs = (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .select("id_a", "id_b", _cosine_expr(F.col("v_a"), F.col("v_b")).alias("cosine"))
+        .select("id_a", "id_b", (dot / (F.col("n_a") * F.col("n_b"))).alias("cosine"))
     )
     return pairs.filter(F.col("cosine") >= threshold)
 

@@ -241,10 +241,16 @@ def doc_repetition(docs: DataFrame, ngram_k: int = 8) -> DataFrame:
 
     # coalesce NULL text: size(split(NULL)) is NULL/-1 depending on the
     # sizeOfNull setting — an empty doc must score (0, 0, 0, 0)
+    from ._util import fan_out
+
     lines = F.filter(
         F.split(F.coalesce(F.col("text"), F.lit("")), "\n"),
         lambda x: F.length(F.trim(x)) > 0,
     )
+    # scale-adaptive fan-out: the line stats + shingle pass below are the
+    # heavy per-row compute; a small single-file input would otherwise run
+    # them on one task (no-op at corpus scale)
+    docs = fan_out(docs.select("doc_id", "text"))
     src = docs.select(
         "doc_id",
         "text",
