@@ -78,30 +78,58 @@ def dbp_encode(values: np.ndarray, nbytes: int) -> bytes:
     mask = np.uint64((1 << (nbytes * 8)) - 1)
     du &= mask
     n_deltas = len(du)
+    # Vectorized across ALL blocks (byte-identical to the former per-block
+    # loop, pinned by the reference goldens + a cross-path fuzz test): the
+    # old shape called pack_bits once per 32-value miniblock -- ~9 MB/s on
+    # dict-index-free int pages because numpy call overhead dominated.
+    nblocks = (n_deltas + _BLOCK - 1) // _BLOCK
+    block_starts = np.arange(nblocks, dtype=np.int64) * _BLOCK
+    # signed min over wrapped deltas (reference: cast unsigned -> signed)
+    if nbytes == 4:
+        as_signed = du.astype(np.uint32).view(np.int32)
+    else:
+        as_signed = du.view(np.int64)
+    mins = np.minimum.reduceat(as_signed, block_starts).astype(np.int64)
+    md_u = mins.view(np.uint64) & mask  # two's complement == min & mask
+    block_sizes = np.diff(np.append(block_starts, n_deltas))
+    rel = (du - np.repeat(md_u, block_sizes)) & mask
+    # miniblock layout: every block but the last uses all 8 miniblocks; the
+    # last uses ceil(size/32), zero-padded.  Full blocks occupy exactly
+    # _BLOCK slots, so the padded stream is contiguous.
+    last_size = int(block_sizes[-1])
+    used_last = (last_size + _VPMB - 1) // _VPMB
+    total_mbs = (nblocks - 1) * _MINIBLOCKS + used_last
+    padded = np.zeros(total_mbs * _VPMB, dtype=np.uint64)
+    padded[:n_deltas] = rel
+    maxima = np.maximum.reduceat(padded, np.arange(total_mbs, dtype=np.int64) * _VPMB)
+    widths_used = _bit_widths(maxima)
+    widths_mat = np.zeros((nblocks, _MINIBLOCKS), dtype=np.uint8)
+    widths_mat.reshape(-1)[: (nblocks - 1) * _MINIBLOCKS] = widths_used[: (nblocks - 1) * _MINIBLOCKS]
+    widths_mat[-1, :used_last] = widths_used[(nblocks - 1) * _MINIBLOCKS :]
+    # pack all miniblocks of one bit width in a single numpy pass
+    mb_rows = padded.reshape(total_mbs, _VPMB)
+    packed: list[bytes | None] = [None] * total_mbs
+    for w in np.unique(widths_used).tolist():
+        if w == 0:
+            continue
+        sel = np.flatnonzero(widths_used == w)
+        rows = mb_rows[sel]
+        shifts = np.arange(w, dtype=np.uint64)
+        bits = ((rows[:, :, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+        pk = np.packbits(bits.reshape(len(sel), _VPMB * w), axis=1, bitorder="little")
+        for i, mb in enumerate(sel.tolist()):
+            packed[mb] = pk[i].tobytes()
     out = [header]
-    for start in range(0, n_deltas, _BLOCK):
-        block = du[start : start + _BLOCK]
-        # signed min over wrapped deltas (reference: cast unsigned -> signed)
-        if nbytes == 4:
-            as_signed = block.astype(np.uint32).view(np.int32)
-        else:
-            as_signed = block.view(np.int64)
-        min_delta = int(as_signed.min())
-        rel = (block - np.uint64(min_delta & int(mask))) & mask
-        used_mbs = (len(block) + _VPMB - 1) // _VPMB
-        padded = np.zeros(used_mbs * _VPMB, dtype=np.uint64)
-        padded[: len(block)] = rel
-        maxima = np.maximum.reduceat(padded, np.arange(0, len(padded), _VPMB))
-        # maxima of pad-only region are 0; widths for unused miniblocks are 0
-        widths = np.zeros(_MINIBLOCKS, dtype=np.uint8)
-        widths[:used_mbs] = _bit_widths(maxima)
-        out.append(uleb128_encode(zigzag64_encode(min_delta)))
-        out.append(widths.tobytes())
-        for mb in range(used_mbs):
-            w = int(widths[mb])
-            if w == 0:
-                continue
-            out.append(pack_bits(padded[mb * _VPMB : (mb + 1) * _VPMB], w))
+    mb_idx = 0
+    for b in range(nblocks):
+        out.append(uleb128_encode(zigzag64_encode(int(mins[b]))))
+        out.append(widths_mat[b].tobytes())
+        used = _MINIBLOCKS if b < nblocks - 1 else used_last
+        for _ in range(used):
+            pb = packed[mb_idx]
+            if pb is not None:
+                out.append(pb)
+            mb_idx += 1
     return b"".join(out)
 
 

@@ -69,17 +69,26 @@ class SymbolTable:
                 cur = int(self.lut2[prefix])
                 if cur == _SENTINEL or int(self.lens_by_code[cur]) < ln:
                     self.lut2[prefix] = code
-        # decode support: matrix of symbol bytes in code order
+        # decode support: matrix of symbol bytes in code order (little-endian
+        # byte k of each value; rows >= n stay zero -- the escape row's
+        # zeros are load-bearing for decode)
         mat = np.zeros((256, _MAX_LEN), dtype=np.uint8)
-        for code in range(self.n):
-            mat[code] = np.frombuffer(int(self.values[code]).to_bytes(8, "little"), dtype=np.uint8)
+        if self.n:
+            shifts = np.arange(_MAX_LEN, dtype=np.uint64) * np.uint64(8)
+            mat[: self.n] = ((self.values[:, None] >> shifts) & np.uint64(0xFF)).astype(np.uint8)
         self.matrix = mat
 
     def serialize(self) -> bytes:
-        sym_bytes = bytearray()
-        for c in range(self.n):
-            sym_bytes += self.matrix[c, : self.lens_by_code[c]].tobytes()
-        return bytes([self.n]) + self.lengths.astype(np.uint8).tobytes() + bytes(sym_bytes)
+        lens = self.lengths
+        rows = np.repeat(np.arange(self.n, dtype=np.int64), lens)
+        rel = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(lens) - lens, lens
+        )
+        return (
+            bytes([self.n])
+            + lens.astype(np.uint8).tobytes()
+            + self.matrix[rows, rel].tobytes()
+        )
 
     @staticmethod
     def deserialize(buf) -> tuple["SymbolTable", int]:

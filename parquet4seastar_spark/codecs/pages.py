@@ -473,18 +473,25 @@ def _chunk_stats(chunk: EncodedChunk, ptype: str, values, lengths, payload) -> N
             chunk.stat_min_bin = b""
             chunk.stat_max_bin = b""
             return
-        mat = np.zeros((len(lengths), k), dtype=np.uint8)
+        # width padded to a multiple of 8 so rows view as big-endian uint64
+        # words: comparing those words IS byte-lexicographic comparison of
+        # the zero-padded prefixes (the extra zero columns never affect
+        # order), so the stable lexsort runs over 1-2 uint64 keys instead
+        # of 16 byte columns -- same order, same tie rows, 8x fewer key
+        # passes
+        kpad = ((k + 7) // 8) * 8
+        mat = np.zeros((len(lengths), kpad), dtype=np.uint8)
         take = np.minimum(lengths, k)
         tot = int(take.sum())
         if tot:
             rows = np.repeat(np.arange(len(lengths), dtype=np.int64), take)
             rel = np.arange(tot, dtype=np.int64) - np.repeat(np.cumsum(take) - take, take)
             mat[rows, rel] = payload[np.repeat(offs[:-1], take) + rel]
-        # zero-padded fixed-width rows sort like raw byte-lexicographic
-        # prefixes; lexsort over the byte columns gives min/max rows
-        order = np.lexsort(tuple(mat[:, j] for j in reversed(range(k))))
+        words = mat.view(np.uint64).reshape(len(lengths), kpad // 8).byteswap()
+        order = np.lexsort(tuple(words[:, j] for j in reversed(range(kpad // 8))))
         lo_i = int(order[0])
         hi_i = int(order[-1])
+        mat = mat[:, :k]
         # lower bound: a prefix of some value is <= that value <= the rest.
         # Zero padding can TIE a longer value containing NUL bytes with a
         # shorter one (b'a\x00' vs b'a'); take the shortest tied length so

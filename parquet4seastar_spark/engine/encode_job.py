@@ -205,11 +205,19 @@ def _encode_partition_factory(
             # one chunk per (part_key) slice; the partition may hold several
             # part_keys after hash routing -- encode each separately so
             # lineage stays per-(repo,salt).  Arrow-native group split:
-            # sort indices by key, slice runs.
-            keys = tbl.column("part_key")
-            order = pa.compute.sort_indices(keys)
-            sorted_keys = keys.take(order)
-            np_keys = np.asarray(sorted_keys.combine_chunks().dictionary_encode().indices)
+            # sort indices by key, slice runs.  A single-key slice (always
+            # true under map_only/cluster_by, common under salting) skips
+            # the sort + take entirely -- both are full-table memcpys of
+            # the value bytes.
+            keys = tbl.column("part_key").combine_chunks().dictionary_encode()
+            if len(keys.dictionary) == 1:
+                key = keys.dictionary[0].as_py()
+                seq = chunk_seq_by_key.get(key, 0)
+                chunk_seq_by_key[key] = seq + 1
+                yield _encode_chunk_rows(tbl, key, seq)
+                return
+            order = pa.compute.sort_indices(tbl.column("part_key"))
+            np_keys = np.asarray(keys.indices.take(order))
             boundaries = np.flatnonzero(np.diff(np_keys)) + 1
             starts = np.concatenate([[0], boundaries])
             ends = np.concatenate([boundaries, [len(np_keys)]])

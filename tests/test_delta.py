@@ -170,3 +170,29 @@ def test_byte_stream_split_roundtrip():
     assert (byte_stream_split_decode(enc, np.float32, 3) == f).all()
     d = np.array([1.5e100, -2.25, 3.75e-200], dtype=np.float64)
     assert (byte_stream_split_decode(byte_stream_split_encode(d), np.float64, 3) == d).all()
+
+
+def test_dbp_vectorized_block_boundaries_roundtrip():
+    """The r7 width-class-batched encoder must agree with the per-block
+    wire format at every block/miniblock boundary shape (255/256/257, a
+    partial final miniblock, INT_MIN/INT_MAX wraparound, constant runs)."""
+    rng = np.random.default_rng(7)
+    for nbytes, sdt, lo, hi in [
+        (4, np.int32, -(2**31), 2**31 - 1),
+        (8, np.int64, -(2**63), 2**63 - 1),
+    ]:
+        cases = [
+            np.zeros(0, dtype=sdt),
+            np.array([5], dtype=sdt),
+            np.array([lo, hi, lo, hi], dtype=sdt),
+            np.full(513, -9, dtype=sdt),
+            rng.integers(lo, hi, 255, dtype=sdt),
+            rng.integers(lo, hi, 256, dtype=sdt),
+            rng.integers(lo, hi, 257, dtype=sdt),
+            rng.integers(-3, 3, 1000, dtype=sdt).cumsum().astype(sdt),
+            rng.integers(lo, hi, 4097, dtype=sdt),
+        ]
+        for arr in cases:
+            enc = dbp_encode(arr, nbytes)
+            dec, _ = dbp_decode(enc, nbytes)
+            assert np.array_equal(dec, arr)
