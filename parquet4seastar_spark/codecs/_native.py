@@ -104,7 +104,9 @@ long p4s_fsst_encode(
 /* Decode one FSST token payload segment: codes expand from the (256 x 8)
    symbol byte matrix; code 255 escapes the following literal byte.
    Returns the number of output bytes (caller sizes out for the worst
-   case: 8 bytes per payload byte). */
+   case: 8 bytes per payload byte), or -1 on a malformed trailing escape
+   byte (the numpy fallback raises on the same corruption; silently
+   truncating would mask page corruption as shortened data). */
 long p4s_fsst_decode(
     const uint8_t *payload, long n,
     const uint8_t *matrix, const int8_t *lens,
@@ -114,7 +116,7 @@ long p4s_fsst_decode(
     while (i < n) {
         uint8_t c = payload[i];
         if (c == 255) {
-            if (i + 1 >= n) break;  /* malformed trailing escape: stop */
+            if (i + 1 >= n) return -1;  /* malformed trailing escape */
             out[o++] = payload[i + 1];
             i += 2;
         } else {
@@ -126,6 +128,61 @@ long p4s_fsst_decode(
         }
     }
     return o;
+}
+
+/* MinHash signatures over k-byte-gram rolling hashes, one fused pass.
+   Bit-identical to the numpy path in operators/dedup.py: per gram,
+   h = polynomial hash with multiplier 1099511628211 (uint64 wraparound);
+   hp = h % (2^31-1); per permutation i, t = hp*a[i]+b[i] reduced by TWO
+   Mersenne folds (t = (t & p) + (t >> 31)) and one conditional subtract;
+   sig[d][i] = min over the doc's grams.  A doc shorter than k grams
+   contributes the single sentinel hash 0 (hp = 0), exactly like the
+   numpy stream.  The numpy path walks the gram stream once per
+   permutation (64 full-stream passes of ~8 memory ops each); here the
+   gram hash stays in a register and the nh minima stay in L1. */
+void p4s_minhash(
+    const uint8_t *payload, const int64_t *doc_bytes, long ndocs, long k,
+    const uint64_t *a, const uint64_t *b, long nh, int64_t *out)
+{
+    const uint64_t MULT = 1099511628211ULL;
+    const uint64_t P = 2147483647ULL;
+    uint64_t mk = 1;                      /* MULT^(k-1) for the roll */
+    for (long j = 0; j < k - 1; j++) mk *= MULT;
+    uint64_t mins[256];                   /* caller guards nh <= 256 */
+    const uint8_t *p = payload;
+    for (long d = 0; d < ndocs; d++) {
+        long nb = doc_bytes[d];
+        long grams = nb - k + 1;
+        int64_t *sig = out + d * nh;
+        if (grams <= 0) {                 /* sentinel gram: hp = 0 */
+            for (long i = 0; i < nh; i++) {
+                uint64_t t = b[i];
+                uint64_t hi = t >> 31; t &= P; t += hi;
+                hi = t >> 31; t &= P; t += hi;
+                if (t >= P) t -= P;
+                sig[i] = (int64_t)t;
+            }
+            p += nb > 0 ? nb : 0;
+            continue;
+        }
+        for (long i = 0; i < nh; i++) mins[i] = ~0ULL;
+        uint64_t h = 0;
+        for (long j = 0; j < k; j++) h = h * MULT + p[j];
+        for (long g = 0; g < grams; g++) {
+            uint64_t hp = h % P;
+            for (long i = 0; i < nh; i++) {
+                uint64_t t = hp * a[i] + b[i];
+                uint64_t hi = t >> 31; t &= P; t += hi;
+                hi = t >> 31; t &= P; t += hi;
+                if (t >= P) t -= P;
+                if (t < mins[i]) mins[i] = t;
+            }
+            if (g + 1 < grams)
+                h = (h - (uint64_t)p[g] * mk) * MULT + p[g + k];
+        }
+        for (long i = 0; i < nh; i++) sig[i] = (int64_t)mins[i];
+        p += nb;
+    }
 }
 """
 
@@ -195,6 +252,11 @@ def get_kernel():
         lib.p4s_fsst_decode.argtypes = [
             ctypes.c_void_p, ctypes.c_long,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.p4s_minhash.restype = None
+        lib.p4s_minhash.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long, ctypes.c_long,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
         ]
         _lib = lib
     except Exception:

@@ -306,6 +306,10 @@ def fsst_decode(buf) -> bytes:
             table.lens_by_code.ctypes.data_as(ctypes.c_void_p),
             out.ctypes.data_as(ctypes.c_void_p),
         )
+        if o < 0:
+            # parity with the numpy fallback, which raises on the same
+            # corruption -- silent truncation would mask a corrupt page
+            raise ValueError("FSST payload corrupt: trailing escape byte")
         return out[:o].tobytes()
     is_255 = payload == _ESCAPE
     idx = np.arange(n, dtype=np.int64)
@@ -348,18 +352,45 @@ def fsst_decode(buf) -> bytes:
 
 
 def _unique_counts(vals: np.ndarray, lens: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Unique (value,len) pairs with counts via lexsort (no python loop)."""
+    """Unique (value,len) pairs with counts (no python loop).
+
+    A value of length L <= 7 is masked to its low 8L bits, so its top
+    byte is free: pack the length there and a single uint64 sort replaces
+    the two-key lexsort (training consumes the unique SET ranked by gain,
+    so output order is irrelevant; the set and counts are unchanged).
+    Length-8 symbols use all 64 bits and sort separately.
+    """
     if len(vals) == 0:
         return vals, lens, np.zeros(0, dtype=np.int64)
-    order = np.lexsort((vals, lens))
-    v = vals[order]
-    l = lens[order]
-    new = np.empty(len(v), dtype=bool)
-    new[0] = True
-    new[1:] = (v[1:] != v[:-1]) | (l[1:] != l[:-1])
-    starts = np.flatnonzero(new)
-    counts = np.diff(np.append(starts, len(v)))
-    return v[starts], l[starts], counts
+
+    def _runs(sorted_keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        new = np.empty(len(sorted_keys), dtype=bool)
+        new[0] = True
+        np.not_equal(sorted_keys[1:], sorted_keys[:-1], out=new[1:])
+        starts = np.flatnonzero(new)
+        return sorted_keys[starts], np.diff(np.append(starts, len(sorted_keys)))
+
+    is8 = lens == _MAX_LEN
+    out_v: list[np.ndarray] = []
+    out_l: list[np.ndarray] = []
+    out_c: list[np.ndarray] = []
+    short = ~is8
+    if short.any():
+        key = vals[short] | (lens[short].astype(np.uint64) << np.uint64(56))
+        kv, counts = _runs(np.sort(key))
+        out_v.append(kv & np.uint64((1 << 56) - 1))
+        out_l.append((kv >> np.uint64(56)).astype(lens.dtype))
+        out_c.append(counts)
+    if is8.any():
+        kv, counts = _runs(np.sort(vals[is8]))
+        out_v.append(kv)
+        out_l.append(np.full(len(kv), _MAX_LEN, dtype=lens.dtype))
+        out_c.append(counts)
+    return (
+        np.concatenate(out_v),
+        np.concatenate(out_l),
+        np.concatenate(out_c).astype(np.int64),
+    )
 
 
 def train_symbol_table(sample: bytes | np.ndarray, iterations: int = 4) -> SymbolTable:

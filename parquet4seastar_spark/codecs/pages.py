@@ -554,6 +554,8 @@ def encode_chunk(
     elem_nullable: bool | None = None,
     _def_levels: np.ndarray | None = None,
     _max_def: int | None = None,
+    fsst_cache: dict | None = None,
+    fsst_cache_key: str | None = None,
 ) -> EncodedChunk:
     """Encode one column chunk into pages.
 
@@ -647,7 +649,7 @@ def encode_chunk(
 
     plan = _plan_codecs(
         policy, ptype, n, valid, values, lengths, payload, page_ends, nn_page_ends,
-        compression=compression,
+        compression=compression, fsst_cache=fsst_cache, fsst_cache_key=fsst_cache_key,
     )
     # plan: (per_page_encodings, dict_page_bytes|None, dict_codes|None,
     #        dict_cardinality, per-page cardinality-at-flush)
@@ -1014,7 +1016,7 @@ def _encode_dict_page(ptype: str, dict_arr: pa.Array) -> bytes:
     return plain.plain_encode_fixed(vals)
 
 
-def _plan_codecs(policy, ptype, n, valid, values, lengths, payload, page_ends, nn_page_ends, compression="uncompressed"):
+def _plan_codecs(policy, ptype, n, valid, values, lengths, payload, page_ends, nn_page_ends, compression="uncompressed", fsst_cache=None, fsst_cache_key=None):
     """Resolve the policy into per-page encodings (+ dict state)."""
     n_pages = len(page_ends) if n else 0
     no_dict = (None, None, 0, np.zeros(n_pages, dtype=np.int64), None)
@@ -1041,6 +1043,7 @@ def _plan_codecs(policy, ptype, n, valid, values, lengths, payload, page_ends, n
     return _auto_plan(
         ptype, n, values, lengths, payload, page_ends, nn_page_ends,
         allow_fsst=policy == "auto", compression=compression,
+        fsst_cache=fsst_cache, fsst_cache_key=fsst_cache_key,
     )
 
 
@@ -1085,7 +1088,7 @@ def _candidate_bodies(enc, ptype, values, lengths, payload, page_ends_nn, fsst_t
     return bodies
 
 
-def _auto_plan(ptype, n, values, lengths, payload, page_ends, nn_page_ends, allow_fsst=True, compression="uncompressed"):
+def _auto_plan(ptype, n, values, lengths, payload, page_ends, nn_page_ends, allow_fsst=True, compression="uncompressed", fsst_cache=None, fsst_cache_key=None):
     """Pick the cheapest codec per chunk from actual/estimated sizes.
 
     The reference static policy is always a candidate, so the auto-selected
@@ -1223,7 +1226,22 @@ def _auto_plan(ptype, n, values, lengths, payload, page_ends, nn_page_ends, allo
             from . import _native
 
             margin = 1.0 if _native.get_kernel() is not None else 0.9
-            table = fsst.train_symbol_table(sample)
+            # per-task symbol-table cache (encode_job wires one dict per
+            # partition, keyed by column): training is a fixed ~15 ms per
+            # chunk, which dominated auto encode on many-small-chunk
+            # layouts (the bench corpus has ~2,200 content chunks of
+            # ~1 MB).  Only a table trained on a FULL 32 KiB sample is
+            # cached, so a short atypical first chunk cannot poison the
+            # column; the selection estimate below still runs against
+            # THIS chunk's sample, so a poorly-matching cached table
+            # simply loses the candidate race.
+            table = fsst_cache.get(fsst_cache_key) if fsst_cache else None
+            if table is None:
+                table = fsst.train_symbol_table(sample)
+                if fsst_cache is not None and len(sample) == 1 << 15:
+                    if len(fsst_cache) >= 4096:  # bound per-task memory
+                        fsst_cache.clear()
+                    fsst_cache[fsst_cache_key] = table
             est_ratio = len(fsst.fsst_encode(sample, table)) / len(sample)
             payload_len = int(lengths.sum())
             # FSST body = DBP(lengths) + symbol table + token payload; the

@@ -38,6 +38,15 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # prefer shuffled-hash over sort-merge when the per-partition build
+        # side fits (guide §3.1): the operator joins here are ids/buckets
+        # keyed with bounded per-key groups, where SMJ pays two full sorts
+        # for nothing; AQE's local-map threshold also lets it rewrite SMJ
+        # at runtime.  Sort-merge remains the planner's fallback whenever
+        # the size conditions fail, so skew/oversized builds degrade
+        # gracefully.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         # 32 MB scan splits (default 128 MB): the encode pipeline is

@@ -130,14 +130,72 @@ def _batch_text(rb: pa.RecordBatch, col: str) -> pa.Array:
     return pa.Table.from_batches([rb]).column(col).combine_chunks()
 
 
+def _minhash_sig_matrix(
+    arr: pa.Array, shingle_k: int, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """(n, num_hashes) int64 MinHash signature matrix for a string array.
+
+    C kernel when available (codecs/_native.py p4s_minhash: one fused
+    pass — the gram hash stays in a register, the minima in L1); numpy
+    fallback pinned BIT-IDENTICAL (same polynomial hash, same Mersenne
+    fold sequence; fuzz-tested in tests/test_operators.py).  Min over the
+    raw gram multiset equals min over its set, so neither path sorts.
+    """
+    from ..codecs import _native
+
+    num_hashes = len(a)
+    lib = _native.get_kernel()
+    if lib is not None and num_hashes <= 256:
+        import ctypes
+
+        if arr.null_count:
+            arr = arr.fill_null("")
+        lengths, payload = ba_components(arr)
+        n = len(lengths)
+        sig = np.empty((n, num_hashes), dtype=np.int64)
+        payload = np.ascontiguousarray(payload)
+        dl = np.ascontiguousarray(lengths, dtype=np.int64)
+        aa = np.ascontiguousarray(a, dtype=np.uint64)
+        bb = np.ascontiguousarray(b, dtype=np.uint64)
+        lib.p4s_minhash(
+            ctypes.c_void_p(payload.ctypes.data), ctypes.c_void_p(dl.ctypes.data),
+            n, shingle_k,
+            ctypes.c_void_p(aa.ctypes.data), ctypes.c_void_p(bb.ctypes.data),
+            num_hashes, ctypes.c_void_p(sig.ctypes.data),
+        )
+        return sig
+    # raw gram stream: min over a multiset == min over its set, so the
+    # batch-wide sorted-unique pass (the dominant shingle cost) is
+    # skipped — signatures are bit-identical
+    starts, counts, h = _shingle_stream(arr, shingle_k, unique=False)
+    hp = h % _P31
+    n = len(counts)
+    sig = np.empty((n, num_hashes), dtype=np.int64)
+    # (a*x+b) mod 2^31-1 via Mersenne folding (2^31 === 1 mod p):
+    # ~3x faster than integer % and zero per-permutation allocations
+    tmp = np.empty_like(hp)
+    hi = np.empty_like(hp)
+    for i in range(num_hashes):
+        np.multiply(hp, a[i], out=tmp)
+        tmp += b[i]  # < 2^62 + 2^31: no overflow
+        for _ in range(2):
+            np.right_shift(tmp, np.uint64(31), out=hi)
+            tmp &= _P31
+            tmp += hi
+        tmp[tmp >= _P31] -= _P31
+        sig[:, i] = np.minimum.reduceat(tmp, starts).astype(np.int64)
+    return sig
+
+
 def minhash_signatures(
     docs: DataFrame, num_hashes: int = 64, shingle_k: int = 9, seed: int = 42
 ) -> DataFrame:
     """(doc_id, sig array<long>): MinHash signatures over k-shingles.
 
-    mapInArrow end-to-end: shingle hashes for the whole batch in one pass,
-    then per-permutation segmented minima (np.minimum.reduceat) -- the
-    (a*x+b) mod 2^31-1 permutations are exact in uint64.
+    mapInArrow end-to-end: the whole batch's signatures come from ONE
+    call into :func:`_minhash_sig_matrix` (C kernel with a bit-identical
+    numpy fallback) -- the (a*x+b) mod 2^31-1 permutations are exact in
+    uint64.
     """
     rng = np.random.default_rng(seed)
     a = rng.integers(1, int(_P31), num_hashes, dtype=np.uint64)
@@ -151,28 +209,8 @@ def minhash_signatures(
             if rb.num_rows == 0:
                 continue
             doc_id = _batch_text(rb, "doc_id")
-            # raw gram stream: min over a multiset == min over its set, so
-            # the batch-wide sorted-unique pass (the dominant shingle cost)
-            # is skipped — signatures are bit-identical
-            starts, counts, h = _shingle_stream(
-                _batch_text(rb, "text"), shingle_k, unique=False
-            )
-            hp = h % _P31
-            n = len(counts)
-            sig = np.empty((n, num_hashes), dtype=np.int64)
-            # (a*x+b) mod 2^31-1 via Mersenne folding (2^31 === 1 mod p):
-            # ~3x faster than integer % and zero per-permutation allocations
-            tmp = np.empty_like(hp)
-            hi = np.empty_like(hp)
-            for i in range(num_hashes):
-                np.multiply(hp, a[i], out=tmp)
-                tmp += b[i]  # < 2^62 + 2^31: no overflow
-                for _ in range(2):
-                    np.right_shift(tmp, np.uint64(31), out=hi)
-                    tmp &= _P31
-                    tmp += hi
-                tmp[tmp >= _P31] -= _P31
-                sig[:, i] = np.minimum.reduceat(tmp, starts).astype(np.int64)
+            sig = _minhash_sig_matrix(_batch_text(rb, "text"), shingle_k, a, b)
+            n = len(sig)
             offsets = pa.array((np.arange(n + 1, dtype=np.int64) * num_hashes).astype(np.int32))
             sig_arr = pa.ListArray.from_arrays(offsets, pa.array(sig.reshape(-1), type=pa.int64()))
             yield pa.RecordBatch.from_arrays(

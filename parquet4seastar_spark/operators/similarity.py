@@ -266,7 +266,8 @@ def embedding_near_dups(
             embeddings, bands=bands, bits=hi, seed=seed, extra_bits=split_bits,
             id_col=id_col, vec_col=vec_col,
         ).persist()
-        bits = auto_bits(sig.count() // bands, target_bucket_rows, hi=hi)
+        n_vectors = sig.count() // bands
+        bits = auto_bits(n_vectors, target_bucket_rows, hi=hi)
         if bits < hi:
             sig = sig.withColumn(
                 "bucket", F.col("bucket").bitwiseAND(F.lit((1 << bits) - 1))
@@ -276,6 +277,7 @@ def embedding_near_dups(
             embeddings, bands=bands, bits=bits, seed=seed, extra_bits=split_bits,
             id_col=id_col, vec_col=vec_col,
         ).persist()
+        n_vectors = sig.count() // bands
     # size table: small relative to data (one row per non-empty bucket);
     # AQE picks broadcast when it fits, shuffle join otherwise
     sizes = sig.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_n"))
@@ -351,6 +353,16 @@ def embedding_near_dups(
     ).withColumn(
         "_n", F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
     )
+    # candidate pairs outnumber corpus rows by the bucket factor: when the
+    # (id, vector, norm) map fits a broadcast, hash-joining it map-side
+    # keeps the pair stream in place instead of sort-merge-shuffling the
+    # pairs TWICE with vector payloads attached.  Sizing uses the real
+    # dim (one first() over the already-counted corpus); past the cap the
+    # shuffled join is the correct scale shape and AQE keeps handling it.
+    dim_row = embeddings.select(F.size(F.col(vec_col))).first()
+    dim = int(dim_row[0] or 0)
+    if n_vectors * (dim * 8 + 24) <= 64 << 20:
+        emb = F.broadcast(emb)
     va = emb.select(F.col(id_col).alias("id_a"), F.col("v").alias("v_a"), F.col("_n").alias("n_a"))
     vb = emb.select(F.col(id_col).alias("id_b"), F.col("v").alias("v_b"), F.col("_n").alias("n_b"))
     dot = F.aggregate(
@@ -695,8 +707,11 @@ def pq_topk(
         F.col("embedding").cast("array<double>").alias("nv"),
     )
     qv = queries.select("query_id", F.col("query_vec").cast("array<double>").alias("qv"))
+    # the shortlist (k x queries rows) broadcasts so the embeddings table
+    # is scanned but never shuffled (ADVICE r6: without the hint a planner
+    # fallback could sort-merge-shuffle the full vector column here)
     exact = (
-        short.join(nv, "neighbor_id")
+        F.broadcast(short).join(nv, "neighbor_id")
         .join(F.broadcast(qv), "query_id")
         .select("query_id", "neighbor_id", _cosine_expr(F.col("qv"), F.col("nv")).alias("cosine"))
     )

@@ -1079,3 +1079,98 @@ def test_ivf_persisted_index_matches_oneshot(spark, tmp_path):
         ).collect()
     }
     assert split == oneshot
+
+
+def test_minhash_kernel_matches_numpy_fallback():
+    """The r7 C MinHash kernel must be bit-identical to the numpy path
+    (same polynomial gram hash, same Mersenne fold sequence, same
+    sentinel handling for null/short docs)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from parquet4seastar_spark.codecs import _native
+    from parquet4seastar_spark.operators.dedup import (
+        _P31,
+        _minhash_sig_matrix,
+        _shingle_stream,
+    )
+
+    if _native.get_kernel() is None:
+        pytest.skip("C kernel unavailable in this environment")
+
+    def numpy_ref(arr, k, a, b):
+        starts, counts, h = _shingle_stream(arr, k, unique=False)
+        hp = h % _P31
+        sig = np.empty((len(counts), len(a)), dtype=np.int64)
+        tmp = np.empty_like(hp)
+        hi = np.empty_like(hp)
+        for i in range(len(a)):
+            np.multiply(hp, a[i], out=tmp)
+            tmp += b[i]
+            for _ in range(2):
+                np.right_shift(tmp, np.uint64(31), out=hi)
+                tmp &= _P31
+                tmp += hi
+            tmp[tmp >= _P31] -= _P31
+            sig[:, i] = np.minimum.reduceat(tmp, starts).astype(np.int64)
+        return sig
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(1, int(_P31), 64, dtype=np.uint64)
+    b = rng.integers(0, int(_P31), 64, dtype=np.uint64)
+    cases = [
+        pa.array(["hello world document", "short", "", None, "12345678", "x" * 500]),
+        pa.array([None, None], type=pa.string()),
+        pa.array(["x" * 8]),  # one byte short of a single 9-gram
+        pa.array(["ünïcødé テキスト " * 30, "plain ascii padding text"]),
+    ]
+    for _ in range(15):
+        docs = [
+            "".join(chr(rng.integers(32, 800)) for _ in range(rng.integers(0, 150)))
+            for _ in range(int(rng.integers(1, 40)))
+        ]
+        cases.append(pa.array(docs, type=pa.string()))
+    for i, arr in enumerate(cases):
+        got = _minhash_sig_matrix(arr, 9, a, b)
+        exp = numpy_ref(arr, 9, a, b)
+        assert np.array_equal(got, exp), f"case {i} diverged"
+
+
+def test_fsst_decode_rejects_trailing_escape_both_paths():
+    """ADVICE r6: the C decode must fail loud on a malformed trailing
+    escape byte like the numpy fallback, not silently truncate."""
+    import numpy as np
+
+    from parquet4seastar_spark.codecs import _native, fsst
+
+    sample = np.frombuffer(b"ababababab" * 200, dtype=np.uint8)
+    table = fsst.train_symbol_table(sample)
+    good = fsst.fsst_encode(sample, table)
+    assert fsst.fsst_decode(good) == sample.tobytes()
+    corrupt = good + b"\xff"  # trailing escape marker with no literal
+    with pytest.raises((ValueError, IndexError)):
+        fsst.fsst_decode(corrupt)
+    if _native.get_kernel() is not None:
+        import os
+        import subprocess
+        import sys
+
+        # the numpy fallback must also reject it (subprocess so the
+        # kernel cache in this process is untouched)
+        code = (
+            "import numpy as np\n"
+            "from parquet4seastar_spark.codecs import fsst\n"
+            "sample = np.frombuffer(b'ababababab' * 200, dtype=np.uint8)\n"
+            "t = fsst.train_symbol_table(sample)\n"
+            "enc = fsst.fsst_encode(sample, t) + b'\\xff'\n"
+            "try:\n"
+            "    fsst.fsst_decode(enc)\n"
+            "except (ValueError, IndexError):\n"
+            "    print('RAISED')\n"
+        )
+        env = dict(os.environ, P4S_NO_NATIVE="1")
+        r = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True, env=env,
+            cwd="/root/repo",
+        )
+        assert "RAISED" in r.stdout, r.stderr
