@@ -130,6 +130,45 @@ long p4s_fsst_decode(
     return o;
 }
 
+/* PLAIN BYTE_ARRAY encode: interleave u32-LE length prefixes with value
+   bytes.  The numpy path scatters every payload byte through an int64
+   fancy index (8 B of index traffic per payload byte); here it is one
+   memcpy per value.  Returns the total bytes written. */
+long p4s_plain_ba_encode(
+    const int64_t *lengths, long n, const uint8_t *payload, uint8_t *out)
+{
+    long o = 0, p = 0;
+    for (long i = 0; i < n; i++) {
+        uint32_t L = (uint32_t)lengths[i];
+        memcpy(out + o, &L, 4);
+        memcpy(out + o + 4, payload + p, (size_t)lengths[i]);
+        o += 4 + lengths[i];
+        p += lengths[i];
+    }
+    return o;
+}
+
+/* Paired FNV-1a-64 over each ragged value (bloom.bytes_hashes): the
+   numpy path is one masked pass per byte POSITION; here the value stays
+   in cache and both hashes update per byte. */
+void p4s_bloom_bytes_hashes(
+    const uint8_t *payload, const int64_t *lengths, long n,
+    uint64_t *h1, uint64_t *h2)
+{
+    const uint64_t PRIME = 0x100000001B3ULL;
+    const uint8_t *p = payload;
+    for (long i = 0; i < n; i++) {
+        uint64_t a = 0xCBF29CE484222325ULL;
+        uint64_t b = 0x84222325CBF29CE4ULL;
+        for (long j = 0; j < lengths[i]; j++) {
+            a = (a ^ p[j]) * PRIME;
+            b = (b ^ p[j]) * PRIME;
+        }
+        h1[i] = a; h2[i] = b;
+        p += lengths[i];
+    }
+}
+
 /* MinHash signatures over k-byte-gram rolling hashes, one fused pass.
    Bit-identical to the numpy path in operators/dedup.py: per gram,
    h = polynomial hash with multiplier 1099511628211 (uint64 wraparound);
@@ -257,6 +296,15 @@ def get_kernel():
         lib.p4s_minhash.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long, ctypes.c_long,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+        ]
+        lib.p4s_plain_ba_encode.restype = ctypes.c_long
+        lib.p4s_plain_ba_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.p4s_bloom_bytes_hashes.restype = None
+        lib.p4s_bloom_bytes_hashes.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+            ctypes.c_void_p, ctypes.c_void_p,
         ]
         _lib = lib
     except Exception:

@@ -64,6 +64,18 @@ def bytes_hashes(lengths: np.ndarray, payload: np.ndarray) -> tuple[np.ndarray, 
     if n == 0:
         return h1, h2
     lengths = np.ascontiguousarray(lengths, dtype=np.int64)
+    from . import _native
+
+    lib = _native.get_kernel()
+    if lib is not None:
+        import ctypes
+
+        pl = np.ascontiguousarray(payload[: int(lengths.sum())])
+        lib.p4s_bloom_bytes_hashes(
+            ctypes.c_void_p(pl.ctypes.data), ctypes.c_void_p(lengths.ctypes.data),
+            n, ctypes.c_void_p(h1.ctypes.data), ctypes.c_void_p(h2.ctypes.data),
+        )
+        return h1, h2
     starts = np.zeros(n, dtype=np.int64)
     starts[1:] = np.cumsum(lengths)[:-1]
     max_len = int(lengths.max()) if n else 0

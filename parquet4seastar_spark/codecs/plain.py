@@ -57,7 +57,10 @@ def plain_decode_bool(buf: bytes, n: int) -> np.ndarray:
 
 
 def plain_encode_byte_array(lengths: np.ndarray, payload: bytes) -> bytes:
-    """Interleave u32-LE lengths with value bytes, fully vectorized."""
+    """Interleave u32-LE lengths with value bytes.
+
+    C kernel (one memcpy per value) when available; the numpy fallback
+    scatters through per-byte fancy indices (byte-identical output)."""
     n = len(lengths)
     if n == 0:
         return b""
@@ -66,6 +69,20 @@ def plain_encode_byte_array(lengths: np.ndarray, payload: bytes) -> bytes:
     total_payload = int(lengths.sum())
     if len(payload_arr) != total_payload:
         raise ValueError("payload size does not match lengths")
+    from . import _native
+
+    lib = _native.get_kernel()
+    if lib is not None:
+        import ctypes
+
+        payload_arr = np.ascontiguousarray(payload_arr)
+        out = np.empty(4 * n + total_payload, dtype=np.uint8)
+        wrote = lib.p4s_plain_ba_encode(
+            ctypes.c_void_p(lengths.ctypes.data), n,
+            ctypes.c_void_p(payload_arr.ctypes.data),
+            ctypes.c_void_p(out.ctypes.data),
+        )
+        return out[:wrote].tobytes()
     out = np.empty(4 * n + total_payload, dtype=np.uint8)
     # value start offsets in the output (after each 4-byte prefix)
     starts = np.zeros(n, dtype=np.int64)

@@ -224,7 +224,14 @@ def minhash_signatures(
 
 def _banded_buckets(sigs: DataFrame, bands: int, r: int) -> DataFrame:
     """(doc_id, band, bucket): ONLY ids ride the band explode -- the full
-    signature does not get duplicated x bands through the shuffle."""
+    signature does not get duplicated x bands through the shuffle.
+
+    The band hash is xxhash64 over the sliced signature values DIRECTLY
+    (hash functions take complex types): the former rendering of every
+    slice to a string materialized ~40 chars per (row, band) just to feed
+    the hash.  Equal slices still collide and unequal ones spread, so LSH
+    recall properties are unchanged (identical signatures collide in
+    every band under any hash)."""
     return sigs.select(
         "doc_id",
         F.explode(
@@ -232,9 +239,7 @@ def _banded_buckets(sigs: DataFrame, bands: int, r: int) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.xxhash64(
-                            F.slice("sig", i * r + 1, r).cast("array<string>").cast("string")
-                        ).alias("bucket"),
+                        F.xxhash64(F.slice("sig", i * r + 1, r)).alias("bucket"),
                     )
                     for i in range(bands)
                 ]
@@ -264,7 +269,10 @@ def minhash_lsh_pairs(
     # persist so the shingle/minhash UDF runs once, not three times.  At
     # cluster scale you'd materialize signatures to a table instead.
     sigs = minhash_signatures(docs, num_hashes, shingle_k, seed).persist()
-    banded = _banded_buckets(sigs, bands, r)
+    # the self-join consumes the banded triples twice; persisting the
+    # (tiny, ids-only) frame guarantees the explode runs once even when
+    # the planner does not reuse the exchange
+    banded = _banded_buckets(sigs, bands, r).persist()
     left = banded.alias("l")
     right = banded.alias("r")
     cand = (

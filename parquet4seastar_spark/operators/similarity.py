@@ -289,9 +289,22 @@ def embedding_near_dups(
     has_big = (
         sizes.filter(F.col("_n") > max_bucket_size).limit(1).count() > 0
     )
+    # broadcast-confirm sizing decided up front: when the (id, vector,
+    # norm) map fits a broadcast, the confirm joins run map-side and the
+    # cross-band duplicate drop moves AFTER the threshold filter (only
+    # rows that pass — near-dup-rate-sized — reach that shuffle, instead
+    # of every raw candidate); past the cap candidates are deduplicated
+    # BEFORE the shuffled vector joins, the 100 TB shape.
+    dim_row = embeddings.select(F.size(F.col(vec_col))).first()
+    dim = int(dim_row[0] or 0)
+    broadcast_confirm = n_vectors * (dim * 8 + 24) <= 64 << 20
+
+    def _dedup_cand(c: DataFrame) -> DataFrame:
+        return c if broadcast_confirm else c.dropDuplicates(["id_a", "id_b"])
+
     if not has_big:
         left, right = sig.alias("l"), sig.alias("r")
-        cand = (
+        cand = _dedup_cand(
             left.join(
                 right,
                 (F.col("l.band") == F.col("r.band"))
@@ -299,7 +312,6 @@ def embedding_near_dups(
                 & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
             )
             .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
-            .dropDuplicates(["id_a", "id_b"])
         )
     else:
         eb = F.when(F.col("_n") <= max_bucket_size, F.lit(0)).otherwise(
@@ -343,7 +355,7 @@ def embedding_near_dups(
             .filter(F.col(id_col) != F.col("id_a"))
             .select("id_a", F.col(id_col).alias("id_b"))
         )
-        cand = cand_ok.unionByName(cand_big).dropDuplicates(["id_a", "id_b"])
+        cand = _dedup_cand(cand_ok.unionByName(cand_big))
     # exact confirm: norms are computed ONCE per vector (not per pair — the
     # naive per-pair cosine re-folds |v| for every candidate the vector
     # appears in); dot/(na*nb) over precomputed norms is the bit-identical
@@ -353,16 +365,48 @@ def embedding_near_dups(
     ).withColumn(
         "_n", F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
     )
-    # candidate pairs outnumber corpus rows by the bucket factor: when the
-    # (id, vector, norm) map fits a broadcast, hash-joining it map-side
-    # keeps the pair stream in place instead of sort-merge-shuffling the
-    # pairs TWICE with vector payloads attached.  Sizing uses the real
-    # dim (one first() over the already-counted corpus); past the cap the
-    # shuffled join is the correct scale shape and AQE keeps handling it.
-    dim_row = embeddings.select(F.size(F.col(vec_col))).first()
-    dim = int(dim_row[0] or 0)
-    if n_vectors * (dim * 8 + 24) <= 64 << 20:
-        emb = F.broadcast(emb)
+    # candidate pairs outnumber corpus rows by the bucket factor.  Under
+    # broadcast_confirm the whole confirm is ONE vectorized mapInArrow
+    # over the (id_a, id_b) stream with the corpus matrix broadcast
+    # (gather + row-wise dot; pairs never shuffle, vectors never join),
+    # and only rows clearing the threshold pay the distinct shuffle.
+    # Past the cap the (already deduplicated) candidates take the
+    # shuffled vector joins with per-id precomputed norms — the naive
+    # per-pair cosine re-folds |v| for every candidate the vector
+    # appears in — which is the correct 100 TB shape.
+    if broadcast_confirm:
+        from typing import Iterator as _It
+
+        rows = embeddings.select(id_col, vec_col).collect()
+        ids_np = np.array([r[id_col] for r in rows], dtype=np.int64)
+        mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
+        order = np.argsort(ids_np)
+        ids_sorted = ids_np[order]
+        mat = mat[order]
+        norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-300)
+        bc = embeddings.sparkSession.sparkContext.broadcast((ids_sorted, mat, norms))
+
+        def confirm(batches: _It[pa.RecordBatch]) -> _It[pa.RecordBatch]:
+            sids, smat, snorm = bc.value
+            for rb in batches:
+                if rb.num_rows == 0:
+                    continue
+                ia = np.asarray(rb.column(0), dtype=np.int64)
+                ib = np.asarray(rb.column(1), dtype=np.int64)
+                ra = np.searchsorted(sids, ia)
+                rb_ = np.searchsorted(sids, ib)
+                cos = (smat[ra] * smat[rb_]).sum(axis=1) / (snorm[ra] * snorm[rb_])
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(ia), pa.array(ib), pa.array(cos)],
+                    names=["id_a", "id_b", "cosine"],
+                )
+
+        pairs = cand.select("id_a", "id_b").mapInArrow(
+            confirm, schema="id_a long, id_b long, cosine double"
+        )
+        return pairs.filter(F.col("cosine") >= threshold).dropDuplicates(
+            ["id_a", "id_b"]
+        )
     va = emb.select(F.col(id_col).alias("id_a"), F.col("v").alias("v_a"), F.col("_n").alias("n_a"))
     vb = emb.select(F.col(id_col).alias("id_b"), F.col("v").alias("v_b"), F.col("_n").alias("n_b"))
     dot = F.aggregate(
