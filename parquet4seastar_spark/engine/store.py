@@ -24,6 +24,16 @@ Two read paths:
 The layout is plain Hive partitioning — any parquet reader understands
 it, and the ``column`` values round-trip through Spark's partition-path
 escaping (``#`` -> ``%23``).
+
+LOCAL-FS LIMITATION (ADVICE r6): :func:`is_column_store`,
+:func:`store_column_dirs` and :func:`read_store` resolve partition
+directories with ``os.listdir``, so driver-side auto-detection and
+guaranteed pruning only work for paths the driver's filesystem can see
+(local disk, NFS, fuse mounts).  On HDFS/S3 URLs the CLI's auto-detect
+degrades to the plain-read path — which STILL prunes via Catalyst's
+partition filters (the second read path above), just without the
+``inputFiles``-provable guarantee.  Porting to the Hadoop FileSystem API
+is the known follow-up for remote stores.
 """
 
 from __future__ import annotations

@@ -167,8 +167,17 @@ def _committed_sig_parts(sig_dir: str) -> list[tuple[int, str]]:
     return sorted(out)
 
 
-def _compaction_marker(sig_dir: str) -> int | None:
-    """batch_id of the committed latest-only snapshot partition, if any."""
+def _compaction_marker(sig_dir: str, checkpoint_dir: str | None = None) -> int | None:
+    """batch_id of the committed latest-only snapshot partition, if any.
+
+    The marker records the CHECKPOINT identity alongside the snapshot id
+    (ADVICE r6): batch ids restart at 0 under a fresh checkpoint, so a
+    stale marker from a previous stream lifecycle must not make the new
+    stream's same-numbered batch look like a committed no-op.  A marker
+    whose recorded checkpoint differs from the running one is treated as
+    snapshot-only metadata (the store view still honors it); legacy
+    markers without the field keep the old coupled-lifecycle behavior.
+    """
     import json
     import os
 
@@ -176,16 +185,26 @@ def _compaction_marker(sig_dir: str) -> int | None:
     if not os.path.exists(p):
         return None
     with open(p) as f:
-        return int(json.load(f)["snapshot"])
+        meta = json.load(f)
+    if (
+        checkpoint_dir is not None
+        and "checkpoint" in meta
+        and meta["checkpoint"] != os.path.abspath(checkpoint_dir)
+    ):
+        return None
+    return int(meta["snapshot"])
 
 
-def _write_compaction_marker(sig_dir: str, batch_id: int) -> None:
+def _write_compaction_marker(sig_dir: str, batch_id: int, checkpoint_dir: str | None = None) -> None:
     import json
     import os
 
     tmp = os.path.join(sig_dir, "._compaction.json.tmp")
+    meta = {"snapshot": batch_id}
+    if checkpoint_dir is not None:
+        meta["checkpoint"] = os.path.abspath(checkpoint_dir)
     with open(tmp, "w") as f:
-        json.dump({"snapshot": batch_id}, f)
+        json.dump(meta, f)
     os.replace(tmp, os.path.join(sig_dir, "_compaction.json"))
 
 
@@ -306,10 +325,12 @@ def stream_near_dedup(
     stream = reader.parquet(input_dir)
 
     def process_batch(df: DataFrame, batch_id: int) -> None:
-        if _compaction_marker(sig_dir) == batch_id:
+        if _compaction_marker(sig_dir, checkpoint_dir) == batch_id:
             # the marker is the LAST write of a compaction batch: its
             # presence means pairs, sigs, and snapshot are all durable —
-            # a retry is a committed no-op
+            # a retry is a committed no-op.  The checkpoint identity in
+            # the marker keeps a FRESH checkpoint over an old store from
+            # matching a stale marker (batch ids restart at 0).
             return
         batch = df.select("doc_id", "text")
         compacting = bool(compact_every) and (batch_id + 1) % compact_every == 0
@@ -344,7 +365,7 @@ def stream_near_dedup(
                 compacted.write.mode("overwrite").parquet(
                     f"{sig_dir}/batch_id={batch_id}"
                 )
-                _write_compaction_marker(sig_dir, batch_id)
+                _write_compaction_marker(sig_dir, batch_id, checkpoint_dir)
                 for bid, path in _committed_sig_parts(sig_dir):
                     if bid < batch_id:
                         shutil.rmtree(path, ignore_errors=True)

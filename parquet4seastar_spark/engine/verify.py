@@ -77,7 +77,8 @@ def roundtrip_verify_fast(
         raise ValueError(
             "roundtrip_verify_fast requires the salted layout "
             "('<salt_col>#<salt>' part keys); this table was encoded with "
-            "cluster_by — use roundtrip_verify (row-level join) instead"
+            "a positional layout (cluster_by 'r<i>' or map_only 'm<i>' "
+            "part keys) — use roundtrip_verify (row-level join) instead"
         )
     strip_salt = F.expr(
         "substring(part_key, 1, length(part_key) - length(substring_index(part_key, '#', -1)) - 1)"

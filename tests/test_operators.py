@@ -1174,3 +1174,33 @@ def test_fsst_decode_rejects_trailing_escape_both_paths():
             cwd="/root/repo",
         )
         assert "RAISED" in r.stdout, r.stderr
+
+
+def test_compaction_marker_checkpoint_identity(tmp_path):
+    """ADVICE r6: a fresh checkpoint over an existing store must not treat
+    a stale marker's batch id as a committed no-op; the snapshot-only view
+    (no checkpoint arg) still honors the marker."""
+    from parquet4seastar_spark.engine.streaming import (
+        _compaction_marker,
+        _write_compaction_marker,
+    )
+
+    sig_dir = str(tmp_path / "sigs")
+    import os
+
+    os.makedirs(sig_dir)
+    ckpt_a = str(tmp_path / "ckpt_a")
+    ckpt_b = str(tmp_path / "ckpt_b")
+    _write_compaction_marker(sig_dir, 3, ckpt_a)
+    # same lifecycle: committed no-op check matches
+    assert _compaction_marker(sig_dir, ckpt_a) == 3
+    # fresh checkpoint: stale marker must NOT match batch 3
+    assert _compaction_marker(sig_dir, ckpt_b) is None
+    # store view (data property): marker visible regardless of lifecycle
+    assert _compaction_marker(sig_dir) == 3
+    # legacy marker without the field keeps the coupled behavior
+    import json
+
+    with open(os.path.join(sig_dir, "_compaction.json"), "w") as f:
+        json.dump({"snapshot": 5}, f)
+    assert _compaction_marker(sig_dir, ckpt_b) == 5

@@ -256,7 +256,10 @@ def main():
     p.add_argument("--layout", default="flat", choices=["flat", "by-column"],
                    help="by-column: Hive-partition the store by column so "
                         "single-column decodes/lookups touch only that "
-                        "column's files")
+                        "column's files (driver-side dir resolution and "
+                        "auto-detect need a driver-visible filesystem; on "
+                        "HDFS/S3 readers fall back to Catalyst partition "
+                        "pruning -- see engine/store.py)")
     p.set_defaults(fn=cmd_encode)
 
     p = sub.add_parser("decode")
