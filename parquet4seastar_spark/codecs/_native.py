@@ -169,6 +169,87 @@ void p4s_bloom_bytes_hashes(
     }
 }
 
+/* DELTA_BINARY_PACKED block emission (everything after the 4-field
+   header): per 256-value block, signed min over the wrapped deltas,
+   zigzag-ULEB128 min, all 8 miniblock width bytes, LSB-first bit-packed
+   (delta - min) per used miniblock.  du = wrapped deltas already masked
+   to nbytes*8 bits (computed vectorized in numpy); byte-identical to
+   delta.dbp_encode's python assembly.  Returns bytes written. */
+static long p4s_uleb(uint64_t v, uint8_t *out)
+{
+    long o = 0;
+    while (v & ~0x7FULL) { out[o++] = (uint8_t)(v & 0x7F) | 0x80; v >>= 7; }
+    out[o++] = (uint8_t)(v & 0x7F);
+    return o;
+}
+
+long p4s_dbp_blocks(
+    const uint64_t *du, long n_deltas, int nbytes, uint8_t *out)
+{
+    const long BLOCK = 256, MBS = 8, VPMB = 32;
+    long o = 0;
+    for (long start = 0; start < n_deltas; start += BLOCK) {
+        long len = n_deltas - start < BLOCK ? n_deltas - start : BLOCK;
+        const uint64_t *b = du + start;
+        int64_t mn;
+        if (nbytes == 4) {
+            int32_t m = (int32_t)(uint32_t)b[0];
+            for (long i = 1; i < len; i++) {
+                int32_t v = (int32_t)(uint32_t)b[i];
+                if (v < m) m = v;
+            }
+            mn = m;
+        } else {
+            int64_t m = (int64_t)b[0];
+            for (long i = 1; i < len; i++) {
+                int64_t v = (int64_t)b[i];
+                if (v < m) m = v;
+            }
+            mn = m;
+        }
+        uint64_t mask = nbytes == 4 ? 0xFFFFFFFFULL : ~0ULL;
+        uint64_t mdu = (uint64_t)mn & mask;
+        /* zigzag64 of the sign-extended min */
+        uint64_t zz = ((uint64_t)mn << 1) ^ (uint64_t)(mn >> 63);
+        o += p4s_uleb(zz, out + o);
+        long used = (len + VPMB - 1) / VPMB;
+        uint8_t widths[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+        uint64_t rel[256];
+        for (long i = 0; i < len; i++) rel[i] = (b[i] - mdu) & mask;
+        for (long i = len; i < used * VPMB; i++) rel[i] = 0;
+        for (long mb = 0; mb < used; mb++) {
+            uint64_t mx = 0;
+            for (long i = 0; i < VPMB; i++) {
+                uint64_t v = rel[mb * VPMB + i];
+                if (v > mx) mx = v;
+            }
+            int w = 0;
+            while (mx) { w++; mx >>= 1; }
+            widths[mb] = (uint8_t)w;
+        }
+        for (long mb = 0; mb < MBS; mb++) out[o++] = widths[mb];
+        for (long mb = 0; mb < used; mb++) {
+            int w = widths[mb];
+            if (w == 0) continue;
+            /* 128-bit accumulator: nbits stays < 8 after draining, so
+               nbits + w <= 71 always fits */
+            unsigned __int128 acc = 0;
+            int nbits = 0;
+            for (long i = 0; i < VPMB; i++) {
+                acc |= (unsigned __int128)rel[mb * VPMB + i] << nbits;
+                nbits += w;
+                while (nbits >= 8) {
+                    out[o++] = (uint8_t)acc;
+                    acc >>= 8;
+                    nbits -= 8;
+                }
+            }
+            if (nbits > 0) out[o++] = (uint8_t)acc;
+        }
+    }
+    return o;
+}
+
 /* MinHash signatures over k-byte-gram rolling hashes, one fused pass.
    Bit-identical to the numpy path in operators/dedup.py: per gram,
    h = polynomial hash with multiplier 1099511628211 (uint64 wraparound);
@@ -296,6 +377,10 @@ def get_kernel():
         lib.p4s_minhash.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long, ctypes.c_long,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+        ]
+        lib.p4s_dbp_blocks.restype = ctypes.c_long
+        lib.p4s_dbp_blocks.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_void_p,
         ]
         lib.p4s_plain_ba_encode.restype = ctypes.c_long
         lib.p4s_plain_ba_encode.argtypes = [

@@ -78,6 +78,23 @@ def dbp_encode(values: np.ndarray, nbytes: int) -> bytes:
     mask = np.uint64((1 << (nbytes * 8)) - 1)
     du &= mask
     n_deltas = len(du)
+    from . import _native
+
+    lib = _native.get_kernel()
+    if lib is not None:
+        # C block emitter (per-block min/rel/widths/bit-pack at memory
+        # speed); byte-identical to the numpy path below, pinned by the
+        # reference goldens + the cross-path fuzz in tests/test_delta.py
+        import ctypes
+
+        du = np.ascontiguousarray(du)
+        nblocks = (n_deltas + _BLOCK - 1) // _BLOCK
+        out_buf = np.empty(len(header) + nblocks * (18 + _BLOCK * 8) + 16, dtype=np.uint8)
+        wrote = lib.p4s_dbp_blocks(
+            ctypes.c_void_p(du.ctypes.data), n_deltas, nbytes,
+            ctypes.c_void_p(out_buf.ctypes.data),
+        )
+        return header + out_buf[:wrote].tobytes()
     # Vectorized across ALL blocks (byte-identical to the former per-block
     # loop, pinned by the reference goldens + a cross-path fuzz test): the
     # old shape called pack_bits once per 32-value miniblock -- ~9 MB/s on

@@ -196,3 +196,55 @@ def test_dbp_vectorized_block_boundaries_roundtrip():
             enc = dbp_encode(arr, nbytes)
             dec, _ = dbp_decode(enc, nbytes)
             assert np.array_equal(dec, arr)
+
+
+def test_dbp_kernel_matches_numpy_fallback():
+    """The r7 C DBP block emitter must be byte-identical to the numpy
+    path (replayed in a P4S_NO_NATIVE subprocess)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from parquet4seastar_spark.codecs import _native
+
+    if _native.get_kernel() is None:
+        import pytest
+
+        pytest.skip("C kernel unavailable")
+    rng = np.random.default_rng(23)
+    cases = []
+    for nbytes, sdt, lo, hi in [
+        (4, np.int32, -(2**31), 2**31 - 1),
+        (8, np.int64, -(2**63), 2**63 - 1),
+    ]:
+        arrs = [
+            np.array([lo, hi, lo, hi] * 100, dtype=sdt),
+            np.full(513, -42, dtype=sdt),
+            rng.integers(lo, hi, 257, dtype=sdt),
+            rng.integers(-100, 100, 3000, dtype=sdt),
+        ]
+        for _ in range(10):
+            scale = int(rng.integers(1, 62))
+            arrs.append(
+                rng.integers(-(2**scale), 2**scale, int(rng.integers(0, 1500))).astype(sdt)
+            )
+        for a in arrs:
+            enc = dbp_encode(a, nbytes)
+            dec, _ = dbp_decode(enc, nbytes)
+            assert np.array_equal(dec, a)
+            cases.append((nbytes, a.tolist(), enc.hex()))
+    code = (
+        "import json,sys,numpy as np\n"
+        "from parquet4seastar_spark.codecs.delta import dbp_encode\n"
+        "for nbytes, vals, enc_hex in json.load(sys.stdin):\n"
+        "    dt = np.int32 if nbytes==4 else np.int64\n"
+        "    assert dbp_encode(np.array(vals, dtype=dt), nbytes).hex() == enc_hex\n"
+        "print('PARITY')\n"
+    )
+    env = dict(os.environ, P4S_NO_NATIVE="1")
+    r = subprocess.run(
+        [sys.executable, "-c", code], input=json.dumps(cases), text=True,
+        capture_output=True, env=env, cwd="/root/repo",
+    )
+    assert "PARITY" in r.stdout, r.stderr
