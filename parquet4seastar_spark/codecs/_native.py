@@ -148,6 +148,48 @@ long p4s_plain_ba_encode(
     return o;
 }
 
+/* Lexicographic min/max of zero-padded k-byte prefixes over a ragged
+   column (BYTE_ARRAY chunk stats).  Tie semantics match the stable
+   lexsort the numpy path uses: min keeps the FIRST tied row, max keeps
+   the LAST.  out = {lo_index, hi_index, min_tied_prefix_len}. */
+static int p4s_cmp_padded(const uint8_t *a, long la, const uint8_t *b, long lb)
+{
+    long m = la < lb ? la : lb;
+    int c = memcmp(a, b, (size_t)m);
+    if (c) return c;
+    for (long i = m; i < la; i++) if (a[i]) return 1;
+    for (long i = m; i < lb; i++) if (b[i]) return -1;
+    return 0;
+}
+
+void p4s_ba_stats(
+    const uint8_t *payload, const int64_t *lengths, long n, long k,
+    int64_t *out)
+{
+    const uint8_t *p = payload;
+    const uint8_t *plo = payload, *phi = payload;
+    long llo = lengths[0] < k ? lengths[0] : k;
+    long lhi = llo;
+    long lo = 0, hi = 0;
+    p += lengths[0];
+    for (long i = 1; i < n; i++) {
+        long li = lengths[i] < k ? lengths[i] : k;
+        if (p4s_cmp_padded(p, li, plo, llo) < 0) { lo = i; plo = p; llo = li; }
+        if (p4s_cmp_padded(p, li, phi, lhi) >= 0) { hi = i; phi = p; lhi = li; }
+        p += lengths[i];
+    }
+    /* shortest tied prefix length among rows whose padded prefix equals
+       the minimum (embedded-NUL ties; see _chunk_stats) */
+    long min_len = llo;
+    p = payload;
+    for (long i = 0; i < n; i++) {
+        long li = lengths[i] < k ? lengths[i] : k;
+        if (p4s_cmp_padded(p, li, plo, llo) == 0 && li < min_len) min_len = li;
+        p += lengths[i];
+    }
+    out[0] = lo; out[1] = hi; out[2] = min_len;
+}
+
 /* Paired FNV-1a-64 over each ragged value (bloom.bytes_hashes): the
    numpy path is one masked pass per byte POSITION; here the value stays
    in cache and both hashes update per byte. */
@@ -385,6 +427,11 @@ def get_kernel():
         lib.p4s_plain_ba_encode.restype = ctypes.c_long
         lib.p4s_plain_ba_encode.argtypes = [
             ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.p4s_ba_stats.restype = None
+        lib.p4s_ba_stats.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long, ctypes.c_long,
+            ctypes.c_void_p,
         ]
         lib.p4s_bloom_bytes_hashes.restype = None
         lib.p4s_bloom_bytes_hashes.argtypes = [

@@ -473,6 +473,32 @@ def _chunk_stats(chunk: EncodedChunk, ptype: str, values, lengths, payload) -> N
             chunk.stat_min_bin = b""
             chunk.stat_max_bin = b""
             return
+        from . import _native
+
+        lib = _native.get_kernel()
+        if lib is not None:
+            # C scan with the numpy path's exact tie rules (min keeps the
+            # first tied row, max the last, shortest tied min prefix)
+            import ctypes
+
+            pl = np.ascontiguousarray(payload[: int(offs[-1])])
+            ln = np.ascontiguousarray(lengths, dtype=np.int64)
+            out3 = np.empty(3, dtype=np.int64)
+            lib.p4s_ba_stats(
+                ctypes.c_void_p(pl.ctypes.data), ctypes.c_void_p(ln.ctypes.data),
+                len(ln), k, ctypes.c_void_p(out3.ctypes.data),
+            )
+            lo_i, hi_i, min_len = int(out3[0]), int(out3[1]), int(out3[2])
+            chunk.stat_min_bin = pl[offs[lo_i] : offs[lo_i] + min_len].tobytes()
+            hi_prefix = bytearray(
+                pl[offs[hi_i] : offs[hi_i] + min(k, int(lengths[hi_i]))]
+            )
+            for j in range(len(hi_prefix) - 1, -1, -1):
+                if hi_prefix[j] != 0xFF:
+                    hi_prefix[j] += 1
+                    chunk.stat_max_bin = bytes(hi_prefix[: j + 1])
+                    break
+            return
         # width padded to a multiple of 8 so rows view as big-endian uint64
         # words: comparing those words IS byte-lexicographic comparison of
         # the zero-padded prefixes (the extra zero columns never affect
@@ -1197,12 +1223,25 @@ def _auto_plan(ptype, n, values, lengths, payload, page_ends, nn_page_ends, allo
                 a = payload[np.repeat(offs[:-1][idx], cmp_len) + rel]
                 b = payload[np.repeat(offs[:-1][idx + 1], cmp_len) + rel]
                 eq = a == b
-                # mean leading-equality run per sampled pair (loop is over
-                # the <=256 samples, not the data)
-                segs = np.split(eq, np.cumsum(cmp_len)[:-1])
-                mean_prefix = float(
-                    np.mean([int(np.cumprod(s).sum()) if len(s) else 0 for s in segs])
+                # mean leading-equality run per sampled pair, vectorized:
+                # the run ends at the segment's first mismatch, located
+                # with one searchsorted over the flat mismatch positions
+                # (the former per-segment np.split + cumprod was ~0.5 s
+                # per 256 MB of fixed overhead at bench chunk counts)
+                seg_starts = np.zeros(k, dtype=np.int64)
+                seg_starts[1:] = np.cumsum(cmp_len)[:-1]
+                seg_ends = seg_starts + cmp_len
+                falses = np.flatnonzero(~eq)
+                first_false = falses[
+                    np.searchsorted(falses, seg_starts).clip(0, max(len(falses) - 1, 0))
+                ] if len(falses) else np.full(k, tot, dtype=np.int64)
+                # a segment with no mismatch runs to its end
+                run_end = np.where(
+                    (len(falses) > 0) & (first_false >= seg_starts) & (first_false < seg_ends),
+                    first_false,
+                    seg_ends,
                 )
+                mean_prefix = float(np.mean(run_end - seg_starts))
                 mean_len = float(np.mean(lengths[idx])) or 1.0
                 # front coding must promise real savings: long values with a
                 # short shared header (e.g. source text) skip the extra pass
@@ -1227,18 +1266,18 @@ def _auto_plan(ptype, n, values, lengths, payload, page_ends, nn_page_ends, allo
 
             margin = 1.0 if _native.get_kernel() is not None else 0.9
             # per-task symbol-table cache (encode_job wires one dict per
-            # partition, keyed by column): training is a fixed ~15 ms per
-            # chunk, which dominated auto encode on many-small-chunk
-            # layouts (the bench corpus has ~2,200 content chunks of
-            # ~1 MB).  Only a table trained on a FULL 32 KiB sample is
-            # cached, so a short atypical first chunk cannot poison the
-            # column; the selection estimate below still runs against
-            # THIS chunk's sample, so a poorly-matching cached table
-            # simply loses the candidate race.
+            # partition, keyed by (column, part_key)): training is a fixed
+            # ~9 ms per chunk, which dominated auto encode on
+            # many-small-chunk layouts (the bench corpus has ~2,200
+            # content chunks of ~1 MB).  The part_key in the cache key
+            # scopes every reuse to one key's vocabulary, so caching is
+            # safe at any sample size; the selection estimate below still
+            # runs against THIS chunk's sample, so a poorly-matching
+            # cached table simply loses the candidate race.
             table = fsst_cache.get(fsst_cache_key) if fsst_cache else None
             if table is None:
                 table = fsst.train_symbol_table(sample)
-                if fsst_cache is not None and len(sample) == 1 << 15:
+                if fsst_cache is not None:
                     if len(fsst_cache) >= 4096:  # bound per-task memory
                         fsst_cache.clear()
                     fsst_cache[fsst_cache_key] = table

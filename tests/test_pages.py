@@ -954,3 +954,75 @@ def test_plain_ba_and_bloom_kernels_match_numpy():
         capture_output=True, env=env, cwd="/root/repo",
     )
     assert "PARITY" in r.stdout, r.stderr
+
+
+def test_ba_stats_kernel_matches_numpy():
+    """r7 C chunk-stats scan must reproduce the numpy path's exact
+    min/max prefixes (tie rules included) and keep bounds conservative."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    from parquet4seastar_spark.codecs import _native
+    from parquet4seastar_spark.codecs.pages import EncodedChunk, _chunk_stats
+
+    def stats_of(vals):
+        lengths = np.array([len(v) for v in vals], dtype=np.int64)
+        payload = np.frombuffer(b"".join(vals), dtype=np.uint8)
+        ch = EncodedChunk(
+            ptype="BYTE_ARRAY", logical="string", nullable=False,
+            num_rows=len(vals), num_nulls=0, cardinality=0, encodings=[],
+            compression="u", type_length=0, input_bytes=0,
+        )
+        _chunk_stats(ch, "BYTE_ARRAY", None, lengths, payload)
+        return ch.stat_min_bin, ch.stat_max_bin
+
+    rng = np.random.default_rng(37)
+    cases = [
+        [b"banana", b"apple", b"cherry"],
+        [b"a", b"a\x00", b"a\x00\x00", b"ab"],
+        [b"", b"x", b""],
+        [b"\xff" * 20, b"zz"],
+        [b"same"] * 10,
+    ]
+    for _ in range(60):
+        n = int(rng.integers(1, 40))
+        cases.append(
+            [bytes(rng.integers(0, 256, rng.integers(0, 30)).astype(np.uint8)) for _ in range(n)]
+        )
+    blobs = []
+    for vals in cases:
+        mn, mx = stats_of(vals)
+        for v in vals:
+            assert mn is None or mn <= v
+            # all-empty chunks use exact inclusive degenerate bounds (b"")
+            assert mx is None or mx > v or (mx == b"" and v == b"")
+        blobs.append(
+            ([v.hex() for v in vals],
+             None if mn is None else mn.hex(),
+             None if mx is None else mx.hex())
+        )
+    if _native.get_kernel() is None:
+        return
+    code = (
+        "import json,sys,numpy as np\n"
+        "from parquet4seastar_spark.codecs.pages import _chunk_stats, EncodedChunk\n"
+        "for vals_hex, mn_hex, mx_hex in json.load(sys.stdin):\n"
+        "    vals=[bytes.fromhex(h) for h in vals_hex]\n"
+        "    lengths=np.array([len(v) for v in vals],dtype=np.int64)\n"
+        "    payload=np.frombuffer(b''.join(vals),dtype=np.uint8)\n"
+        "    ch=EncodedChunk(ptype='BYTE_ARRAY',logical='string',nullable=False,num_rows=len(vals),num_nulls=0,cardinality=0,encodings=[],compression='u',type_length=0,input_bytes=0)\n"
+        "    _chunk_stats(ch,'BYTE_ARRAY',None,lengths,payload)\n"
+        "    assert (None if ch.stat_min_bin is None else ch.stat_min_bin.hex()) == mn_hex\n"
+        "    assert (None if ch.stat_max_bin is None else ch.stat_max_bin.hex()) == mx_hex\n"
+        "print('PARITY')\n"
+    )
+    env = dict(os.environ, P4S_NO_NATIVE="1")
+    r = subprocess.run(
+        [sys.executable, "-c", code], input=json.dumps(blobs), text=True,
+        capture_output=True, env=env, cwd="/root/repo",
+    )
+    assert "PARITY" in r.stdout, r.stderr
