@@ -101,6 +101,76 @@ long p4s_fsst_encode(
     return o;
 }
 
+/* Two independent segments tokenized in ONE interleaved loop: the
+   greedy chain is serially dependent (next position depends on the
+   match length), so a single stream stalls on the 64 KiB lut2 lookup
+   latency; two streams hide it.  Per-segment output is byte-identical
+   to p4s_fsst_encode (same rule, same tables).  Writes stream B's
+   length to *ob_out; returns stream A's. */
+long p4s_fsst_encode2(
+    const uint8_t *da, long na, const uint8_t *db, long nb,
+    const uint8_t *lut1, const uint8_t *lut2,
+    const int8_t *lens, const uint64_t *vals, const uint64_t *masks,
+    uint8_t *outa, uint8_t *outb, long *ob_out)
+{
+    long ia = 0, oa = 0, ib = 0, ob = 0;
+    while (ia < na && ib < nb) {
+        uint64_t wa = 0, wb = 0;
+        long ra = na - ia, rb = nb - ib;
+        if (ra >= 8) memcpy(&wa, da + ia, 8); else memcpy(&wa, da + ia, (size_t)ra);
+        if (rb >= 8) memcpy(&wb, db + ib, 8); else memcpy(&wb, db + ib, (size_t)rb);
+        uint8_t ca = lut2[(uint16_t)wa];
+        uint8_t cb = lut2[(uint16_t)wb];
+        int la = lens[ca], lb = lens[cb];
+        if (((wa & masks[ca]) == vals[ca]) && (ia + la <= na)) {
+            outa[oa++] = ca; ia += la;
+        } else {
+            uint8_t c1 = lut1[da[ia]];
+            outa[oa++] = c1;
+            if (c1 == 255) outa[oa++] = da[ia];
+            ia += 1;
+        }
+        if (((wb & masks[cb]) == vals[cb]) && (ib + lb <= nb)) {
+            outb[ob++] = cb; ib += lb;
+        } else {
+            uint8_t c1 = lut1[db[ib]];
+            outb[ob++] = c1;
+            if (c1 == 255) outb[ob++] = db[ib];
+            ib += 1;
+        }
+    }
+    while (ia < na) {
+        uint64_t w = 0;
+        long r = na - ia;
+        if (r >= 8) memcpy(&w, da + ia, 8); else memcpy(&w, da + ia, (size_t)r);
+        uint8_t c2 = lut2[(uint16_t)w];
+        int L = lens[c2];
+        if (((w & masks[c2]) == vals[c2]) && (ia + L <= na)) { outa[oa++] = c2; ia += L; }
+        else {
+            uint8_t c1 = lut1[da[ia]];
+            outa[oa++] = c1;
+            if (c1 == 255) outa[oa++] = da[ia];
+            ia += 1;
+        }
+    }
+    while (ib < nb) {
+        uint64_t w = 0;
+        long r = nb - ib;
+        if (r >= 8) memcpy(&w, db + ib, 8); else memcpy(&w, db + ib, (size_t)r);
+        uint8_t c2 = lut2[(uint16_t)w];
+        int L = lens[c2];
+        if (((w & masks[c2]) == vals[c2]) && (ib + L <= nb)) { outb[ob++] = c2; ib += L; }
+        else {
+            uint8_t c1 = lut1[db[ib]];
+            outb[ob++] = c1;
+            if (c1 == 255) outb[ob++] = db[ib];
+            ib += 1;
+        }
+    }
+    *ob_out = ob;
+    return oa;
+}
+
 /* Decode one FSST token payload segment: codes expand from the (256 x 8)
    symbol byte matrix; code 255 escapes the following literal byte.
    Returns the number of output bytes (caller sizes out for the worst
@@ -409,6 +479,13 @@ def get_kernel():
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p,
+        ]
+        lib.p4s_fsst_encode2.restype = ctypes.c_long
+        lib.p4s_fsst_encode2.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ]
         lib.p4s_fsst_decode.restype = ctypes.c_long
         lib.p4s_fsst_decode.argtypes = [

@@ -258,21 +258,45 @@ def fsst_encode(data: bytes | np.ndarray, table: SymbolTable) -> bytes:
     lib = _native.get_kernel()
     if lib is not None and len(arr):
         # fused tokenize+emit in C, per 256 KiB segment (same boundary rule
-        # as the numpy path -> byte-identical payload)
+        # as the numpy path -> byte-identical payload).  Segments are
+        # processed in PAIRS through one interleaved loop: the greedy
+        # chain serializes on the 64 KiB lut2 lookup, so two independent
+        # streams hide the latency; each segment's bytes are identical to
+        # the one-stream emission and land in segment order.
         import ctypes
 
         if not arr.flags.c_contiguous:
             arr = np.ascontiguousarray(arr)
         n = len(arr)
         out = np.empty(2 * n, dtype=np.uint8)
+        scratch = np.empty(2 * _SEGMENT, dtype=np.uint8)
+        ob_arr = np.zeros(1, dtype=np.int64)
         tbl_ptrs = _table_ptrs(table)
         o = 0
-        for s0 in range(0, n, _SEGMENT):
-            seg = arr[s0 : min(s0 + _SEGMENT, n)]
-            o += lib.p4s_fsst_encode(
-                ctypes.c_void_p(seg.ctypes.data), len(seg), *tbl_ptrs,
-                ctypes.c_void_p(out.ctypes.data + o),
-            )
+        s0 = 0
+        while s0 < n:
+            a_len = min(_SEGMENT, n - s0)
+            b_start = s0 + a_len
+            b_len = min(_SEGMENT, n - b_start)
+            if b_len > 0:
+                oa = lib.p4s_fsst_encode2(
+                    ctypes.c_void_p(arr.ctypes.data + s0), a_len,
+                    ctypes.c_void_p(arr.ctypes.data + b_start), b_len,
+                    *tbl_ptrs,
+                    ctypes.c_void_p(out.ctypes.data + o),
+                    ctypes.c_void_p(scratch.ctypes.data),
+                    ctypes.c_void_p(ob_arr.ctypes.data),
+                )
+                o += oa
+                ob = int(ob_arr[0])
+                out[o : o + ob] = scratch[:ob]
+                o += ob
+            else:
+                o += lib.p4s_fsst_encode(
+                    ctypes.c_void_p(arr.ctypes.data + s0), a_len, *tbl_ptrs,
+                    ctypes.c_void_p(out.ctypes.data + o),
+                )
+            s0 = b_start + b_len
         return table.serialize() + out[:o].tobytes()
     pos, lens, codes = _tokenize(arr, table)
     esc = codes == _ESCAPE
