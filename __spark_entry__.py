@@ -250,9 +250,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "l_returnflag",
         )
         cols = ["l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag"]
+        # row-count salting: l_returnflag has THREE distinct values, so
+        # byte-mode salting (1-char flags never reach 64 MB) pinned the
+        # whole encode AND the decode's per-chunk groups to 3 tasks at any
+        # core count; splitting hot keys by rows is the guide's skew fix
+        # and scales the bucket count with data (decoded values identical
+        # -- the oracle is an identity SELECT over row_id-joined output)
         enc = encode_table(
             li, columns=cols, policy="auto", salt_col="l_returnflag", num_partitions=4,
-            size_col="l_returnflag",
+            salt_target_rows=65536,
         )
         return decode_table(enc, cols).select(cols)
 
